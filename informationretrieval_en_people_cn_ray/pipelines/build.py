@@ -1,0 +1,208 @@
+"""End-to-end index build — the flagship Ray Data pipeline.
+
+    read_corpus (fragment plan, doc_id assigned, columns pruned)
+      → map_batches(TokenizePartial, actor pool)       [tokenize + partial combine]
+      → [optional salted pre-merge groupby]            [skew: hot-term run folding]
+      → groupby("seg").map_groups(SegmentBuilder)      [THE shuffle, key = term hash]
+      → summaries (tiny) → collection.json
+
+Replaces the reference's build (SURVEY.md §3.1): byte-range
+multiprocessing pool capped at 2 processes + single-threaded k-way merge
+(``IndexCreator.py:153-348``). Every stage streams; nothing but the
+per-partition summary rows (one per segment) ever materializes on the
+driver.
+
+Skew handling (SURVEY.md §7.3/§7.4 R3, north_star "salted
+repartitioning"): hot terms are bounded twice —
+
+1. the tokenize stage emits at most one partial run per term per input
+   batch (partial combine), so shuffle volume per term is O(#batches),
+   and
+2. with ``salt > 0`` a pre-merge shuffle on key ``(term, salt)`` folds the
+   O(#batches) runs of each hot term into at most ``salt`` runs in
+   parallel BEFORE the segment reduce, so no single reduce task is stuck
+   merging a giant run list alone.
+
+Resume: partitions with a complete manifest (matching build fingerprint)
+skip their writes; a finished build short-circuits on ``collection.json``.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import zlib
+from dataclasses import asdict, dataclass
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ..sources.corpus_source import corpus_files, fragment_plan, read_corpus
+from ..state.manifest import fingerprint, load_json, write_json_atomic
+from ..stages.postings import merge_runs
+from ..stages.segments import SegmentBuilder
+from ..stages.tokenize import DOCSTATS_TERM, TokenizePartial
+
+
+@dataclass
+class BuildConfig:
+    num_segments: int = 8
+    docstat_partitions: int = 2
+    stem: bool = True
+    store_positions: bool = True
+    verify_sha: bool = True
+    tokenize_batch_size: int = 128
+    tokenize_concurrency: int | None = None  # None → stateless-style default pool of 4
+    salt: int = 0  # 0 = no pre-merge; else number of salted buckets per term
+
+    def key(self) -> dict:
+        return asdict(self)
+
+
+class _PreMerge:
+    """groupby('salt_key').map_groups body: fold the partial runs of one
+    (term, salt) bucket into a single run. Output schema == input schema
+    (minus the salt key), so the stage is optional and composable."""
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 1:
+            return group.drop_columns(["salt_key"])
+        doc_ids, tfs, pos_bytes, pos_lens = merge_runs(
+            [c.values.to_numpy() for c in group["doc_ids"]],
+            [c.values.to_numpy() for c in group["tfs"]],
+            [c.as_py() for c in group["pos_bytes"]],
+            [c.values.to_numpy() for c in group["pos_lens"]],
+        )
+        return pa.table(
+            {
+                "term": group["term"].slice(0, 1),
+                "seg": group["seg"].slice(0, 1),
+                "doc_ids": pa.array([doc_ids], pa.list_(pa.int64())),
+                "tfs": pa.array([tfs.astype(np.int32)], pa.list_(pa.int32())),
+                "pos_bytes": pa.array([pos_bytes], pa.binary()),
+                "pos_lens": pa.array(
+                    [pos_lens.astype(np.int32)], pa.list_(pa.int32())
+                ),
+            }
+        )
+
+
+def _add_salt_key(batch: pa.Table, salt: int) -> pa.Table:
+    """Salt = hash of the run's FIRST doc id — deterministic, and spreads a
+    term's runs uniformly over `salt` buckets."""
+    terms = batch["term"].to_pylist()
+    first_doc = np.array(
+        [c.values[0].as_py() if len(c.values) else 0 for c in batch["doc_ids"]],
+        dtype=np.int64,
+    )
+    keys = [
+        f"{t}\x01{(zlib.crc32(int(d).to_bytes(8, 'little')) % salt)}"
+        for t, d in zip(terms, first_doc)
+    ]
+    return batch.append_column("salt_key", pa.array(keys, pa.string()))
+
+
+def build_index(
+    corpus_path: str,
+    out_dir: str,
+    config: BuildConfig | None = None,
+) -> dict:
+    """Build (or resume) the index; returns the collection manifest."""
+    config = config or BuildConfig()
+    files = corpus_files(corpus_path)
+    plan = fragment_plan(corpus_path)
+    total_docs = plan[-1]["base"] + plan[-1]["num_rows"] if plan else 0
+    lineage = {
+        "files": [
+            {"path": f, "size": os.path.getsize(f)} for f in files
+        ],
+        "config": config.key(),
+    }
+    build_fp = fingerprint(lineage)
+
+    coll_path = os.path.join(out_dir, "collection.json")
+    existing = load_json(coll_path)
+    if existing and existing.get("build_fingerprint") == build_fp:
+        return existing
+
+    t0 = time.monotonic()
+    columns = ["content"]
+    # only fetch the sha column if we'll verify it
+    import pyarrow.parquet as pq
+
+    have_sha = "content_sha256" in pq.read_schema(files[0]).names
+    if config.verify_sha and have_sha:
+        columns.append("content_sha256")
+
+    ds = read_corpus(corpus_path, columns=columns)
+    parts = ds.map_batches(
+        TokenizePartial,
+        fn_constructor_kwargs=dict(
+            num_segments=config.num_segments,
+            docstat_partitions=config.docstat_partitions,
+            total_docs=total_docs,
+            stem=config.stem,
+            store_positions=config.store_positions,
+            verify_sha=config.verify_sha,
+        ),
+        batch_size=config.tokenize_batch_size,
+        batch_format="pyarrow",
+        concurrency=config.tokenize_concurrency or 4,
+    )
+
+    if config.salt > 0:
+        salted = parts.map_batches(
+            _add_salt_key,
+            fn_kwargs=dict(salt=config.salt),
+            batch_format="pyarrow",
+        )
+        premerge = _PreMerge()
+
+        def premerge_runs(group: pa.Table) -> pa.Table:
+            return premerge(group)
+
+        parts = salted.groupby("salt_key").map_groups(
+            premerge_runs, batch_format="pyarrow"
+        )
+
+    builder = SegmentBuilder(out_dir, build_fp, config.num_segments)
+
+    def build_segment(group: pa.Table) -> pa.Table:
+        return builder(group)
+
+    summaries = parts.groupby("seg").map_groups(
+        build_segment, batch_format="pyarrow"
+    )
+    rows = summaries.take_all()  # tiny: one row per partition
+
+    post = [r for r in rows if r["kind"] == "postings"]
+    stats = [r for r in rows if r["kind"] == "docstats"]
+    n_docs = sum(r["n_docs"] for r in stats)
+    total_tokens = sum(r["tokens"] for r in stats)
+    manifest = {
+        "build_fingerprint": build_fp,
+        "corpus": corpus_path,
+        "config": config.key(),
+        "num_docs": n_docs,
+        "total_tokens": total_tokens,
+        "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
+        "num_segments": config.num_segments,
+        "docstat_partitions": config.docstat_partitions,
+        "n_terms": sum(r["n_terms"] for r in post),
+        "postings_bytes": sum(r["bytes"] for r in post),
+        "n_posting_entries": sum(r["n_docs"] for r in post),
+        "wall_s": round(time.monotonic() - t0, 3),
+        "partitions": [
+            {k: r[k] for k in ("seg", "kind", "n_terms", "n_docs", "tokens", "bytes", "skipped")}
+            for r in sorted(rows, key=lambda r: int(r["seg"]))
+        ],
+    }
+    if n_docs != total_docs:
+        raise RuntimeError(
+            f"docstat rows {n_docs} != corpus rows {total_docs} — build bug"
+        )
+    write_json_atomic(coll_path, manifest)
+    return manifest

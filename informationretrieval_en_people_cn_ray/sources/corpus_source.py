@@ -1,0 +1,130 @@
+"""Corpus reader with deterministic, partitioning-invariant doc-id assignment.
+
+The reference's document identifier is the byte offset of the row in
+``comments.csv`` — implicitly assigned by a sequential scan
+(``IndexCreator.py:46-48``, ``SearchEngine.py:131-133``; SURVEY.md §1.1).
+Byte offsets don't survive a parallel read, so we assign an explicit dense
+``doc_id:int64`` instead, derived only from on-disk layout:
+
+    files sorted by path  →  row groups in file order  →
+    doc_id = (prefix-sum of row-group row counts) + index within row group
+
+This is invariant to Ray parallelism (num_cpus 1/2/8 produce identical ids
+— SURVEY.md §7.4 R4), needs NO shuffle (the reference alternative of a
+global sort would), and is cheap at scale: only Parquet *metadata* is read
+on the driver to build the fragment plan (at 10^12-file scale this
+metadata scan would itself be a `map_batches` over file paths; the plan is
+just (file, row_group, base) triples either way).
+
+Reading is a ``map_batches`` over the fragment plan: one task per row
+group, emitting an Arrow table with the ``doc_id`` column prepended —
+so the corpus enters the pipeline as a streaming Dataset whose blocks are
+row groups.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+
+def corpus_files(path: str) -> list[str]:
+    """Sorted parquet file list for a corpus file/directory."""
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    else:
+        files = [path]
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path}")
+    return files
+
+
+def fragment_plan(path: str) -> list[dict]:
+    """[{file, row_group, base, num_rows}] with global base offsets."""
+    plan: list[dict] = []
+    base = 0
+    for f in corpus_files(path):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            n = md.row_group(rg).num_rows
+            plan.append({"file": f, "row_group": rg, "base": base, "num_rows": n})
+            base += n
+    return plan
+
+
+def corpus_num_docs(path: str) -> int:
+    plan = fragment_plan(path)
+    return plan[-1]["base"] + plan[-1]["num_rows"] if plan else 0
+
+
+class _ReadFragment:
+    """map_batches task body: one fragment descriptor → its Arrow rows with
+    doc_id assigned. Plain function-style class so `columns` travels along."""
+
+    def __init__(self, columns: list[str] | None):
+        self.columns = columns
+
+    def __call__(self, batch: dict) -> pa.Table:
+        out = []
+        for file, rg, base in zip(
+            batch["file"], batch["row_group"], batch["base"]
+        ):
+            tbl = pq.ParquetFile(file).read_row_group(
+                int(rg), columns=self.columns
+            )
+            doc_id = pa.array(
+                np.arange(int(base), int(base) + tbl.num_rows, dtype=np.int64)
+            )
+            out.append(tbl.add_column(0, "doc_id", doc_id))
+        return pa.concat_tables(out)
+
+
+def read_corpus(
+    path: str, columns: list[str] | None = None
+) -> "ray.data.Dataset":
+    """Corpus Dataset with dense deterministic ``doc_id``; ``columns`` prunes
+    at the read (pass only what the stage needs — e.g. ["content"])."""
+    plan = fragment_plan(path)
+    ds = ray.data.from_items(plan)
+    # one task per fragment: batch_size=1 + enough output blocks
+    return ds.map_batches(
+        _ReadFragment(columns),
+        batch_size=1,
+        batch_format="numpy",
+    )
+
+
+class DocStore:
+    """Point lookups doc_id → source row (for top-k hydration — the
+    reference's ``load_comment`` seek, ``SearchEngine.py:131-147``).
+
+    Uses the fragment plan to map a doc_id back to (file, row_group, row)
+    and reads just that row group — no index artifacts needed, because
+    doc-id assignment is a pure function of on-disk layout.
+    """
+
+    def __init__(self, path: str):
+        self.plan = fragment_plan(path)
+        self.bases = np.array([p["base"] for p in self.plan], dtype=np.int64)
+
+    def lookup(self, doc_ids, columns: list[str] | None = None) -> pa.Table:
+        doc_ids = np.asarray(sorted(set(int(d) for d in doc_ids)), dtype=np.int64)
+        frag_idx = np.searchsorted(self.bases, doc_ids, side="right") - 1
+        out = []
+        for fi in np.unique(frag_idx):
+            frag = self.plan[int(fi)]
+            ids = doc_ids[frag_idx == fi]
+            rows = ids - frag["base"]
+            tbl = pq.ParquetFile(frag["file"]).read_row_group(
+                frag["row_group"], columns=columns
+            )
+            tbl = tbl.take(pa.array(rows))
+            tbl = tbl.add_column(0, "doc_id", pa.array(ids))
+            out.append(tbl)
+        return pa.concat_tables(out)

@@ -1,0 +1,100 @@
+"""Partial posting runs + vectorized run merging.
+
+The unit flowing through the posting shuffle is a *partial run*: for one
+term, the sorted postings contributed by one upstream task —
+
+    term:      string
+    seg:       int32            hash(term) % num_segments  (shuffle key)
+    doc_ids:   list<int64>      ascending within the run
+    tfs:       list<int32>
+    pos_bytes: binary           per-doc varint position streams, concatenated
+    pos_lens:  list<int32>      byte length of each doc's position stream
+
+Because each doc's position stream restarts its delta at the doc boundary
+(codec.encode_positions), runs can be merged by pure byte-slice reordering
+— positions are encoded ONCE at tokenize time and never re-encoded, no
+matter how many merge rounds (salted pre-merge, segment build) follow.
+
+This is the partial/final combine that replaces the reference's
+single-threaded k-way text merge (``IndexCreator.py:286-338``): the
+reference merges sorted *files* on one core; we merge sorted *runs*
+wherever the shuffle puts them.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+
+def term_seg(term: str, num_segments: int) -> int:
+    """Stable (cross-process) term → segment id. Python's hash() is salted
+    per process, so crc32 it is."""
+    return zlib.crc32(term.encode("utf-8")) % num_segments
+
+
+def term_seg_array(terms: list[str], num_segments: int) -> np.ndarray:
+    return np.array(
+        [zlib.crc32(t.encode("utf-8")) % num_segments for t in terms],
+        dtype=np.int32,
+    )
+
+
+def _exclusive_cumsum(a: np.ndarray) -> np.ndarray:
+    out = np.zeros(len(a), dtype=np.int64)
+    if len(a) > 1:
+        np.cumsum(a[:-1], out=out[1:])
+    return out
+
+
+def gather_byte_slices(
+    buf: np.ndarray, starts: np.ndarray, lens: np.ndarray, order: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Reorder variable-length byte slices of ``buf`` by ``order`` —
+    fully vectorized (no per-slice Python loop).
+
+    Returns (new_buf, new_lens)."""
+    lens_o = lens[order]
+    starts_o = starts[order]
+    total = int(lens_o.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.uint8), lens_o
+    out_starts = _exclusive_cumsum(lens_o)
+    idx = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(out_starts, lens_o)
+        + np.repeat(starts_o, lens_o)
+    )
+    return buf[idx], lens_o
+
+
+def merge_runs(
+    doc_id_runs: list[np.ndarray],
+    tf_runs: list[np.ndarray],
+    pos_byte_runs: list[bytes | np.ndarray],
+    pos_len_runs: list[np.ndarray],
+) -> tuple[np.ndarray, np.ndarray, bytes, np.ndarray]:
+    """Merge partial runs of one term into a single sorted run.
+
+    Runs hold disjoint doc-id sets (each doc is tokenized by exactly one
+    upstream task); merging = concatenate + argsort + byte-slice gather.
+    Returns (doc_ids, tfs, pos_bytes, pos_lens).
+    """
+    doc_ids = np.concatenate([np.asarray(r, dtype=np.int64) for r in doc_id_runs])
+    tfs = np.concatenate([np.asarray(r, dtype=np.int64) for r in tf_runs])
+    lens = np.concatenate([np.asarray(r, dtype=np.int64) for r in pos_len_runs])
+    buf = np.frombuffer(b"".join(
+        r.tobytes() if isinstance(r, np.ndarray) else bytes(r)
+        for r in pos_byte_runs
+    ), dtype=np.uint8)
+    if len(doc_id_runs) == 1:
+        # already sorted within a run — nothing to do
+        return doc_ids, tfs, bytes(buf), lens
+    order = np.argsort(doc_ids, kind="stable")
+    doc_ids = doc_ids[order]
+    if doc_ids.size > 1 and np.any(doc_ids[1:] <= doc_ids[:-1]):
+        raise ValueError("duplicate doc_id across partial runs")
+    starts = _exclusive_cumsum(lens)
+    new_buf, new_lens = gather_byte_slices(buf, starts, lens, order)
+    return doc_ids, tfs[order], new_buf.tobytes(), new_lens

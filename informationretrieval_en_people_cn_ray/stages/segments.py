@@ -1,0 +1,264 @@
+"""Segment build (reduce side) + segment read (query side).
+
+A *segment* owns every posting of the terms that hash to it
+(``term_seg``), so a query term touches exactly one segment — the
+reduce side of the build and the unit of query fan-out. This replaces the
+reference's single merged ``index.csv`` + DAWG seek list
+(``IndexCreator.py:286-341``) with:
+
+    out_dir/
+      seg=00000/terms.parquet     (term, df, ctf, offset, size) sorted by term
+      seg=00000/postings.bin      concatenated delta+varint posting blobs
+      seg=00000/manifest.json     lineage + metrics + fingerprint (commit marker)
+      docstats/part=00000/docstats.parquet  (doc_id, doc_len) sorted, range-partitioned
+      docstats/part=00000/manifest.json
+      collection.json             global stats (N, total tokens, avgdl, ...)
+
+The sorted ``terms.parquet`` is the term dictionary: binary search for
+lookup, range scan for prefix queries — the same capabilities the
+reference gets from ``RecordDAWG`` (``SearchEngine.py:210``), without a
+custom trie and per-segment instead of global.
+
+Writes are idempotent (write-then-rename, manifest last) and skipped when
+a matching manifest already exists → retried tasks can't corrupt output
+and resumed builds skip finished partitions (state/manifest.py).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..codec import encode_posting_blob
+from ..state.manifest import (
+    load_json,
+    partition_complete,
+    write_bytes_atomic,
+    write_json_atomic,
+)
+from .postings import merge_runs
+from .tokenize import DOCSTATS_TERM
+
+SUMMARY_SCHEMA = pa.schema(
+    [
+        ("seg", pa.int32()),
+        ("kind", pa.string()),
+        ("n_terms", pa.int64()),
+        ("n_docs", pa.int64()),
+        ("tokens", pa.int64()),
+        ("bytes", pa.int64()),
+        ("path", pa.string()),
+        ("skipped", pa.bool_()),
+    ]
+)
+
+
+def seg_dir(out_dir: str, seg: int) -> str:
+    return os.path.join(out_dir, f"seg={seg:05d}")
+
+
+def docstat_dir(out_dir: str, part: int) -> str:
+    return os.path.join(out_dir, "docstats", f"part={part:05d}")
+
+
+class SegmentBuilder:
+    """groupby('seg').map_groups body — one call per partition."""
+
+    def __init__(self, out_dir: str, build_fp: str, num_segments: int):
+        self.out_dir = out_dir
+        self.build_fp = build_fp
+        self.num_segments = num_segments
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        seg = int(group["seg"][0].as_py())
+        if seg >= self.num_segments:
+            return self._build_docstats(seg - self.num_segments, group)
+        return self._build_postings(seg, group)
+
+    def _summary(self, seg, kind, n_terms, n_docs, tokens, nbytes, path, skipped):
+        return pa.table(
+            {
+                "seg": pa.array([seg], pa.int32()),
+                "kind": pa.array([kind], pa.string()),
+                "n_terms": pa.array([n_terms], pa.int64()),
+                "n_docs": pa.array([n_docs], pa.int64()),
+                "tokens": pa.array([tokens], pa.int64()),
+                "bytes": pa.array([nbytes], pa.int64()),
+                "path": pa.array([path], pa.string()),
+                "skipped": pa.array([skipped], pa.bool_()),
+            }
+        )
+
+    def _skip_summary(self, seg: int, kind: str, d: str):
+        m = load_json(os.path.join(d, "manifest.json"))
+        return self._summary(
+            seg if kind == "postings" else self.num_segments + seg,
+            kind, m["n_terms"], m["n_docs"], m["tokens"], m["bytes"], d, True,
+        )
+
+    def _build_postings(self, seg: int, group: pa.Table) -> pa.Table:
+        t0 = time.monotonic()
+        d = seg_dir(self.out_dir, seg)
+        if partition_complete(d, self.build_fp):
+            return self._skip_summary(seg, "postings", d)
+
+        terms = np.asarray(group["term"].to_pylist(), dtype=object)
+        order = np.argsort(terms, kind="stable")
+        doc_ids_col = group["doc_ids"]
+        tfs_col = group["tfs"]
+        pos_bytes_col = group["pos_bytes"]
+        pos_lens_col = group["pos_lens"]
+
+        out_terms: list[str] = []
+        out_df: list[int] = []
+        out_ctf: list[int] = []
+        out_off: list[int] = []
+        out_size: list[int] = []
+        blobs: list[bytes] = []
+        offset = 0
+        n_postings = 0
+        tokens = 0
+
+        i = 0
+        n = len(order)
+        while i < n:
+            j = i
+            t = terms[order[i]]
+            while j < n and terms[order[j]] == t:
+                j += 1
+            rows = [int(order[k]) for k in range(i, j)]
+            doc_ids, tfs, pos_bytes, pos_lens = merge_runs(
+                [doc_ids_col[r].values.to_numpy() for r in rows],
+                [tfs_col[r].values.to_numpy() for r in rows],
+                [pos_bytes_col[r].as_py() for r in rows],
+                [pos_lens_col[r].values.to_numpy() for r in rows],
+            )
+            blob = encode_posting_blob(doc_ids, tfs, pos_bytes)
+            blobs.append(blob)
+            out_terms.append(t)
+            out_df.append(len(doc_ids))
+            ctf = int(tfs.sum())
+            out_ctf.append(ctf)
+            out_off.append(offset)
+            out_size.append(len(blob))
+            offset += len(blob)
+            n_postings += len(doc_ids)
+            tokens += ctf
+            i = j
+
+        postings = b"".join(blobs)
+        write_bytes_atomic(os.path.join(d, "postings.bin"), postings)
+        terms_tbl = pa.table(
+            {
+                "term": pa.array(out_terms, pa.string()),
+                "df": pa.array(out_df, pa.int64()),
+                "ctf": pa.array(out_ctf, pa.int64()),
+                "offset": pa.array(out_off, pa.int64()),
+                "size": pa.array(out_size, pa.int64()),
+            }
+        )
+        tmp = os.path.join(d, "terms.parquet.tmp")
+        pq.write_table(terms_tbl, tmp)
+        os.replace(tmp, os.path.join(d, "terms.parquet"))
+        write_json_atomic(
+            os.path.join(d, "manifest.json"),
+            {
+                "kind": "postings",
+                "seg": seg,
+                "n_terms": len(out_terms),
+                "n_docs": n_postings,  # posting entries, not distinct docs
+                "tokens": tokens,
+                "bytes": len(postings),
+                "input_runs": group.num_rows,  # lineage: partial runs consumed
+                "build_fingerprint": self.build_fp,
+                "wall_s": round(time.monotonic() - t0, 3),
+            },
+        )
+        return self._summary(
+            seg, "postings", len(out_terms), n_postings, tokens,
+            len(postings), d, False,
+        )
+
+    def _build_docstats(self, part: int, group: pa.Table) -> pa.Table:
+        t0 = time.monotonic()
+        d = docstat_dir(self.out_dir, part)
+        if partition_complete(d, self.build_fp):
+            return self._skip_summary(part, "docstats", d)
+        doc_ids = np.concatenate(
+            [c.values.to_numpy() for c in group["doc_ids"]]
+        ).astype(np.int64)
+        doc_lens = np.concatenate(
+            [c.values.to_numpy() for c in group["tfs"]]
+        ).astype(np.int64)
+        order = np.argsort(doc_ids, kind="stable")
+        doc_ids, doc_lens = doc_ids[order], doc_lens[order]
+        if doc_ids.size > 1 and np.any(doc_ids[1:] <= doc_ids[:-1]):
+            raise ValueError(f"duplicate doc_id in docstat partition {part}")
+        tbl = pa.table(
+            {"doc_id": pa.array(doc_ids), "doc_len": pa.array(doc_lens)}
+        )
+        tmp = os.path.join(d, "docstats.parquet.tmp")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(d, "docstats.parquet"))
+        tokens = int(doc_lens.sum())
+        write_json_atomic(
+            os.path.join(d, "manifest.json"),
+            {
+                "kind": "docstats",
+                "part": part,
+                "n_terms": 0,
+                "n_docs": int(doc_ids.size),
+                "tokens": tokens,
+                "bytes": int(tbl.nbytes),
+                "input_runs": group.num_rows,
+                "build_fingerprint": self.build_fp,
+                "wall_s": round(time.monotonic() - t0, 3),
+            },
+        )
+        return self._summary(
+            self.num_segments + part, "docstats", 0, int(doc_ids.size),
+            tokens, int(tbl.nbytes), d, False,
+        )
+
+
+class SegmentReader:
+    """Query-side state for ONE segment: term dictionary (sorted arrays,
+    binary-searched) + memory-mapped postings. Mirrors the reference's
+    ``SearchEngine.load_index`` per-artifact open (``SearchEngine.py:39-63``)
+    but per segment, built once per query actor."""
+
+    def __init__(self, out_dir: str, seg: int):
+        d = seg_dir(out_dir, seg)
+        self.seg = seg
+        t = pq.read_table(os.path.join(d, "terms.parquet"))
+        self.terms = np.asarray(t["term"].to_pylist(), dtype=object)
+        self.df = t["df"].to_numpy()
+        self.ctf = t["ctf"].to_numpy()
+        self.offset = t["offset"].to_numpy()
+        self.size = t["size"].to_numpy()
+        self.postings = np.memmap(
+            os.path.join(d, "postings.bin"), dtype=np.uint8, mode="r"
+        ) if self.size.sum() else np.empty(0, np.uint8)
+
+    def find(self, term: str) -> int | None:
+        i = int(np.searchsorted(self.terms, term))
+        if i < len(self.terms) and self.terms[i] == term:
+            return i
+        return None
+
+    def blob(self, idx: int) -> bytes:
+        o, s = int(self.offset[idx]), int(self.size[idx])
+        return bytes(self.postings[o : o + s])
+
+    def prefix_range(self, prefix: str) -> tuple[int, int]:
+        """Index range [lo, hi) of terms starting with ``prefix`` — the
+        sorted dictionary gives prefix enumeration like the reference's
+        ``seek_list.keys(prefix)`` (``SearchEngine.py:210``)."""
+        lo = int(np.searchsorted(self.terms, prefix))
+        hi = int(np.searchsorted(self.terms, prefix + "\U0010ffff"))
+        return lo, hi

@@ -1,0 +1,69 @@
+"""Per-partition manifests + atomic writes = the engine's checkpoint story.
+
+The reference has NO checkpointing — partial files are deleted as consumed
+and any failure restarts the build from scratch (SURVEY.md §4.1,
+``IndexCreator.py:191,202,209``). Here every index partition (posting
+segment / docstat partition) is written write-then-rename with a
+``manifest.json`` committed LAST, so:
+
+- a retried Ray task can never corrupt output (idempotent overwrite),
+- a resumed build skips partitions whose manifest is complete and whose
+  build fingerprint matches (north_rule: "resumable from per-partition
+  checkpoints with lineage and metrics recorded per shard"),
+- lineage + metrics live next to the data they describe.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import tempfile
+from typing import Any
+
+
+def write_json_atomic(path: str, obj: Any) -> None:
+    d = os.path.dirname(path)
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(obj, f, indent=1, sort_keys=True)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def write_bytes_atomic(path: str, data: bytes) -> None:
+    d = os.path.dirname(path)
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def load_json(path: str) -> Any | None:
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def fingerprint(obj: Any) -> str:
+    """Stable fingerprint of a config/lineage dict."""
+    return hashlib.sha256(
+        json.dumps(obj, sort_keys=True).encode()
+    ).hexdigest()[:16]
+
+
+def partition_complete(part_dir: str, build_fp: str) -> bool:
+    m = load_json(os.path.join(part_dir, "manifest.json"))
+    return bool(m) and m.get("build_fingerprint") == build_fp

@@ -1,0 +1,165 @@
+"""Ray index build vs single-process oracle: term-for-term equality,
+partitioning invariance, salted-build identity, resume (SURVEY.md §5.2)."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from informationretrieval_en_people_cn_ray.codec import decode_posting_blob
+from informationretrieval_en_people_cn_ray.corpus import write_corpus
+from informationretrieval_en_people_cn_ray.oracle import OracleIndex
+from informationretrieval_en_people_cn_ray.pipelines.build import (
+    BuildConfig,
+    build_index,
+)
+from informationretrieval_en_people_cn_ray.stages.postings import term_seg
+from informationretrieval_en_people_cn_ray.stages.segments import SegmentReader
+
+N_DOCS = 120
+SEED = 7
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("corpus"))
+    write_corpus(d, N_DOCS, seed=SEED, num_parquet_files=3)
+    return d
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus_dir):
+    return OracleIndex.from_corpus(corpus_dir)
+
+
+@pytest.fixture(scope="module")
+def index_dir(ray_session, corpus_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("index"))
+    build_index(corpus_dir, d, BuildConfig(num_segments=4, docstat_partitions=2))
+    return d
+
+
+def _read_full_index(index_dir, num_segments):
+    """index → {term: (doc_ids, tfs, positions_by_doc)}"""
+    out = {}
+    for seg in range(num_segments):
+        r = SegmentReader(index_dir, seg)
+        for i, t in enumerate(r.terms):
+            d, tf, pos, starts = decode_posting_blob(r.blob(i))
+            pos_by_doc = [
+                pos[starts[k] : starts[k] + tf[k]].tolist()
+                for k in range(len(d))
+            ]
+            assert term_seg(t, num_segments) == seg
+            out[t] = (d.tolist(), tf.tolist(), pos_by_doc, int(r.df[i]), int(r.ctf[i]))
+    return out
+
+
+def test_index_equals_oracle(index_dir, oracle):
+    got = _read_full_index(index_dir, 4)
+    assert set(got) == set(oracle.postings)
+    for t, plist in oracle.postings.items():
+        doc_ids, tfs, pos_by_doc, df, ctf = got[t]
+        exp_docs = [d for d, _ in plist]
+        exp_pos = [p for _, p in plist]
+        assert doc_ids == exp_docs, t
+        assert tfs == [len(p) for p in exp_pos], t
+        assert pos_by_doc == exp_pos, t
+        assert df == len(exp_docs) and ctf == sum(len(p) for p in exp_pos), t
+
+
+def test_docstats_equal_oracle(index_dir, oracle):
+    import pyarrow.parquet as pq
+
+    got = {}
+    for part in range(2):
+        t = pq.read_table(
+            os.path.join(index_dir, "docstats", f"part={part:05d}", "docstats.parquet")
+        )
+        ids = t["doc_id"].to_pylist()
+        assert ids == sorted(ids)
+        got.update(zip(ids, t["doc_len"].to_pylist()))
+    assert got == oracle.doc_len
+
+
+def test_collection_manifest(index_dir, oracle):
+    with open(os.path.join(index_dir, "collection.json")) as f:
+        m = json.load(f)
+    assert m["num_docs"] == oracle.N
+    assert m["total_tokens"] == oracle.C
+    assert m["n_terms"] == len(oracle.postings)
+    assert abs(m["avgdl"] - oracle.avgdl) < 1e-9
+
+
+def test_partitioning_invariance(ray_session, corpus_dir, index_dir, tmp_path):
+    """Different batch size / segment layout / file split must yield the
+    same logical index (SURVEY.md §7.4 R4)."""
+    d2 = str(tmp_path / "idx2")
+    build_index(
+        corpus_dir,
+        d2,
+        BuildConfig(num_segments=7, docstat_partitions=3, tokenize_batch_size=17),
+    )
+    a = _read_full_index(index_dir, 4)
+    b = _read_full_index(d2, 7)
+    assert a == b
+
+
+def test_salted_build_identical(ray_session, corpus_dir, index_dir, tmp_path):
+    """Salted pre-merge is a pure performance knob: identical index."""
+    d2 = str(tmp_path / "idx_salted")
+    build_index(
+        corpus_dir,
+        d2,
+        BuildConfig(
+            num_segments=4, docstat_partitions=2, salt=3, tokenize_batch_size=23
+        ),
+    )
+    assert _read_full_index(index_dir, 4) == _read_full_index(d2, 4)
+
+
+def test_resume_skips_complete_partitions(ray_session, corpus_dir, tmp_path):
+    d = str(tmp_path / "idx_resume")
+    cfg = BuildConfig(num_segments=4, docstat_partitions=2)
+    m1 = build_index(corpus_dir, d, cfg)
+    assert not any(p["skipped"] for p in m1["partitions"])
+
+    # whole-build short-circuit on collection.json
+    m2 = build_index(corpus_dir, d, cfg)
+    assert m2["build_fingerprint"] == m1["build_fingerprint"]
+    assert m2["wall_s"] == m1["wall_s"]  # manifest returned verbatim, no work
+
+    # simulate a crash after some partitions: nuke one partition + collection.json
+    os.remove(os.path.join(d, "collection.json"))
+    shutil.rmtree(os.path.join(d, "seg=00002"))
+    m3 = build_index(corpus_dir, d, cfg)
+    by_part = {(p["kind"], p["seg"]): p for p in m3["partitions"]}
+    assert not by_part[("postings", 2)]["skipped"]
+    skipped = [p for p in m3["partitions"] if p["skipped"]]
+    assert len(skipped) == len(m3["partitions"]) - 1
+    # and the resumed build's numbers match the original
+    for k in ("num_docs", "total_tokens", "n_terms", "postings_bytes"):
+        assert m3[k] == m1[k]
+
+
+def test_sha_invariant_enforced(ray_session, tmp_path):
+    """A corrupted content_sha256 must fail the build."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    src = str(tmp_path / "bad_corpus")
+    write_corpus(src, 20, seed=3, num_parquet_files=1)
+    f = os.path.join(src, "part-00000.parquet")
+    t = pq.read_table(f)
+    shas = t["content_sha256"].to_pylist()
+    shas[5] = "0" * 64
+    t = t.set_column(
+        t.schema.get_field_index("content_sha256"),
+        "content_sha256",
+        pa.array(shas),
+    )
+    pq.write_table(t, f)
+    with pytest.raises(Exception, match="sha256|RayTaskError"):
+        build_index(src, str(tmp_path / "bad_idx"), BuildConfig(num_segments=2))
