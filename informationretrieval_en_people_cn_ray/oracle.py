@@ -205,10 +205,14 @@ class OracleIndex:
         """Reference formula (``SearchEngine.py:83-128``): candidates =
         union of term postings; every query term contributes to every
         candidate, via the f=0 branch when absent."""
-        terms = self._apply_cutoff(self.az.query_terms(query), cutoff)
-        if not terms:
+        # reference: candidates come from ALL query terms' result sets
+        # (basic_search has no cutoff); the frequent-term skip applies only
+        # to the SCORING loop (SearchEngine.py:88-91 vs 274-276)
+        all_terms = [t for t in self.az.query_terms(query) if t in self.postings]
+        terms = self._apply_cutoff(all_terms, cutoff)
+        if not all_terms:
             return []
-        cands = sorted(self._candidates(terms))
+        cands = sorted(self._candidates(all_terms))
         scores = {d: 0.0 for d in cands}
         for t in terms:
             ctf = self.ctf(t)

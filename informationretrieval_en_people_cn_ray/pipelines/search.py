@@ -1,0 +1,440 @@
+"""Query execution over the segmented index.
+
+Two modes sharing all logic:
+
+- **local** — segment readers live in the driver process (tests, small
+  indexes, the DuckDB-checked driver gate).
+- **actors** — a pool of ``SegmentSearcher`` Ray actors, each holding the
+  memory-mapped state of a subset of segments, mirrors the reference's
+  load-once query engine (``SearchEngine.load_index``,
+  ``SearchEngine.py:39-63``; SURVEY.md §2.3 ST2). The driver fans each
+  query's terms out to the owning actors (terms are hash-partitioned, so
+  each term touches exactly one actor), gathers decoded postings, scores
+  vectorized, merges top-k.
+
+Scale note: at 10^12 docs the driver-side docstat array would not fit one
+node; the scale path is score-by-doc-range (route per-term postings to
+doc-range partitions that own the matching docstat shard, accumulate
+there, merge per-partition top-k heaps) — the docstat artifacts are
+already range-partitioned for exactly that layout. The batch query path
+(``search_many``) is the Ray-Data-shaped form: a Dataset of queries
+mapped over a stateful actor pool.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+
+from ..codec import decode_posting_blob
+from ..functions.scoring import bm25_accumulate, dirichlet_accumulate, topk
+from ..oracle import BM25_K1, BM25_B, DIRICHLET_MU, FREQ_CUTOFF
+from ..queryparse import QueryParseError, QueryPlan, Token, parse
+from ..stages.postings import term_seg
+from ..stages.segments import SegmentReader
+from ..state.manifest import load_json
+from ..text import Analyzer, MAX_STEM_LEN, MIN_STEM_LEN
+
+
+class _Posting:
+    __slots__ = ("doc_ids", "tfs", "positions", "pos_starts", "df", "ctf")
+
+    def __init__(self, doc_ids, tfs, positions, pos_starts, df, ctf):
+        self.doc_ids = doc_ids
+        self.tfs = tfs
+        self.positions = positions
+        self.pos_starts = pos_starts
+        self.df = df
+        self.ctf = ctf
+
+
+class LocalSegments:
+    """All segments of one index, opened lazily in-process."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self.manifest = load_json(os.path.join(index_dir, "collection.json"))
+        if not self.manifest:
+            raise FileNotFoundError(f"no collection.json under {index_dir}")
+        self.num_segments = self.manifest["num_segments"]
+        self._readers: dict[int, SegmentReader] = {}
+
+    def reader(self, seg: int) -> SegmentReader:
+        r = self._readers.get(seg)
+        if r is None:
+            r = SegmentReader(self.index_dir, seg)
+            self._readers[seg] = r
+        return r
+
+    def postings(self, term: str) -> _Posting | None:
+        r = self.reader(term_seg(term, self.num_segments))
+        i = r.find(term)
+        if i is None:
+            return None
+        d, t, p, ps = decode_posting_blob(r.blob(i))
+        return _Posting(d, t, p, ps, int(r.df[i]), int(r.ctf[i]))
+
+    def prefix_terms(self, prefix: str) -> list[str]:
+        out = []
+        for seg in range(self.num_segments):
+            r = self.reader(seg)
+            lo, hi = r.prefix_range(prefix)
+            out.extend(r.terms[lo:hi].tolist())
+        return sorted(out)
+
+
+@ray.remote
+class SegmentSearcher:
+    """One actor owns a subset of segments; state mmapped once in
+    __init__ (actor-pool ST2)."""
+
+    def __init__(self, index_dir: str, segs: list[int]):
+        self.readers = {s: SegmentReader(index_dir, s) for s in segs}
+
+    def postings_many(self, terms: list[tuple[str, int]]):
+        """[(term, seg)] → {term: (doc_ids, tfs, positions, pos_starts, df, ctf)}"""
+        out = {}
+        for term, seg in terms:
+            r = self.readers[seg]
+            i = r.find(term)
+            if i is None:
+                out[term] = None
+            else:
+                d, t, p, ps = decode_posting_blob(r.blob(i))
+                out[term] = (d, t, p, ps, int(r.df[i]), int(r.ctf[i]))
+        return out
+
+    def prefix_terms(self, prefix: str) -> list[str]:
+        out = []
+        for r in self.readers.values():
+            lo, hi = r.prefix_range(prefix)
+            out.extend(r.terms[lo:hi].tolist())
+        return out
+
+
+class DocStats:
+    """Range-partitioned (doc_id, doc_len) artifacts → sorted arrays +
+    searchsorted lookup (the reference's ``comment_offsets.npy`` /
+    ``comment_term_counts.npy`` pair, ``SearchEngine.py:73-75``)."""
+
+    def __init__(self, index_dir: str):
+        parts = sorted(glob.glob(os.path.join(index_dir, "docstats", "part=*")))
+        tables = [
+            pq.read_table(os.path.join(p, "docstats.parquet")) for p in parts
+        ]
+        if tables:
+            t = pa.concat_tables(tables)
+            self.doc_ids = t["doc_id"].to_numpy()
+            self.doc_lens = t["doc_len"].to_numpy()
+        else:
+            self.doc_ids = np.empty(0, np.int64)
+            self.doc_lens = np.empty(0, np.int64)
+
+    def lens_for(self, doc_ids: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(self.doc_ids, doc_ids)
+        return self.doc_lens[idx]
+
+
+class SearchEngine:
+    """Driver-facing engine over one built index."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        mode: str = "local",
+        num_actors: int = 2,
+        stem: bool | None = None,
+    ):
+        self.local = LocalSegments(index_dir)
+        self.manifest = self.local.manifest
+        cfg = self.manifest.get("config", {})
+        self.az = Analyzer(stem=cfg.get("stem", True) if stem is None else stem)
+        self.stats = DocStats(index_dir)
+        self.N = self.manifest["num_docs"]
+        self.C = self.manifest["total_tokens"]
+        self.avgdl = self.manifest["avgdl"]
+        self.mode = mode
+        self.actors = []
+        if mode == "actors":
+            segs = list(range(self.local.num_segments))
+            chunks = [segs[i::num_actors] for i in range(num_actors)]
+            chunks = [c for c in chunks if c]
+            self.actors = [
+                SegmentSearcher.remote(index_dir, c) for c in chunks
+            ]
+            self._actor_of_seg = {}
+            for a, c in zip(self.actors, chunks):
+                for s in c:
+                    self._actor_of_seg[s] = a
+
+    # ---- posting access (mode-dispatched) -----------------------------
+
+    def _postings_map(self, terms: list[str]) -> dict[str, _Posting | None]:
+        terms = list(dict.fromkeys(terms))
+        if self.mode != "actors":
+            return {t: self.local.postings(t) for t in terms}
+        by_actor: dict = {}
+        for t in terms:
+            seg = term_seg(t, self.local.num_segments)
+            a = self._actor_of_seg[seg]
+            by_actor.setdefault(a, []).append((t, seg))
+        futs = [a.postings_many.remote(pairs) for a, pairs in by_actor.items()]
+        out: dict[str, _Posting | None] = {}
+        for res in ray.get(futs):
+            for t, v in res.items():
+                out[t] = _Posting(*v) if v is not None else None
+        return out
+
+    def _prefix_terms(self, prefix: str) -> list[str]:
+        if self.mode != "actors":
+            return self.local.prefix_terms(prefix)
+        futs = [a.prefix_terms.remote(prefix) for a in self.actors]
+        out: list[str] = []
+        for r in ray.get(futs):
+            out.extend(r)
+        return sorted(out)
+
+    # ---- token-node result sets (sorted numpy doc-id arrays) ----------
+
+    def _keyword_docs(self, word: str) -> np.ndarray:
+        terms = self.az.query_terms(word)
+        if not terms:
+            return np.empty(0, np.int64)
+        p = self._postings_map([terms[0]])[terms[0]]
+        return p.doc_ids if p else np.empty(0, np.int64)
+
+    def _prefix_docs(self, prefix: str) -> np.ndarray:
+        stem = self.az.term(prefix.lower())
+        terms = self._prefix_terms(stem)
+        plists = self._postings_map(terms)
+        arrs = [p.doc_ids for p in plists.values() if p is not None]
+        if not arrs:
+            return np.empty(0, np.int64)
+        return np.unique(np.concatenate(arrs))
+
+    def _anchored(self, phrase: str) -> list[tuple[int, str]]:
+        terms = [self.az.term(t) for t in self.az.tokens(phrase)]
+        return [
+            (off, t)
+            for off, t in enumerate(terms)
+            if MIN_STEM_LEN <= len(t) <= MAX_STEM_LEN
+        ]
+
+    def _phrase_docs_from(
+        self, anchored: list[tuple[int, str]], plists: dict[str, _Posting | None]
+    ) -> np.ndarray:
+        """Position-adjacency phrase verification, vectorized per doc set.
+
+        Intersect doc sets of all anchored terms first (cheapest first),
+        then verify relative positions (SURVEY.md §2.4 J6)."""
+        if not anchored:
+            return np.empty(0, np.int64)
+        ps = [plists.get(t) for _, t in anchored]
+        if any(p is None for p in ps):
+            return np.empty(0, np.int64)
+        cand = ps[0].doc_ids
+        for p in ps[1:]:
+            cand = np.intersect1d(cand, p.doc_ids, assume_unique=True)
+        if cand.size == 0:
+            return cand
+        base_off = anchored[0][0]
+        keep = []
+        for d in cand.tolist():
+            ok: set | None = None
+            for (off, _), p in zip(anchored, ps):
+                i = int(np.searchsorted(p.doc_ids, d))
+                s = int(p.pos_starts[i])
+                e = s + int(p.tfs[i])
+                poss = {int(x) - (off - base_off) for x in p.positions[s:e]}
+                ok = poss if ok is None else (ok & poss)
+                if not ok:
+                    break
+            if ok:
+                keep.append(d)
+        return np.array(keep, dtype=np.int64)
+
+    def _phrase_docs(self, phrase: str) -> np.ndarray:
+        anchored = self._anchored(phrase)
+        plists = self._postings_map([t for _, t in anchored])
+        return self._phrase_docs_from(anchored, plists)
+
+    def _phrase_prefix_docs(self, phrase: str) -> np.ndarray:
+        toks = self.az.tokens(phrase)
+        if not toks:
+            return np.empty(0, np.int64)
+        anchored = self._anchored(phrase)
+        last_off = len(toks) - 1
+        lead = [(o, t) for o, t in anchored if o != last_off]
+        expansions = self._prefix_terms(self.az.term(toks[-1]))
+        plists = self._postings_map(
+            [t for _, t in lead] + expansions
+        )
+        out = [
+            self._phrase_docs_from(lead + [(last_off, e)], plists)
+            for e in expansions
+        ]
+        out = [a for a in out if a.size]
+        if not out:
+            return np.empty(0, np.int64)
+        return np.unique(np.concatenate(out))
+
+    def _token_docs(self, tok: Token) -> np.ndarray:
+        if tok.kind == "keyword":
+            return self._keyword_docs(tok.value)
+        if tok.kind == "prefix":
+            return self._prefix_docs(tok.value)
+        if tok.kind == "phrase":
+            return self._phrase_docs(tok.value)
+        if tok.kind == "phrase_prefix":
+            return self._phrase_prefix_docs(tok.value)
+        if tok.kind == "replyto":
+            raise NotImplementedError(
+                "ReplyTo requires an adjacency index; the source-code corpus "
+                "has no reply structure (SURVEY.md §2.4 J4). Use "
+                "datapipe.group_adjacency for the generic lookup-table form."
+            )
+        raise QueryParseError(f"unknown token kind {tok.kind}")
+
+    # ---- public API ----------------------------------------------------
+
+    def boolean(self, plan: QueryPlan) -> np.ndarray:
+        """Unranked sorted doc-id set (reference ``SearchEngine.py:254-271``)."""
+        result = np.empty(0, np.int64)
+        for g in plan.groups:
+            acc: np.ndarray | None = None
+            for tok in g.positive:
+                docs = self._token_docs(tok)
+                acc = docs if acc is None else np.intersect1d(
+                    acc, docs, assume_unique=True
+                )
+            for tok in g.negative:
+                if acc is None or acc.size == 0:
+                    break
+                acc = np.setdiff1d(
+                    acc, self._token_docs(tok), assume_unique=True
+                )
+            if acc is not None and acc.size:
+                result = np.union1d(result, acc)
+        return result
+
+    def ranked(
+        self,
+        plan: QueryPlan,
+        k: int | None = 10,
+        scorer: str = "bm25",
+        k1: float = BM25_K1,
+        b: float = BM25_B,
+        mu: float = DIRICHLET_MU,
+        cutoff: float | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Ranked top-k over the union of the query tokens' candidates.
+
+        BM25 (north_rule primary) scores only docs containing ≥1 query
+        term; Dirichlet (reference parity) applies the f=0 branch over the
+        same candidate union and the frequent-term cutoff
+        (``SearchEngine.py:88-91``)."""
+        if scorer == "dirichlet" and cutoff is None:
+            cutoff = FREQ_CUTOFF
+        qterms = self.az.query_terms(plan.text)
+        plists = self._postings_map(qterms)
+        terms = [t for t in qterms if plists.get(t) is not None]
+        if cutoff is not None:
+            limit = self.C * cutoff
+            terms = [t for t in terms if plists[t].ctf <= limit]
+        # candidates: union of the token nodes' result sets — exactly the
+        # reference's ranked path (``SearchEngine.py:274-276``: union of
+        # children's basic_search results), NOT the union of scoring-term
+        # postings; for free-text keyword queries the two coincide.
+        arrs = [self._token_docs(tok) for tok in plan.tokens]
+        arrs = [a for a in arrs if a.size]
+        if not arrs:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        cand = np.unique(np.concatenate(arrs))
+        scores = np.zeros(len(cand), dtype=np.float64)
+        lens = self.stats.lens_for(cand)
+        for t in terms:  # query-term order = deterministic float order
+            p = plists[t]
+            if scorer == "bm25":
+                bm25_accumulate(
+                    scores, cand, p.doc_ids, p.tfs, lens, p.df,
+                    self.N, self.avgdl, k1, b,
+                )
+            elif scorer == "dirichlet":
+                dirichlet_accumulate(
+                    scores, cand, p.doc_ids, p.tfs, lens, p.ctf, self.C, mu
+                )
+            else:
+                raise ValueError(f"unknown scorer {scorer}")
+        return topk(cand, scores, k)
+
+    def search(
+        self, query: str, k: int | None = 10, scorer: str = "bm25", **kw
+    ):
+        """Parse + dispatch. Boolean → sorted id array; ranked →
+        (doc_ids, scores)."""
+        plan = parse(query)
+        if plan.kind == "boolean":
+            return self.boolean(plan)
+        return self.ranked(plan, k=k, scorer=scorer, **kw)
+
+
+class QueryEval:
+    """map_batches actor class: evaluate a batch of queries against the
+    index — the Ray-Data-shaped batch query path (a Dataset of queries
+    over a stateful actor pool; SURVEY.md §2.3 ST2)."""
+
+    def __init__(self, index_dir: str, k: int = 10, scorer: str = "bm25"):
+        self.engine = SearchEngine(index_dir, mode="local")
+        self.k = k
+        self.scorer = scorer
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        q_out, rank_out, doc_out, score_out = [], [], [], []
+        for q in batch["query"].to_pylist():
+            plan = parse(q)
+            if plan.kind == "boolean":
+                ids = self.engine.boolean(plan)
+                scores = np.full(len(ids), np.nan)
+            else:
+                ids, scores = self.engine.ranked(
+                    plan, k=self.k, scorer=self.scorer
+                )
+            q_out.extend([q] * len(ids))
+            rank_out.extend(range(1, len(ids) + 1))
+            doc_out.extend(ids.tolist())
+            score_out.extend(scores.tolist())
+        return pa.table(
+            {
+                "query": pa.array(q_out, pa.string()),
+                "rank": pa.array(rank_out, pa.int32()),
+                "doc_id": pa.array(doc_out, pa.int64()),
+                "score": pa.array(score_out, pa.float64()),
+            }
+        )
+
+
+def search_many(
+    index_dir: str,
+    queries: list[str],
+    k: int = 10,
+    scorer: str = "bm25",
+    concurrency: int = 2,
+):
+    """Dataset-of-queries → actor pool → results Dataset."""
+    import ray.data
+
+    ds = ray.data.from_items([{"query": q} for q in queries])
+    return ds.map_batches(
+        QueryEval,
+        fn_constructor_kwargs=dict(index_dir=index_dir, k=k, scorer=scorer),
+        batch_size=max(1, len(queries) // max(1, concurrency)),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

@@ -1,0 +1,204 @@
+"""Query parser + engine vs oracle: boolean/phrase/prefix sets and
+rank-identical top-k (SURVEY.md §5.2; FIXTURES.md §4)."""
+
+import numpy as np
+import pytest
+
+from informationretrieval_en_people_cn_ray.corpus import write_corpus
+from informationretrieval_en_people_cn_ray.oracle import OracleIndex
+from informationretrieval_en_people_cn_ray.pipelines.build import (
+    BuildConfig,
+    build_index,
+)
+from informationretrieval_en_people_cn_ray.queryparse import (
+    QueryParseError,
+    parse,
+)
+
+N_DOCS = 150
+SEED = 13
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("qcorpus"))
+    write_corpus(d, N_DOCS, seed=SEED, num_parquet_files=2)
+    return d
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus_dir):
+    return OracleIndex.from_corpus(corpus_dir)
+
+
+@pytest.fixture(scope="module")
+def engine(ray_session, corpus_dir, tmp_path_factory):
+    from informationretrieval_en_people_cn_ray.pipelines.search import SearchEngine
+
+    d = str(tmp_path_factory.mktemp("qindex"))
+    build_index(corpus_dir, d, BuildConfig(num_segments=5, docstat_partitions=2))
+    return SearchEngine(d, mode="local")
+
+
+# ---------------- parser ----------------
+
+
+def test_parse_kinds():
+    p = parse("election")
+    assert p.kind == "ranked" and p.tokens[0].kind == "keyword"
+    p = parse("military conflict")
+    assert p.kind == "ranked" and len(p.tokens) == 2
+    p = parse("'german chancellor'")
+    assert p.tokens[0].kind == "phrase" and p.tokens[0].value == "german chancellor"
+    p = parse("isra*")
+    assert p.tokens[0].kind == "prefix" and p.tokens[0].value == "isra"
+    p = parse("'new ye'*")
+    assert p.tokens[0].kind == "phrase_prefix" and p.tokens[0].value == "new ye"
+    p = parse("ReplyTo:107701851")
+    assert p.tokens[0].kind == "replyto" and p.tokens[0].value == "107701851"
+
+
+def test_parse_boolean():
+    p = parse("brexit AND economy")
+    assert p.kind == "boolean"
+    assert [t.value for t in p.groups[0].positive] == ["brexit", "economy"]
+    p = parse("jared NOT kushner")
+    assert [t.value for t in p.groups[0].positive] == ["jared"]
+    assert [t.value for t in p.groups[0].negative] == ["kushner"]
+    p = parse("eu OR 'european union'")
+    assert len(p.groups) == 2 and p.groups[1].positive[0].kind == "phrase"
+    p = parse("trump AND putin AND merkel AND xi")
+    assert len(p.groups[0].positive) == 4
+    p = parse("merkel NOT chancel*")
+    assert p.groups[0].negative[0].kind == "prefix"
+
+
+def test_parse_errors():
+    with pytest.raises(QueryParseError):
+        parse("NOT apple")  # all-negated AND group
+    with pytest.raises(QueryParseError):
+        parse("a OR NOT b")  # NOT directly under OR
+    with pytest.raises(QueryParseError):
+        parse("a AND")  # dangling operator
+    with pytest.raises(QueryParseError):
+        parse("OR a")
+    with pytest.raises(QueryParseError):
+        parse("")
+
+
+# ---------------- engine vs oracle ----------------
+
+
+def _ids(arr):
+    return sorted(int(x) for x in arr)
+
+
+def test_keyword_set(engine, oracle):
+    for w in ["the", "data", "running", "characters", "zzzznope"]:
+        got = _ids(engine.search(f"{w} AND {w}"))
+        assert got == sorted(oracle.keyword_set(w)), w
+
+
+def test_boolean_combos(engine, oracle):
+    a, b, c = "data", "value", "result"
+    assert _ids(engine.search(f"{a} AND {b}")) == sorted(
+        oracle.keyword_set(a) & oracle.keyword_set(b)
+    )
+    assert _ids(engine.search(f"{a} OR {b}")) == sorted(
+        oracle.keyword_set(a) | oracle.keyword_set(b)
+    )
+    assert _ids(engine.search(f"{a} NOT {b}")) == sorted(
+        oracle.keyword_set(a) - oracle.keyword_set(b)
+    )
+    got = _ids(engine.search(f"{a} AND {b} NOT {c} OR {c} AND {a}"))
+    exp = sorted(
+        (oracle.keyword_set(a) & oracle.keyword_set(b) - oracle.keyword_set(c))
+        | (oracle.keyword_set(c) & oracle.keyword_set(a))
+    )
+    assert got == exp
+
+
+def test_prefix_set(engine, oracle):
+    for p in ["th", "run", "q", "zz"]:
+        got = _ids(engine.search(f"{p}* AND {p}*"))
+        assert got == sorted(oracle.prefix_set(p)), p
+
+
+def test_phrase_set(engine, oracle):
+    phrase = "quoted string"  # corpus spice line: 'x = "quoted, string!" ...'
+    got = _ids(engine.search(f"'{phrase}' AND '{phrase}'"))
+    exp = sorted(oracle.phrase_set(phrase))
+    assert got == exp and len(exp) > 0
+    # non-adjacent pair must NOT match as a phrase
+    got2 = _ids(engine.search("'string quoted' AND 'string quoted'"))
+    assert got2 == sorted(oracle.phrase_set("string quoted"))
+
+
+def test_phrase_prefix_set(engine, oracle):
+    got = _ids(engine.search("'quoted str'* AND 'quoted str'*"))
+    exp = sorted(oracle.phrase_prefix_set("quoted str"))
+    assert got == exp and len(exp) > 0
+
+
+def test_bm25_rank_identity(engine, oracle):
+    for q in ["data value result", "the running characters", "import class name"]:
+        for k in [3, 10, None]:
+            ids, scores = engine.search(q, k=k, scorer="bm25")
+            exp = oracle.bm25(q, k=k)
+            assert [int(i) for i in ids] == [d for d, _ in exp], (q, k)
+            assert np.allclose(scores, [s for _, s in exp], atol=1e-9), (q, k)
+
+
+def test_dirichlet_rank_identity(engine, oracle):
+    for q in ["data value result", "import class name"]:
+        ids, scores = engine.search(q, k=10, scorer="dirichlet")
+        exp = oracle.dirichlet(q, k=10)
+        assert [int(i) for i in ids] == [d for d, _ in exp], q
+        assert np.allclose(scores, [s for _, s in exp], atol=1e-9), q
+
+
+def test_dirichlet_cutoff_drops_hot_term(engine, oracle):
+    """'the' exceeds C/100 in the Zipf corpus → skipped by the reference's
+    frequent-term rule; both sides must agree."""
+    assert oracle.ctf("the") > oracle.C * 0.01
+    ids, scores = engine.search("the data", k=5, scorer="dirichlet")
+    exp = oracle.dirichlet("the data", k=5)
+    assert [int(i) for i in ids] == [d for d, _ in exp]
+
+
+def test_ranked_phrase_query(engine, oracle):
+    """Single-phrase ranked query: candidates = phrase set, scored by the
+    phrase's terms (reference SearchEngine.py:274-279 semantics)."""
+    ids, scores = engine.search("'quoted string'", k=10, scorer="bm25")
+    cand = oracle.phrase_set("quoted string")
+    assert set(int(i) for i in ids) <= cand
+    assert len(ids) == min(10, len(cand))
+    # scores must equal BM25 restricted to those candidates
+    full = dict(oracle.bm25("quoted string", k=None))
+    for i, s in zip(ids, scores):
+        assert abs(full[int(i)] - s) < 1e-9
+
+
+def test_actor_mode_matches_local(ray_session, engine, corpus_dir, tmp_path_factory):
+    from informationretrieval_en_people_cn_ray.pipelines.search import SearchEngine
+
+    eng2 = SearchEngine(engine.local.index_dir, mode="actors", num_actors=2)
+    for q in ["data value result", "th* AND data", "'quoted string' AND the"]:
+        a = engine.search(q, k=10)
+        b = eng2.search(q, k=10)
+        if isinstance(a, tuple):
+            assert [int(x) for x in a[0]] == [int(x) for x in b[0]]
+            assert np.allclose(a[1], b[1], atol=0)
+        else:
+            assert _ids(a) == _ids(b)
+
+
+def test_search_many_dataset(ray_session, engine):
+    from informationretrieval_en_people_cn_ray.pipelines.search import search_many
+
+    qs = ["data value result", "data AND value"]
+    out = search_many(engine.local.index_dir, qs, k=5).to_pandas()
+    assert set(out["query"]) == set(qs)
+    ranked = out[out["query"] == qs[0]].sort_values("rank")
+    ids, scores = engine.search(qs[0], k=5)
+    assert ranked["doc_id"].tolist() == [int(x) for x in ids]
