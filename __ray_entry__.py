@@ -1,44 +1,558 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (stemmed positional inverted-index
+build + the adapted reference query set) on sf0.001. ``queries()`` exposes
+one callable per implemented operator/pipeline from SURVEY.md §2 plus the
+training-data ops; ``oracle_sql()`` gives the DuckDB-equivalent SQL for
+every SQL-expressible one (same column names, rounded floats).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
-"""
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
+
+Engine-backed entries build a NON-STEMMED index over ``documents.parquet``
+(DuckDB has no stemmer in this sandbox — no loadable extensions — so the
+SQL-checkable index variant disables stemming; the stemmed flagship path
+is gated by the pytest oracle instead and exposed here as rows-only
+entries)."""
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+from informationretrieval_en_people_cn_ray.pipelines.build import (
+    BuildConfig,
+    build_index,
+)
+from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+from informationretrieval_en_people_cn_ray.text import TOKEN_SQL
+
+CACHE_ROOT = "/tmp/irpc_index_cache"
+
+# fixed test constants (present in documents at every sf — chosen by
+# inspecting term stats; see tests/test_entry.py)
+Q_TERMS = ["scan", "join", "merge", "filter"]
+Q_TEXT = "scan join merge filter"
+PHRASE = "part filter"
+PHRASE_PREFIX = "part fil"  # leading word + prefix of 'filter'
+PREFIX = "fil"
+SAMPLE_TERMS = ["scan", "join", "order", "merge", "filter"]
+BM25_K = 20
+
+_TOK = TOKEN_SQL.format(col="text")
+_TOK_CTE = f"""
+tok as (
+  select doc_id,
+         unnest({_TOK}) as term,
+         generate_subscripts({_TOK}, 1) as pos
+  from documents
+)"""
+
+
+def _index_dir(sf_dir: str, stem: bool) -> str:
+    f = os.path.join(sf_dir, "documents.parquet")
+    key = f"{os.path.abspath(f)}|{os.path.getmtime(f)}|stem={stem}"
+    return os.path.join(
+        CACHE_ROOT, hashlib.sha256(key.encode()).hexdigest()[:16]
+    )
+
+
+def _engine(sf_dir: str, stem: bool = False):
+    from informationretrieval_en_people_cn_ray.pipelines.search import (
+        SearchEngine,
+    )
+
+    d = _index_dir(sf_dir, stem)
+    build_index(
+        os.path.join(sf_dir, "documents.parquet"),
+        d,
+        BuildConfig(
+            num_segments=4,
+            docstat_partitions=2,
+            stem=stem,
+            content_column="text",
+            doc_id_column="doc_id",
+            tokenize_concurrency=2,
+        ),
+    )
+    return SearchEngine(d, mode="local")
+
+
+def _ranked_table(ids, scores) -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": pa.array([int(i) for i in ids], pa.int64()),
+            "score": pa.array(
+                [round(float(s), 4) for s in scores], pa.float64()
+            ),
+        }
+    )
+
+
+def _ids_table(ids) -> pa.Table:
+    return pa.table({"doc_id": pa.array([int(i) for i in ids], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# engine-backed query callables (non-stemmed index == SQL semantics)
+
+
+def _q_bm25(sf_dir: str) -> pa.Table:
+    eng = _engine(sf_dir)
+    ids, scores = eng.search(Q_TEXT, k=BM25_K, scorer="bm25")
+    return _ranked_table(ids, scores)
+
+
+def _q_dirichlet(sf_dir: str) -> pa.Table:
+    eng = _engine(sf_dir)
+    # cutoff=None: the documents tables have a ~30-term vocabulary, so the
+    # reference's C/100 frequent-term skip would drop EVERY term; the
+    # cutoff semantics are pytest-gated on the synthetic corpus instead
+    ids, scores = eng.search(Q_TEXT, k=BM25_K, scorer="dirichlet", cutoff=None)
+    return _ranked_table(ids, scores)
+
+
+def _q_boolean_and(sf_dir: str) -> pa.Table:
+    eng = _engine(sf_dir)
+    return _ids_table(eng.search("scan AND join AND merge"))
+
+
+def _q_boolean_or_not(sf_dir: str) -> pa.Table:
+    eng = _engine(sf_dir)
+    return _ids_table(
+        eng.search("scan AND join NOT merge OR filter AND sort")
+    )
+
+
+def _q_prefix(sf_dir: str) -> pa.Table:
+    eng = _engine(sf_dir)
+    return _ids_table(eng.search(f"{PREFIX}* AND scan"))
+
+
+def _q_phrase(sf_dir: str) -> pa.Table:
+    eng = _engine(sf_dir)
+    return _ids_table(eng.search(f"'{PHRASE}' AND '{PHRASE}'"))
+
+
+def _q_phrase_prefix(sf_dir: str) -> pa.Table:
+    eng = _engine(sf_dir)
+    return _ids_table(eng.search(f"'{PHRASE_PREFIX}'* AND '{PHRASE_PREFIX}'*"))
+
+
+def _q_postings(sf_dir: str) -> pa.Table:
+    """(term, doc_id, tf) for the fixed sample terms — decoded straight
+    from the built segments."""
+    eng = _engine(sf_dir)
+    terms_out, docs_out, tfs_out = [], [], []
+    pmap = eng._postings_map(SAMPLE_TERMS)
+    for t in SAMPLE_TERMS:
+        p = pmap[t]
+        if p is None:
+            continue
+        terms_out.extend([t] * len(p.doc_ids))
+        docs_out.extend(int(x) for x in p.doc_ids)
+        tfs_out.extend(int(x) for x in p.tfs)
+    return pa.table(
+        {
+            "term": pa.array(terms_out, pa.string()),
+            "doc_id": pa.array(docs_out, pa.int64()),
+            "tf": pa.array(tfs_out, pa.int64()),
+        }
+    )
+
+
+def _q_term_stats(sf_dir: str):
+    return dp.term_stats(sf_dir)
+
+
+def _q_token_count(sf_dir: str):
+    return dp.token_count(sf_dir)
+
+
+def _q_doc_lengths_from_index(sf_dir: str) -> pa.Table:
+    """(doc_id, doc_len) read back from the index's docstat partitions —
+    checks the docstat artifacts themselves against SQL."""
+    eng = _engine(sf_dir)
+    return pa.table(
+        {
+            "doc_id": pa.array(eng.stats.doc_ids, pa.int64()),
+            "doc_len": pa.array(eng.stats.doc_lens, pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# flagship stemmed entries (no SQL stemmer → rows-only checks)
+
+REFERENCE_STYLE_QUERIES = [
+    Q_TEXT,
+    "scan",
+    f"'{PHRASE}'",
+    "scan AND join",
+    "scan NOT join",
+    f"{PREFIX}*",
+    f"'{PHRASE_PREFIX}'*",
+    "join AND merge AND filter AND scan",
+    "sort OR 'part filter'",
+    "merge NOT fil*",
+]
+
+
+def _q_bm25_stemmed(sf_dir: str) -> pa.Table:
+    eng = _engine(sf_dir, stem=True)
+    ids, scores = eng.search(Q_TEXT, k=BM25_K, scorer="bm25")
+    return _ranked_table(ids, scores)
+
+
+def _q_queryset_stemmed(sf_dir: str) -> pa.Table:
+    from informationretrieval_en_people_cn_ray.pipelines.search import (
+        search_many,
+    )
+
+    eng = _engine(sf_dir, stem=True)  # ensure the index exists
+    ds = search_many(
+        eng.local.index_dir, REFERENCE_STYLE_QUERIES, k=10, concurrency=2
+    )
+    return dp._to_table(ds)
+
+
+def _q_index_stats_stemmed(sf_dir: str) -> pa.Table:
+    eng = _engine(sf_dir, stem=True)
+    parts = eng.manifest["partitions"]
+    return pa.table(
+        {
+            "seg": pa.array([p["seg"] for p in parts], pa.int32()),
+            "kind": pa.array([p["kind"] for p in parts], pa.string()),
+            "n_terms": pa.array([p["n_terms"] for p in parts], pa.int64()),
+            "tokens": pa.array([p["tokens"] for p in parts], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: stemmed index build over sf0.001 documents + the adapted
+    reference query set through the actor-pool batch path."""
+    return _q_queryset_stemmed("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # index build + query engine (SURVEY.md §2)
+        "term_stats": _q_term_stats,
+        "token_count": _q_token_count,
+        "doc_lengths_index": _q_doc_lengths_from_index,
+        "postings_sample": _q_postings,
+        "bm25_topk": _q_bm25,
+        "dirichlet_topk": _q_dirichlet,
+        "boolean_and": _q_boolean_and,
+        "boolean_or_not": _q_boolean_or_not,
+        "prefix_search": _q_prefix,
+        "phrase_search": _q_phrase,
+        "phrase_prefix_search": _q_phrase_prefix,
+        # flagship stemmed pipeline (rows-only; pytest-oracle gated)
+        "bm25_topk_stemmed": _q_bm25_stemmed,
+        "reference_queryset_stemmed": _q_queryset_stemmed,
+        "index_segment_stats_stemmed": _q_index_stats_stemmed,
+        # training-data ops
+        "exact_dedup": lambda sf: dp.exact_dedup_keepers(sf),
+        "minhash_signatures": lambda sf: dp.minhash_signatures(sf),
+        "near_dup_pairs": lambda sf: dp.near_dup_pairs(sf),
+        "simhash": lambda sf: dp.simhash_codes(sf),
+        "lang_id": lambda sf: dp.lang_id(sf),
+        "quality_score": lambda sf: dp.quality_score(sf),
+        "fingerprint": lambda sf: dp.fingerprint(sf),
+        "embedding_topk": lambda sf: dp.embedding_topk(sf),
+        "embedding_lsh_topk": lambda sf: dp.embedding_lsh_topk(sf),
+        "group_adjacency": lambda sf: dp.group_adjacency(sf),
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+
+
+def _bm25_sql() -> str:
+    vals = ", ".join(f"('{t}')" for t in Q_TERMS)
+    return f"""
+with {_TOK_CTE},
+dl as (
+  select doc_id, len({_TOK}) as dl from documents
+),
+stats as (
+  select (select count(*) from documents) as n,
+         (select sum(dl) from dl) as c
+),
+qt(term) as (values {vals}),
+tstats as (
+  select k.term, count(distinct k.doc_id) as df
+  from tok k join qt on k.term = qt.term group by k.term
+),
+tf as (
+  select k.term, k.doc_id, count(*) as tf
+  from tok k join qt on k.term = qt.term group by k.term, k.doc_id
+)
+select f.doc_id,
+       round(sum(
+         ln(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))
+         * f.tf * 2.5
+         / (f.tf + 1.5 * (0.25 + 0.75 * d.dl / (s.c::double / s.n)))
+       ), 4) as score
+from tf f
+join tstats t on f.term = t.term
+join dl d on f.doc_id = d.doc_id
+cross join stats s
+group by f.doc_id
+order by sum(
+  ln(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))
+  * f.tf * 2.5 / (f.tf + 1.5 * (0.25 + 0.75 * d.dl / (s.c::double / s.n)))
+) desc, f.doc_id
+limit {BM25_K}
+"""
+
+
+def _dirichlet_sql() -> str:
+    vals = ", ".join(f"('{t}')" for t in Q_TERMS)
+    return f"""
+with {_TOK_CTE},
+dl as (
+  select doc_id, len({_TOK}) as dl from documents
+),
+stats as (
+  select (select sum(dl) from dl) as c
+),
+qt(term) as (values {vals}),
+scoring as (
+  select k.term, count(*) as ctf
+  from tok k join qt on k.term = qt.term group by k.term
+),
+tf as (
+  select k.term, k.doc_id, count(*) as tf
+  from tok k join qt on k.term = qt.term
+  group by k.term, k.doc_id
+),
+cands as (  -- docs containing ANY query term (no cutoff here)
+  select distinct k.doc_id from tok k join qt on k.term = qt.term
+)
+select c.doc_id,
+       round(sum(
+         ln((coalesce(f.tf, 0) + 1500.0 * t.ctf / s.c) / (d.dl + 1500.0))
+       ), 4) as score
+from cands c
+cross join scoring t
+cross join stats s
+join dl d on c.doc_id = d.doc_id
+left join tf f on f.term = t.term and f.doc_id = c.doc_id
+group by c.doc_id
+order by sum(
+  ln((coalesce(f.tf, 0) + 1500.0 * t.ctf / s.c) / (d.dl + 1500.0))
+) desc, c.doc_id
+limit {BM25_K}
+"""
+
+
+def _simhash_sql() -> str:
+    bit_terms = " + ".join(
+        f"(case when sum(case when (hv >> {b}) & 1 = 1 then w else -w end) > 0 "
+        f"then (1::bigint << {b}) else 0 end)"
+        for b in range(63)
+    )
+    return f"""
+with {_TOK_CTE},
+tf as (select doc_id, term, count(*) as w from tok group by doc_id, term),
+h as (select doc_id, w, md5_number_lower(term) as hv from tf)
+select d.doc_id, coalesce(s.simhash, 0) as simhash
+from documents d left join (
+  select doc_id, ({bit_terms}) as simhash from h group by doc_id
+) s on d.doc_id = s.doc_id
+"""
+
+
+def _minhash_sql() -> str:
+    sig_cols = ",\n  ".join(
+        "list_min([(md5_number_lower('%d:' || s) & 9223372036854775807)::bigint"
+        " for s in shingles]) as sig_%d" % (k, k)
+        for k in range(dp.NUM_MINHASHES)
+    )
+    return f"""
+with base as (
+  select doc_id, {_TOK} as toks from documents
+),
+sh as (
+  select doc_id,
+    case when len(toks) >= 3
+         then [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+               for i in generate_series(1, len(toks) - 2)]
+         else [array_to_string(toks, ' ')] end as shingles
+  from base
+)
+select doc_id,
+  {sig_cols}
+from sh
+"""
+
+
+def _lang_id_sql() -> str:
+    def cnt(lang: str) -> str:
+        words = ", ".join(f"'{w}'" for w in dp.LANG_MARKERS[lang])
+        return (
+            f"len(list_filter(toks, x -> list_contains([{words}], x)))"
+        )
+
+    cases = []
+    for l in dp.LANG_ORDER:
+        cases.append(f"when c_{l} = best then '{l}'")
+    sets = ",\n    ".join(f"{cnt(l)} as c_{l}" for l in dp.LANG_ORDER)
+    case_chain = "\n         ".join(cases)
+    greatest = ", ".join(f"c_{l}" for l in dp.LANG_ORDER)
+    return f"""
+with base as (
+  select doc_id, {_TOK} as toks from documents
+),
+counts as (
+  select doc_id,
+    {sets}
+  from base
+),
+best as (
+  select *, greatest({greatest}) as best from counts
+)
+select doc_id,
+  case when best = 0 then 'unknown'
+       {case_chain}
+       end as pred_lang
+from best
+"""
+
+
+def _quality_sql() -> str:
+    stop = ", ".join(f"'{w}'" for w in dp.STOPWORDS)
+    return f"""
+with base as (
+  select doc_id, text, {_TOK} as toks from documents
+),
+m as (
+  select doc_id,
+    len(toks) as n,
+    len(array_to_string(toks, '')) as tok_chars,
+    len(list_filter(toks, x -> list_contains([{stop}], x))) as n_stop,
+    len(text) as n_chars
+  from base
+)
+select doc_id,
+  n as n_tokens,
+  case when n = 0 then 0.0 else tok_chars::double / n end as avg_token_len,
+  case when n = 0 then 0.0 else n_stop::double / n end as stop_ratio,
+  case when n_chars = 0 then 0.0 else tok_chars::double / n_chars end as alnum_ratio,
+  (case when n >= 10 then 1.0 else n / 10.0 end)
+    * (1.0 - case when n = 0 then 0.0 else n_stop::double / n end)
+    * (case when n_chars = 0 then 0.0 else tok_chars::double / n_chars end)
+    as score
+from m
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sample = ", ".join(f"'{t}'" for t in SAMPLE_TERMS)
+    w1, w2 = PHRASE.split()
+    pw, pp = PHRASE_PREFIX.split()
+    return {
+        "term_stats": f"""
+with {_TOK_CTE}
+select term, count(distinct doc_id) as df, count(*) as ctf
+from tok group by term
+""",
+        "token_count": f"""
+select doc_id, len({_TOK}) as n_tokens from documents
+""",
+        "doc_lengths_index": f"""
+select doc_id, len({_TOK}) as doc_len from documents
+""",
+        "postings_sample": f"""
+with {_TOK_CTE}
+select term, doc_id, count(*) as tf
+from tok where term in ({sample})
+group by term, doc_id
+""",
+        "bm25_topk": _bm25_sql(),
+        "dirichlet_topk": _dirichlet_sql(),
+        "boolean_and": f"""
+with {_TOK_CTE}
+select doc_id from tok where term = 'scan'
+intersect select doc_id from tok where term = 'join'
+intersect select doc_id from tok where term = 'merge'
+""",
+        "boolean_or_not": f"""
+with {_TOK_CTE}
+(
+  (select doc_id from tok where term = 'scan'
+   intersect select doc_id from tok where term = 'join')
+  except select doc_id from tok where term = 'merge'
+)
+union
+(select doc_id from tok where term = 'filter'
+ intersect select doc_id from tok where term = 'sort')
+""",
+        "prefix_search": f"""
+with {_TOK_CTE}
+(select distinct doc_id from tok
+ where term like '{PREFIX}%' and len(term) between 2 and 128)
+intersect select doc_id from tok where term = 'scan'
+""",
+        "phrase_search": f"""
+with {_TOK_CTE}
+select distinct a.doc_id
+from tok a join tok b on a.doc_id = b.doc_id and b.pos = a.pos + 1
+where a.term = '{w1}' and b.term = '{w2}'
+""",
+        "phrase_prefix_search": f"""
+with {_TOK_CTE}
+select distinct a.doc_id
+from tok a join tok b on a.doc_id = b.doc_id and b.pos = a.pos + 1
+where a.term = '{pw}'
+  and b.term like '{pp}%' and len(b.term) between 2 and 128
+""",
+        "exact_dedup": """
+select min(doc_id) as doc_id from documents group by text
+""",
+        "minhash_signatures": _minhash_sql(),
+        "simhash": _simhash_sql(),
+        "lang_id": _lang_id_sql(),
+        "quality_score": _quality_sql(),
+        "fingerprint": f"""
+with {_TOK_CTE},
+f as (
+  select doc_id,
+    (sum((md5_number_lower(pos || ':' || term)
+          & 9223372036854775807)::hugeint)
+     % 2305843009213693951)::bigint as fp
+  from tok group by doc_id
+)
+select d.doc_id, coalesce(f.fp, 0) as fp
+from documents d left join f on d.doc_id = f.doc_id
+""",
+        "embedding_topk": """
+with q as (select embedding::DOUBLE[] as qv from embeddings where vec_id = 0)
+select e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], (select qv from q)), 4) as cos
+from embeddings e
+order by list_cosine_similarity(e.embedding::DOUBLE[], (select qv from q)) desc,
+         e.vec_id
+limit 20
+""",
+        "group_adjacency": """
+select o_custkey,
+       string_agg(o_orderkey::varchar, ',' order by o_orderkey) as orderkeys
+from orders group by o_custkey
+""",
+        # rows-only (approximate / stateful / stemmer-dependent):
+        # bm25_topk_stemmed, reference_queryset_stemmed,
+        # index_segment_stats_stemmed, near_dup_pairs, embedding_lsh_topk
+    }

@@ -1,0 +1,190 @@
+"""Benchmark harness.
+
+Default run (driver contract): one JSON line —
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {<name>: sec, ...}, "sf": ..., "num_cpus": N, ...extras}
+
+Headline = stemmed positional inverted-index build (the north_rule
+pipeline) over a deterministic synthetic source-code corpus
+(GRAFT_BENCH_DOCS files, cached in /tmp; corpus generation and page-cache
+warm-up are OUTSIDE the timed window), plus a ranked-query batch through
+the actor-pool path.
+
+--scaling: the same build job at num_cpus=8 and num_cpus=32 in fresh
+processes (the sandbox stand-in for N vs 4N nodes — BASELINE.md), reporting
+files/sec at both and scaling efficiency t8/(4*t32).
+
+Env: RAY_GRAFT_CPUS (default 32), GRAFT_SF_DIR (default
+/root/testdata/sf0.1), GRAFT_BENCH_DOCS (default 20000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def _headline(cpus: int, n_docs: int) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from informationretrieval_en_people_cn_ray.corpus import write_corpus
+    from informationretrieval_en_people_cn_ray.pipelines.build import (
+        BuildConfig,
+        build_index,
+    )
+    from informationretrieval_en_people_cn_ray.pipelines.search import (
+        search_many,
+    )
+
+    corpus_dir = f"/tmp/irpc_bench_corpus_{n_docs}"
+    write_corpus(
+        corpus_dir, n_docs, seed=42, num_parquet_files=32, avg_tokens=120
+    )
+    # warm OS page cache so both scaling runs measure compute+shuffle
+    for f in sorted(os.listdir(corpus_dir)):
+        with open(os.path.join(corpus_dir, f), "rb") as fh:
+            while fh.read(1 << 22):
+                pass
+
+    out_dir = f"/tmp/irpc_bench_index_{n_docs}_{cpus}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cfg = BuildConfig(
+        num_segments=64,
+        docstat_partitions=8,
+        stem=True,
+        salt=0,
+        tokenize_batch_size=256,
+        tokenize_concurrency=max(2, cpus - 2),
+    )
+    t0 = time.monotonic()
+    manifest = build_index(corpus_dir, out_dir, cfg)
+    build_s = time.monotonic() - t0
+
+    # ranked-query batch through the actor-pool path
+    queries = [
+        "data value result merge",
+        "running characters",
+        "'quoted string'",
+        "th* AND data",
+        "return AND import NOT class",
+        "def return import",
+    ] * 25
+    t0 = time.monotonic()
+    res = search_many(
+        out_dir, queries, k=10, concurrency=max(2, min(8, cpus // 4))
+    )
+    n_hits = res.count()
+    query_s = time.monotonic() - t0
+
+    return {
+        "build_s": round(build_s, 3),
+        "files_per_sec": round(n_docs / build_s, 1),
+        "tokens_indexed": manifest["total_tokens"],
+        "n_terms": manifest["n_terms"],
+        "postings_bytes": manifest["postings_bytes"],
+        "query_batch_s": round(query_s, 3),
+        "queries_per_sec": round(len(queries) / query_s, 1),
+        "query_hits": int(n_hits),
+    }
+
+
+def _time_driver_queries(sf_dir: str) -> dict[str, float]:
+    import __ray_entry__ as E
+
+    out = {}
+    for name, fn in E.queries().items():
+        t0 = time.monotonic()
+        res = fn(sf_dir)
+        # consume datasets so laziness doesn't hide work
+        if hasattr(res, "count") and not hasattr(res, "num_rows"):
+            res.count()
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def _scaling(n_docs: int) -> None:
+    results = {}
+    for cpus in (8, 32):
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(cpus),
+            GRAFT_BENCH_HEADLINE_ONLY="1",
+            GRAFT_BENCH_DOCS=str(n_docs),
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        results[cpus] = json.loads(out.strip().splitlines()[-1])
+    t8 = results[8]["build_s"]
+    t32 = results[32]["build_s"]
+    eff = (t8 / t32) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "metric": "index_build_scaling_8_to_32_cpus",
+                "n_docs": n_docs,
+                "build_s_8": t8,
+                "build_s_32": t32,
+                "files_per_sec_8": results[8]["files_per_sec"],
+                "files_per_sec_32": results[32]["files_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+                "gate": 0.8,
+                "pass": eff >= 0.8,
+            }
+        )
+    )
+
+
+def main() -> None:
+    cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_docs = int(os.environ.get("GRAFT_BENCH_DOCS", "20000"))
+
+    if "--scaling" in sys.argv:
+        _scaling(n_docs)
+        return
+
+    import ray
+
+    head = _headline(cpus, n_docs)
+    q = (
+        {}
+        if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY")
+        else _time_driver_queries(sf_dir)
+    )
+    line = {
+        "metric": "stemmed_index_build_plus_query_batch",
+        "value": head["build_s"],
+        "unit": "sec",
+        "queries": q,
+        "sf": sf_dir,
+        "num_cpus": cpus,
+        **head,
+    }
+    print(json.dumps(line))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

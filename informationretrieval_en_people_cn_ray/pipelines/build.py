@@ -56,6 +56,8 @@ class BuildConfig:
     tokenize_batch_size: int = 128
     tokenize_concurrency: int | None = None  # None → stateless-style default pool of 4
     salt: int = 0  # 0 = no pre-merge; else number of salted buckets per term
+    content_column: str = "content"
+    doc_id_column: str | None = None  # use an existing stable id column
 
     def key(self) -> dict:
         return asdict(self)
@@ -129,7 +131,7 @@ def build_index(
         return existing
 
     t0 = time.monotonic()
-    columns = ["content"]
+    columns = [config.content_column]
     # only fetch the sha column if we'll verify it
     import pyarrow.parquet as pq
 
@@ -137,7 +139,9 @@ def build_index(
     if config.verify_sha and have_sha:
         columns.append("content_sha256")
 
-    ds = read_corpus(corpus_path, columns=columns)
+    ds = read_corpus(
+        corpus_path, columns=columns, doc_id_column=config.doc_id_column
+    )
     parts = ds.map_batches(
         TokenizePartial,
         fn_constructor_kwargs=dict(
@@ -147,6 +151,7 @@ def build_index(
             stem=config.stem,
             store_positions=config.store_positions,
             verify_sha=config.verify_sha,
+            content_column=config.content_column,
         ),
         batch_size=config.tokenize_batch_size,
         batch_format="pyarrow",

@@ -332,7 +332,7 @@ class SearchEngine:
         k1: float = BM25_K1,
         b: float = BM25_B,
         mu: float = DIRICHLET_MU,
-        cutoff: float | None = None,
+        cutoff: float | None | str = "auto",
     ) -> tuple[np.ndarray, np.ndarray]:
         """Ranked top-k over the union of the query tokens' candidates.
 
@@ -340,8 +340,10 @@ class SearchEngine:
         term; Dirichlet (reference parity) applies the f=0 branch over the
         same candidate union and the frequent-term cutoff
         (``SearchEngine.py:88-91``)."""
-        if scorer == "dirichlet" and cutoff is None:
-            cutoff = FREQ_CUTOFF
+        if cutoff == "auto":
+            # reference applies the frequent-term skip only in the
+            # Dirichlet scorer (SearchEngine.py:88-91); BM25 has none
+            cutoff = FREQ_CUTOFF if scorer == "dirichlet" else None
         qterms = self.az.query_terms(plan.text)
         plists = self._postings_map(qterms)
         terms = [t for t in qterms if plists.get(t) is not None]

@@ -65,28 +65,48 @@ def corpus_num_docs(path: str) -> int:
 
 class _ReadFragment:
     """map_batches task body: one fragment descriptor → its Arrow rows with
-    doc_id assigned. Plain function-style class so `columns` travels along."""
+    doc_id assigned. Plain function-style class so `columns` travels along.
 
-    def __init__(self, columns: list[str] | None):
+    ``doc_id_column``: when the source table already carries a stable id
+    column (e.g. the driver's documents.parquet), use it verbatim instead
+    of assigning by layout."""
+
+    def __init__(self, columns: list[str] | None, doc_id_column: str | None = None):
         self.columns = columns
+        self.doc_id_column = doc_id_column
 
     def __call__(self, batch: dict) -> pa.Table:
         out = []
         for file, rg, base in zip(
             batch["file"], batch["row_group"], batch["base"]
         ):
-            tbl = pq.ParquetFile(file).read_row_group(
-                int(rg), columns=self.columns
-            )
-            doc_id = pa.array(
-                np.arange(int(base), int(base) + tbl.num_rows, dtype=np.int64)
-            )
-            out.append(tbl.add_column(0, "doc_id", doc_id))
+            cols = self.columns
+            if cols is not None and self.doc_id_column:
+                cols = [self.doc_id_column] + [
+                    c for c in cols if c != self.doc_id_column
+                ]
+            tbl = pq.ParquetFile(file).read_row_group(int(rg), columns=cols)
+            if self.doc_id_column:
+                if self.doc_id_column != "doc_id":
+                    tbl = tbl.rename_columns(
+                        [
+                            "doc_id" if c == self.doc_id_column else c
+                            for c in tbl.column_names
+                        ]
+                    )
+            else:
+                doc_id = pa.array(
+                    np.arange(int(base), int(base) + tbl.num_rows, dtype=np.int64)
+                )
+                tbl = tbl.add_column(0, "doc_id", doc_id)
+            out.append(tbl)
         return pa.concat_tables(out)
 
 
 def read_corpus(
-    path: str, columns: list[str] | None = None
+    path: str,
+    columns: list[str] | None = None,
+    doc_id_column: str | None = None,
 ) -> "ray.data.Dataset":
     """Corpus Dataset with dense deterministic ``doc_id``; ``columns`` prunes
     at the read (pass only what the stage needs — e.g. ["content"])."""
@@ -94,7 +114,7 @@ def read_corpus(
     ds = ray.data.from_items(plan)
     # one task per fragment: batch_size=1 + enough output blocks
     return ds.map_batches(
-        _ReadFragment(columns),
+        _ReadFragment(columns, doc_id_column),
         batch_size=1,
         batch_format="numpy",
     )

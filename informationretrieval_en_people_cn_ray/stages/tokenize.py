@@ -61,17 +61,19 @@ class TokenizePartial:
         stem: bool = True,
         store_positions: bool = True,
         verify_sha: bool = True,
+        content_column: str = "content",
     ):
         self.num_segments = num_segments
         self.docstat_partitions = docstat_partitions
         self.total_docs = max(1, total_docs)
         self.store_positions = store_positions
         self.verify_sha = verify_sha
+        self.content_column = content_column
         self.az = Analyzer(stem=stem)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_numpy()
-        contents = batch["content"].to_pylist()
+        contents = batch[self.content_column].to_pylist()
         if self.verify_sha and "content_sha256" in batch.column_names:
             expected = batch["content_sha256"].to_pylist()
             bad = [
