@@ -7,16 +7,22 @@ themselves as deltas + unsigned LEB128 varints (the north_star's mandated
 encoding), which is both smaller and decodable into numpy arrays without
 materializing text.
 
-Posting blob layout (columnar, so decode is three vectorized slices):
+Posting blob layout (columnar, so decode is vectorized slices):
 
     varint df                      -- number of documents
     varint ctf                     -- collection term frequency (== sum tfs)
+    varint skip                    -- byte length of the gaps+tfs section
     varint * df   doc-id deltas    -- first absolute, then gaps (ids strictly ascending)
     varint * df   tfs
     varint * ctf  positions        -- per-doc: first absolute, then gaps
                                      (delta restarts at every doc boundary, so
                                      per-doc position byte-slices can be
                                      concatenated in any doc order upstream)
+
+``skip`` lets ranked/boolean queries decode ONLY doc ids + tfs and jump
+over the position stream entirely — positions are only paid for by phrase
+queries (decoding a hot term's multi-million-entry position stream costs
+seconds; its doc ids + tfs cost milliseconds).
 
 All varints are unsigned; values must fit in uint64.
 """
@@ -29,18 +35,33 @@ _U64 = np.uint64
 _MAX_VARINT_BYTES = 10
 
 
-def encode_varints(values: np.ndarray) -> bytes:
-    """Vectorized unsigned-LEB128 encode of a 1-D array of non-negative ints."""
-    v = np.ascontiguousarray(values, dtype=_U64)
+def encode_varints_with_lengths(
+    values: np.ndarray,
+) -> tuple[bytes, np.ndarray]:
+    """Vectorized unsigned-LEB128 encode; also returns the encoded byte
+    length per value (callers often need both — computing lengths twice
+    doubles memory traffic on the build's hottest path).
+
+    Works in uint32 when all values fit (half the memory traffic of the
+    uint64 path — this stage is bandwidth-bound under full-node
+    concurrency, so dtype width is wall-clock)."""
+    v = np.ascontiguousarray(values)
     if v.size == 0:
-        return b""
+        return b"", np.empty(0, np.int64)
+    if v.dtype != _U64 and v.dtype != np.uint32:
+        mx = int(v.max()) if v.size else 0
+        mn = int(v.min()) if v.size else 0
+        if mn < 0:
+            raise ValueError("negative value in varint encode")
+        v = v.astype(np.uint32 if mx < (1 << 32) else _U64)
+    dt = v.dtype.type
+    seven = dt(7)
     # bytes needed per value: ceil(bit_length/7), min 1
     nbytes = np.ones(v.shape, dtype=np.int64)
-    thresh = _U64(1 << 7)
-    shifted = v >> _U64(7)
+    shifted = v >> seven
     while np.any(shifted):
         nbytes += (shifted != 0).astype(np.int64)
-        shifted >>= _U64(7)
+        shifted >>= seven
     ends = np.cumsum(nbytes)
     total = int(ends[-1])
     starts = ends - nbytes
@@ -49,15 +70,21 @@ def encode_varints(values: np.ndarray) -> bytes:
     remaining = v.copy()
     active = np.arange(v.size)
     k = 0
+    mask7 = dt(0x7F)
     while active.size:
         pos = starts[active] + k
-        out[pos] = (remaining[active] & _U64(0x7F)).astype(np.uint8)
-        remaining[active] >>= _U64(7)
+        out[pos] = (remaining[active] & mask7).astype(np.uint8)
+        remaining[active] >>= seven
         not_last = nbytes[active] > (k + 1)
         out[pos[not_last]] |= 0x80
         active = active[not_last]
         k += 1
-    return out.tobytes()
+    return out.tobytes(), nbytes
+
+
+def encode_varints(values: np.ndarray) -> bytes:
+    """Vectorized unsigned-LEB128 encode of a 1-D array of non-negative ints."""
+    return encode_varints_with_lengths(values)[0]
 
 
 def decode_varints(buf: bytes | memoryview | np.ndarray) -> np.ndarray:
@@ -84,14 +111,16 @@ def delta_encode(values: np.ndarray, restarts: np.ndarray | None = None) -> np.n
     ``restarts`` must include index 0 when provided; with None, only index 0
     is absolute.
     """
-    v = np.asarray(values, dtype=np.int64)
+    v = np.asarray(values)
+    if v.dtype not in (np.dtype(np.int32), np.dtype(np.int64)):
+        v = v.astype(np.int64)
     if v.size == 0:
-        return v.astype(_U64)
+        return v
     out = v.copy()
     out[1:] -= v[:-1]
     if restarts is not None:
         out[restarts] = v[restarts]
-    return out.astype(_U64)
+    return out
 
 
 def delta_decode(gaps: np.ndarray, restarts: np.ndarray | None = None) -> np.ndarray:
@@ -129,25 +158,48 @@ def encode_posting_blob(
     same order as doc_ids)."""
     df = int(len(doc_ids))
     ctf = int(np.asarray(tfs, dtype=np.int64).sum())
-    header = encode_varints(np.array([df, ctf], dtype=np.int64))
     gaps = encode_varints(delta_encode(doc_ids))
     tf_bytes = encode_varints(np.asarray(tfs))
+    header = encode_varints(
+        np.array([df, ctf, len(gaps) + len(tf_bytes)], dtype=np.int64)
+    )
     return b"".join((header, gaps, tf_bytes, pos_bytes))
 
 
-def decode_posting_blob(blob: bytes | memoryview):
-    """blob → (doc_ids int64[df], tfs int64[df], positions int64[ctf],
+def _read_header(raw: np.ndarray, n: int) -> tuple[list[int], int]:
+    """Parse the first n varints byte-wise (tiny); returns (values, end)."""
+    vals = []
+    i = 0
+    for _ in range(n):
+        v = 0
+        shift = 0
+        while True:
+            b = int(raw[i])
+            i += 1
+            v |= (b & 0x7F) << shift
+            if b < 0x80:
+                break
+            shift += 7
+        vals.append(v)
+    return vals, i
+
+
+def decode_posting_blob(blob: bytes | memoryview, with_positions: bool = True):
+    """blob → (doc_ids int64[df], tfs int64[df], positions int64[ctf] | None,
     pos_starts int64[df]) — pos_starts[i] is the offset of doc i's
-    positions inside ``positions``."""
-    vals = decode_varints(blob).astype(np.int64)
-    df = int(vals[0])
-    ctf = int(vals[1])
-    doc_ids = np.cumsum(vals[2 : 2 + df])
-    tfs = vals[2 + df : 2 + 2 * df]
+    positions inside ``positions``. ``with_positions=False`` skips the
+    position stream entirely (ranked/boolean query fast path)."""
+    raw = np.frombuffer(blob, dtype=np.uint8)
+    (df, ctf, skip), h = _read_header(raw, 3)
+    vals = decode_varints(raw[h : h + skip]).astype(np.int64)
+    doc_ids = np.cumsum(vals[:df])
+    tfs = vals[df : 2 * df]
     pos_starts = np.zeros(df, dtype=np.int64)
     if df:
         np.cumsum(tfs[:-1], out=pos_starts[1:])
-    pos_gaps = vals[2 + 2 * df : 2 + 2 * df + ctf]
+    if not with_positions:
+        return doc_ids, tfs, None, pos_starts
+    pos_gaps = decode_varints(raw[h + skip :]).astype(np.int64)[:ctf]
     positions = delta_decode(pos_gaps, pos_starts)
     return doc_ids, tfs, positions, pos_starts
 
@@ -155,10 +207,13 @@ def decode_posting_blob(blob: bytes | memoryview):
 def varint_lengths(values: np.ndarray) -> np.ndarray:
     """Encoded byte length per value (used to compute per-doc position
     byte-slice lengths without re-encoding)."""
-    v = np.ascontiguousarray(values, dtype=_U64)
+    v = np.ascontiguousarray(values)
+    if v.dtype != _U64 and v.dtype != np.uint32:
+        v = v.astype(_U64)
+    dt = v.dtype.type
     nbytes = np.ones(v.shape, dtype=np.int64)
-    shifted = v >> _U64(7)
+    shifted = v >> dt(7)
     while np.any(shifted):
         nbytes += (shifted != 0).astype(np.int64)
-        shifted >>= _U64(7)
+        shifted >>= dt(7)
     return nbytes

@@ -67,23 +67,23 @@ def _zipf_probs(n: int, s: float = 1.1) -> np.ndarray:
 LONG_TOKEN = "q" * 130  # > MAX_STEM_LEN → must be dropped from the index
 
 
-def generate_corpus(
-    n_files: int, seed: int = 42, avg_tokens: int = 80
-) -> pa.Table:
-    """Deterministic corpus table; identical output for identical args."""
-    rng = np.random.RandomState(seed)
-    vocab = np.array(_vocab(seed), dtype=object)
-    probs = _zipf_probs(len(vocab))
-    doc_lens = rng.randint(max(4, avg_tokens // 4), avg_tokens * 2, size=n_files)
+def _gen_docs(seed: int, start: int, count: int, avg_tokens: int,
+              vocab: np.ndarray, probs: np.ndarray) -> pa.Table:
+    """Docs for global indices [start, start+count) — content depends only
+    on (seed, chunk start), so chunks generate independently (multi-GB
+    bench corpora) while staying fully deterministic."""
+    rng = np.random.RandomState((seed * 1_000_003 + start) % (2**31 - 1))
+    doc_lens = rng.randint(max(4, avg_tokens // 4), avg_tokens * 2, size=count)
     total = int(doc_lens.sum())
     toks = rng.choice(vocab, size=total, p=probs)
-    bounds = np.zeros(n_files + 1, dtype=np.int64)
+    bounds = np.zeros(count + 1, dtype=np.int64)
     np.cumsum(doc_lens, out=bounds[1:])
 
     langs = list(_LANGS)
     repos, paths, commits, lang_col, contents, shas = [], [], [], [], [], []
-    for i in range(n_files):
-        body = " ".join(toks[bounds[i] : bounds[i + 1]])
+    for j in range(count):
+        i = start + j
+        body = " ".join(toks[bounds[j] : bounds[j + 1]])
         # deterministic spice: punctuation, quotes, unicode, short/long tokens
         if i % 5 == 0:
             body = 'x = "quoted, string!" §¸…· \n' + body
@@ -113,6 +113,15 @@ def generate_corpus(
     )
 
 
+def generate_corpus(
+    n_files: int, seed: int = 42, avg_tokens: int = 80, start: int = 0
+) -> pa.Table:
+    """Deterministic corpus table; identical output for identical args."""
+    vocab = np.array(_vocab(seed), dtype=object)
+    probs = _zipf_probs(len(vocab))
+    return _gen_docs(seed, start, n_files, avg_tokens, vocab, probs)
+
+
 def write_corpus(
     out_dir: str,
     n_files: int,
@@ -121,9 +130,10 @@ def write_corpus(
     row_group_size: int | None = None,
     avg_tokens: int = 80,
 ) -> str:
-    """Write the corpus as ``part-XXXXX.parquet`` files. Idempotent: if the
-    directory already holds a matching ``_corpus.json`` stamp, it is reused
-    (bench + queries() cache on this)."""
+    """Write the corpus as ``part-XXXXX.parquet`` files, one generation
+    chunk per parquet file (bounded memory at any corpus size).
+    Idempotent: if the directory already holds a matching ``_corpus.json``
+    stamp, it is reused (bench + queries() cache on this)."""
     import json
 
     stamp = {
@@ -131,6 +141,8 @@ def write_corpus(
         "seed": seed,
         "num_parquet_files": num_parquet_files,
         "avg_tokens": avg_tokens,
+        "row_group_size": row_group_size,
+        "v": 2,
     }
     stamp_path = os.path.join(out_dir, "_corpus.json")
     if os.path.exists(stamp_path):
@@ -138,15 +150,17 @@ def write_corpus(
             if json.load(f) == stamp:
                 return out_dir
     os.makedirs(out_dir, exist_ok=True)
-    table = generate_corpus(n_files, seed=seed, avg_tokens=avg_tokens)
+    vocab = np.array(_vocab(seed), dtype=object)
+    probs = _zipf_probs(len(vocab))
     per = (n_files + num_parquet_files - 1) // num_parquet_files
-    rg = row_group_size or max(64, per // 4)
+    rg = row_group_size or max(64, min(2048, per // 4))
     for f in range(num_parquet_files):
         lo, hi = f * per, min((f + 1) * per, n_files)
         if lo >= hi:
             break
+        table = _gen_docs(seed, lo, hi - lo, avg_tokens, vocab, probs)
         pq.write_table(
-            table.slice(lo, hi - lo),
+            table,
             os.path.join(out_dir, f"part-{f:05d}.parquet"),
             row_group_size=rg,
         )

@@ -39,11 +39,15 @@ import pyarrow as pa
 
 import ray.data
 
-from ..sources.corpus_source import corpus_files, fragment_plan, read_corpus
+from ..sources.corpus_source import corpus_files, fragment_plan
 from ..state.manifest import fingerprint, load_json, write_json_atomic
 from ..stages.postings import merge_runs
 from ..stages.segments import SegmentBuilder
-from ..stages.tokenize import DOCSTATS_TERM, TokenizePartial
+from ..stages.tokenize import (
+    DOCSTATS_TERM,
+    TokenizeFragments,
+    tokenize_fragment_batch,
+)
 
 
 @dataclass
@@ -53,8 +57,15 @@ class BuildConfig:
     stem: bool = True
     store_positions: bool = True
     verify_sha: bool = True
-    tokenize_batch_size: int = 128
-    tokenize_concurrency: int | None = None  # None → stateless-style default pool of 4
+    fragments_per_task: int = 1  # descriptors per tokenize task (block-size lever)
+    tokenize_concurrency: int | None = None  # None (default) → stateless tasks
+    # CPU slots reserved per heavy task: >1 CAPS concurrent tasks below
+    # num_cpus. The build's hot stages are memory-bandwidth-bound; on a
+    # box whose bandwidth saturates at ~8-10 concurrent heavy tasks,
+    # running 32 at once REDUCES total throughput (measured 27x per-task
+    # slowdown). Leave 1 for small machines; raise on big ones.
+    tokenize_num_cpus: float = 1.0
+    reduce_num_cpus: float = 1.0
     salt: int = 0  # 0 = no pre-merge; else number of salted buckets per term
     content_column: str = "content"
     doc_id_column: str | None = None  # use an existing stable id column
@@ -72,6 +83,7 @@ class _PreMerge:
         n = group.num_rows
         if n == 1:
             return group.drop_columns(["salt_key"])
+        group = group.combine_chunks()
         doc_ids, tfs, pos_bytes, pos_lens = merge_runs(
             [c.values.to_numpy() for c in group["doc_ids"]],
             [c.values.to_numpy() for c in group["tfs"]],
@@ -122,6 +134,9 @@ def build_index(
             {"path": f, "size": os.path.getsize(f)} for f in files
         ],
         "config": config.key(),
+        # bump when the on-disk blob/segment layout changes — stale caches
+        # (queries(), bench) must rebuild, not misparse
+        "format_version": 2,
     }
     build_fp = fingerprint(lineage)
 
@@ -139,24 +154,42 @@ def build_index(
     if config.verify_sha and have_sha:
         columns.append("content_sha256")
 
-    ds = read_corpus(
-        corpus_path, columns=columns, doc_id_column=config.doc_id_column
+    # one actor task per ROW GROUP: read + tokenize fused deliberately
+    # (a separate read stage would be auto-fused with the tokenizer and
+    # batch on descriptor rows, collapsing parallelism — see
+    # TokenizeFragments docstring)
+    tok_kwargs = dict(
+        columns=columns,
+        doc_id_column=config.doc_id_column,
+        num_segments=config.num_segments,
+        docstat_partitions=config.docstat_partitions,
+        total_docs=total_docs,
+        stem=config.stem,
+        store_positions=config.store_positions,
+        verify_sha=config.verify_sha,
+        content_column=config.content_column,
     )
-    parts = ds.map_batches(
-        TokenizePartial,
-        fn_constructor_kwargs=dict(
-            num_segments=config.num_segments,
-            docstat_partitions=config.docstat_partitions,
-            total_docs=total_docs,
-            stem=config.stem,
-            store_positions=config.store_positions,
-            verify_sha=config.verify_sha,
-            content_column=config.content_column,
-        ),
-        batch_size=config.tokenize_batch_size,
-        batch_format="pyarrow",
-        concurrency=config.tokenize_concurrency or 4,
-    )
+    ds = ray.data.from_items(plan)
+    if config.tokenize_concurrency:
+        # explicit actor pool (state pinned per actor)
+        parts = ds.map_batches(
+            TokenizeFragments,
+            fn_constructor_kwargs=tok_kwargs,
+            batch_size=config.fragments_per_task,
+            batch_format="numpy",
+            concurrency=config.tokenize_concurrency,
+        )
+    else:
+        # default: stateless tasks over warm worker processes, analyzer
+        # cached per process (see tokenize_fragment_batch) — elastic, no
+        # actor-startup cost
+        parts = ds.map_batches(
+            tokenize_fragment_batch,
+            fn_kwargs=tok_kwargs,
+            batch_size=config.fragments_per_task,
+            batch_format="numpy",
+            num_cpus=config.tokenize_num_cpus,
+        )
 
     if config.salt > 0:
         salted = parts.map_batches(
@@ -179,7 +212,9 @@ def build_index(
         return builder(group)
 
     summaries = parts.groupby("seg").map_groups(
-        build_segment, batch_format="pyarrow"
+        build_segment,
+        batch_format="pyarrow",
+        num_cpus=config.reduce_num_cpus,
     )
     rows = summaries.take_all()  # tiny: one row per partition
 

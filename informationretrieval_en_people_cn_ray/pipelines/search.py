@@ -73,12 +73,14 @@ class LocalSegments:
             self._readers[seg] = r
         return r
 
-    def postings(self, term: str) -> _Posting | None:
+    def postings(
+        self, term: str, with_positions: bool = False
+    ) -> _Posting | None:
         r = self.reader(term_seg(term, self.num_segments))
         i = r.find(term)
         if i is None:
             return None
-        d, t, p, ps = decode_posting_blob(r.blob(i))
+        d, t, p, ps = r.postings_decoded(i, with_positions)
         return _Posting(d, t, p, ps, int(r.df[i]), int(r.ctf[i]))
 
     def prefix_terms(self, prefix: str) -> list[str]:
@@ -98,7 +100,9 @@ class SegmentSearcher:
     def __init__(self, index_dir: str, segs: list[int]):
         self.readers = {s: SegmentReader(index_dir, s) for s in segs}
 
-    def postings_many(self, terms: list[tuple[str, int]]):
+    def postings_many(
+        self, terms: list[tuple[str, int]], with_positions: bool = False
+    ):
         """[(term, seg)] → {term: (doc_ids, tfs, positions, pos_starts, df, ctf)}"""
         out = {}
         for term, seg in terms:
@@ -107,7 +111,7 @@ class SegmentSearcher:
             if i is None:
                 out[term] = None
             else:
-                d, t, p, ps = decode_posting_blob(r.blob(i))
+                d, t, p, ps = r.postings_decoded(i, with_positions)
                 out[term] = (d, t, p, ps, int(r.df[i]), int(r.ctf[i]))
         return out
 
@@ -176,16 +180,21 @@ class SearchEngine:
 
     # ---- posting access (mode-dispatched) -----------------------------
 
-    def _postings_map(self, terms: list[str]) -> dict[str, _Posting | None]:
+    def _postings_map(
+        self, terms: list[str], with_positions: bool = False
+    ) -> dict[str, _Posting | None]:
         terms = list(dict.fromkeys(terms))
         if self.mode != "actors":
-            return {t: self.local.postings(t) for t in terms}
+            return {t: self.local.postings(t, with_positions) for t in terms}
         by_actor: dict = {}
         for t in terms:
             seg = term_seg(t, self.local.num_segments)
             a = self._actor_of_seg[seg]
             by_actor.setdefault(a, []).append((t, seg))
-        futs = [a.postings_many.remote(pairs) for a, pairs in by_actor.items()]
+        futs = [
+            a.postings_many.remote(pairs, with_positions)
+            for a, pairs in by_actor.items()
+        ]
         out: dict[str, _Posting | None] = {}
         for res in ray.get(futs):
             for t, v in res.items():
@@ -230,10 +239,11 @@ class SearchEngine:
     def _phrase_docs_from(
         self, anchored: list[tuple[int, str]], plists: dict[str, _Posting | None]
     ) -> np.ndarray:
-        """Position-adjacency phrase verification, vectorized per doc set.
-
-        Intersect doc sets of all anchored terms first (cheapest first),
-        then verify relative positions (SURVEY.md §2.4 J6)."""
+        """Position-adjacency phrase verification — fully vectorized
+        (SURVEY.md §2.4 J6): intersect doc sets, then intersect
+        (doc, shifted-position) key arrays across the phrase terms. Cost is
+        O(total positions of the phrase terms within candidate docs);
+        no Python loop over documents."""
         if not anchored:
             return np.empty(0, np.int64)
         ps = [plists.get(t) for _, t in anchored]
@@ -245,24 +255,38 @@ class SearchEngine:
         if cand.size == 0:
             return cand
         base_off = anchored[0][0]
-        keep = []
-        for d in cand.tolist():
-            ok: set | None = None
-            for (off, _), p in zip(anchored, ps):
-                i = int(np.searchsorted(p.doc_ids, d))
-                s = int(p.pos_starts[i])
-                e = s + int(p.tfs[i])
-                poss = {int(x) - (off - base_off) for x in p.positions[s:e]}
-                ok = poss if ok is None else (ok & poss)
-                if not ok:
-                    break
-            if ok:
-                keep.append(d)
-        return np.array(keep, dtype=np.int64)
+        keys: np.ndarray | None = None
+        for (off, _), p in zip(anchored, ps):
+            # rows of this posting that are candidates
+            ridx = np.searchsorted(p.doc_ids, cand)
+            tf = p.tfs[ridx]
+            starts = p.pos_starts[ridx]
+            total = int(tf.sum())
+            if total == 0:
+                return np.empty(0, np.int64)
+            # gather each candidate doc's position slice (segmented gather)
+            out_starts = np.zeros(len(tf), dtype=np.int64)
+            np.cumsum(tf[:-1], out=out_starts[1:])
+            gidx = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(out_starts, tf)
+                + np.repeat(starts, tf)
+            )
+            pos = p.positions[gidx] - (off - base_off)
+            doc_idx = np.repeat(np.arange(len(cand), dtype=np.int64), tf)
+            k = (doc_idx << np.int64(33)) | (pos + np.int64(64))
+            keys = k if keys is None else np.intersect1d(
+                k, keys, assume_unique=True
+            )
+            if keys.size == 0:
+                return np.empty(0, np.int64)
+        return cand[np.unique(keys >> np.int64(33))]
 
     def _phrase_docs(self, phrase: str) -> np.ndarray:
         anchored = self._anchored(phrase)
-        plists = self._postings_map([t for _, t in anchored])
+        plists = self._postings_map(
+            [t for _, t in anchored], with_positions=True
+        )
         return self._phrase_docs_from(anchored, plists)
 
     def _phrase_prefix_docs(self, phrase: str) -> np.ndarray:
@@ -274,7 +298,7 @@ class SearchEngine:
         lead = [(o, t) for o, t in anchored if o != last_off]
         expansions = self._prefix_terms(self.az.term(toks[-1]))
         plists = self._postings_map(
-            [t for _, t in lead] + expansions
+            [t for _, t in lead] + expansions, with_positions=True
         )
         out = [
             self._phrase_docs_from(lead + [(last_off, e)], plists)

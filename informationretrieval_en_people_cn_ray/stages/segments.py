@@ -57,6 +57,30 @@ SUMMARY_SCHEMA = pa.schema(
 )
 
 
+def _list_views(col) -> tuple[np.ndarray, np.ndarray]:
+    """Single-chunk list column → (flat values, offsets) numpy views —
+    per-row slices without materializing per-row scalar objects."""
+    arr = col.chunk(0) if hasattr(col, "chunk") else col
+    vals = arr.values.to_numpy(zero_copy_only=False)
+    offs = arr.offsets.to_numpy()
+    return vals, offs
+
+
+def _binary_views(col) -> tuple[np.ndarray, np.ndarray]:
+    """Single-chunk binary column → (flat uint8 data, offsets) views."""
+    arr = col.chunk(0) if hasattr(col, "chunk") else col
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    return data, offs
+
+
 def seg_dir(out_dir: str, seg: int) -> str:
     return os.path.join(out_dir, f"seg={seg:05d}")
 
@@ -72,8 +96,17 @@ class SegmentBuilder:
         self.out_dir = out_dir
         self.build_fp = build_fp
         self.num_segments = num_segments
+        self._threads_limited = False
 
     def __call__(self, group: pa.Table) -> pa.Table:
+        if not self._threads_limited:
+            from . import limit_worker_threads
+
+            limit_worker_threads()
+            self._threads_limited = True
+        # groups arrive heavily chunked from the sort shuffle; per-row
+        # access on many-chunk columns is the dominant cost — flatten once
+        group = group.combine_chunks()
         seg = int(group["seg"][0].as_py())
         if seg >= self.num_segments:
             return self._build_docstats(seg - self.num_segments, group)
@@ -108,10 +141,10 @@ class SegmentBuilder:
 
         terms = np.asarray(group["term"].to_pylist(), dtype=object)
         order = np.argsort(terms, kind="stable")
-        doc_ids_col = group["doc_ids"]
-        tfs_col = group["tfs"]
-        pos_bytes_col = group["pos_bytes"]
-        pos_lens_col = group["pos_lens"]
+        dvals, doffs = _list_views(group["doc_ids"])
+        tvals, toffs = _list_views(group["tfs"])
+        lvals, loffs = _list_views(group["pos_lens"])
+        bdata, boffs = _binary_views(group["pos_bytes"])
 
         out_terms: list[str] = []
         out_df: list[int] = []
@@ -132,10 +165,10 @@ class SegmentBuilder:
                 j += 1
             rows = [int(order[k]) for k in range(i, j)]
             doc_ids, tfs, pos_bytes, pos_lens = merge_runs(
-                [doc_ids_col[r].values.to_numpy() for r in rows],
-                [tfs_col[r].values.to_numpy() for r in rows],
-                [pos_bytes_col[r].as_py() for r in rows],
-                [pos_lens_col[r].values.to_numpy() for r in rows],
+                [dvals[doffs[r] : doffs[r + 1]] for r in rows],
+                [tvals[toffs[r] : toffs[r + 1]] for r in rows],
+                [bdata[boffs[r] : boffs[r + 1]] for r in rows],
+                [lvals[loffs[r] : loffs[r + 1]] for r in rows],
             )
             blob = encode_posting_blob(doc_ids, tfs, pos_bytes)
             blobs.append(blob)
@@ -188,12 +221,13 @@ class SegmentBuilder:
         d = docstat_dir(self.out_dir, part)
         if partition_complete(d, self.build_fp):
             return self._skip_summary(part, "docstats", d)
-        doc_ids = np.concatenate(
-            [c.values.to_numpy() for c in group["doc_ids"]]
-        ).astype(np.int64)
-        doc_lens = np.concatenate(
-            [c.values.to_numpy() for c in group["tfs"]]
-        ).astype(np.int64)
+        # NB: ListArray.values spans the WHOLE child buffer even for sliced
+        # arrays — window it with the offsets or neighboring groups' rows
+        # leak in
+        dvals, doffs = _list_views(group["doc_ids"])
+        tvals, toffs = _list_views(group["tfs"])
+        doc_ids = dvals[doffs[0] : doffs[-1]].astype(np.int64)
+        doc_lens = tvals[toffs[0] : toffs[-1]].astype(np.int64)
         order = np.argsort(doc_ids, kind="stable")
         doc_ids, doc_lens = doc_ids[order], doc_lens[order]
         if doc_ids.size > 1 and np.any(doc_ids[1:] <= doc_ids[:-1]):
@@ -244,6 +278,25 @@ class SegmentReader:
         self.postings = np.memmap(
             os.path.join(d, "postings.bin"), dtype=np.uint8, mode="r"
         ) if self.size.sum() else np.empty(0, np.uint8)
+        self._decoded: dict[int, tuple] = {}
+
+    def postings_decoded(self, idx: int, with_positions: bool = False) -> tuple:
+        """(doc_ids, tfs, positions|None, pos_starts) with a small cache —
+        query batches hit the same hot terms repeatedly and re-decoding a
+        100k-doc posting list per query dominates batch latency. Positions
+        are decoded lazily (only phrase queries pay for them) and the
+        cached entry upgrades in place."""
+        hit = self._decoded.get(idx)
+        if hit is None or (with_positions and hit[2] is None):
+            from ..codec import decode_posting_blob
+
+            hit = decode_posting_blob(
+                self.blob(idx), with_positions=with_positions
+            )
+            if idx not in self._decoded and len(self._decoded) >= 128:
+                self._decoded.pop(next(iter(self._decoded)))
+            self._decoded[idx] = hit
+        return hit
 
     def find(self, term: str) -> int | None:
         i = int(np.searchsorted(self.terms, term))

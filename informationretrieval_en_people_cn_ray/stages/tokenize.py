@@ -31,7 +31,7 @@ from itertools import chain
 import numpy as np
 import pyarrow as pa
 
-from ..codec import delta_encode, encode_varints, varint_lengths
+from ..codec import delta_encode, encode_varints_with_lengths
 from ..text import Analyzer
 from .postings import term_seg_array
 
@@ -70,8 +70,16 @@ class TokenizePartial:
         self.verify_sha = verify_sha
         self.content_column = content_column
         self.az = Analyzer(stem=stem)
+        from . import limit_worker_threads
+
+        limit_worker_threads()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import os as _os, time as _tm
+        _dbg = _os.environ.get("IRPC_TOK_DEBUG2")
+        _marks = [("start", _tm.monotonic())]
+        def _mark(name):
+            if _dbg: _marks.append((name, _tm.monotonic()))
         doc_ids = batch["doc_id"].to_numpy()
         contents = batch[self.content_column].to_pylist()
         if self.verify_sha and "content_sha256" in batch.column_names:
@@ -87,76 +95,231 @@ class TokenizePartial:
                     + ("..." if len(bad) > 10 else "")
                 )
 
-        # term -> ([doc_id,...], [tf,...], [positions-list,...])
-        acc: dict[str, tuple[list, list, list]] = {}
-        doc_lens = np.empty(len(doc_ids), dtype=np.int64)
-        doc_terms = self.az.doc_terms
-        for i, (did, text) in enumerate(zip(doc_ids, contents)):
-            terms, n = doc_terms(text)
-            doc_lens[i] = n
-            did = int(did)
-            for t, poss in terms.items():
-                e = acc.get(t)
-                if e is None:
-                    acc[t] = ([did], [len(poss)], [poss])
-                else:
-                    e[0].append(did)
-                    e[1].append(len(poss))
-                    e[2].append(poss)
+        _mark("sha")
+        # --- vectorized analysis -------------------------------------
+        # Per-batch pipeline: tokenize each doc (C regex), dictionary-
+        # encode the whole batch's token stream (Arrow C++), stem + filter
+        # only the UNIQUE tokens (vocabulary-sized, cached per actor),
+        # then one lexsort + one varint encode for the whole batch.
+        # Positions index the FULL token stream even for filtered tokens
+        # (SURVEY.md §7.4 R6).
+        tok = self.az.tokens
+        tok_lists = [tok(t) for t in contents]
+        _mark("findall")
+        doc_lens = np.fromiter(
+            (len(x) for x in tok_lists), dtype=np.int64, count=len(tok_lists)
+        )
+        total = int(doc_lens.sum())
+        doc_ids = np.asarray(doc_ids, dtype=np.int64)
 
-        terms_out = sorted(acc)
-        col_doc_ids, col_tfs, col_pos_bytes, col_pos_lens = [], [], [], []
-        for t in terms_out:
-            dids, tfs, poslists = acc[t]
-            col_doc_ids.append(dids)
-            col_tfs.append(tfs)
-            if self.store_positions:
-                pos = np.fromiter(
-                    chain.from_iterable(poslists), dtype=np.int64,
-                    count=sum(tfs),
-                )
-                tf_arr = np.asarray(tfs, dtype=np.int64)
-                starts = np.zeros(len(tfs), dtype=np.int64)
-                if len(tfs) > 1:
-                    np.cumsum(tf_arr[:-1], out=starts[1:])
-                gaps = delta_encode(pos, starts)
-                col_pos_bytes.append(encode_varints(gaps))
-                byte_lens = varint_lengths(gaps)
-                col_pos_lens.append(
-                    np.add.reduceat(byte_lens, starts).astype(np.int32)
-                    if len(tfs)
-                    else np.empty(0, np.int32)
-                )
+        if total:
+            flat = pa.array(
+                list(chain.from_iterable(tok_lists)), pa.string()
+            )
+            _mark("flatarr")
+            enc = flat.dictionary_encode()
+            codes = enc.indices.to_numpy().astype(np.int64)
+            uniq = enc.dictionary.to_pylist()
+            _mark("dictenc")
+        else:
+            codes = np.empty(0, np.int64)
+            uniq = []
+
+        # unique token -> index term id (or -1 when filtered)
+        term_of: dict[str, int] = {}
+        terms_list: list[str] = []
+        code_to_tid = np.empty(len(uniq), dtype=np.int32)
+        az_term = self.az.term
+        from ..text import MAX_STEM_LEN, MIN_STEM_LEN
+
+        for u_i, u in enumerate(uniq):
+            t = az_term(u)
+            if MIN_STEM_LEN <= len(t) <= MAX_STEM_LEN:
+                tid = term_of.get(t)
+                if tid is None:
+                    tid = len(terms_list)
+                    term_of[t] = tid
+                    terms_list.append(t)
+                code_to_tid[u_i] = tid
             else:
-                col_pos_bytes.append(b"")
-                col_pos_lens.append(np.zeros(len(tfs), np.int32))
+                code_to_tid[u_i] = -1
 
+        _mark("stems")
+        doc_starts = np.zeros(len(doc_lens), dtype=np.int64)
+        if len(doc_lens) > 1:
+            np.cumsum(doc_lens[:-1], out=doc_starts[1:])
+        doc_idx = np.repeat(
+            np.arange(len(doc_lens), dtype=np.int64), doc_lens
+        )
+        pos = np.arange(total, dtype=np.int64) - np.repeat(
+            doc_starts, doc_lens
+        )
+        tcode = code_to_tid[codes] if total else codes
+        keep = tcode >= 0
+        t2, d2, p2 = tcode[keep], doc_idx[keep], pos[keep]
+        # stable sort by (term, doc); equal keys keep ascending positions
+        order = np.lexsort((d2, t2))
+        ts, ds, ps_ = t2[order], d2[order], p2[order]
+
+        _mark("lexsort")
+        # (term, doc) run boundaries → per-run tf; term boundaries → rows
+        if len(ts):
+            rb = np.flatnonzero(
+                np.r_[True, (ts[1:] != ts[:-1]) | (ds[1:] != ds[:-1])]
+            )
+            run_tf = np.diff(np.r_[rb, len(ts)]).astype(np.int32)
+            run_term = ts[rb]
+            run_doc_global = doc_ids[ds[rb].astype(np.int64)]
+            tb = np.flatnonzero(np.r_[True, run_term[1:] != run_term[:-1]])
+            row_term_ids = run_term[tb]
+            row_offsets = np.r_[tb, len(rb)].astype(np.int32)
+        else:
+            rb = np.empty(0, np.int64)
+            run_tf = np.empty(0, np.int32)
+            run_doc_global = np.empty(0, np.int64)
+            row_term_ids = np.empty(0, np.int64)
+            row_offsets = np.zeros(1, np.int32)
+
+        terms_out = [terms_list[int(t)] for t in row_term_ids]
+        n_rows = len(terms_out)
+        off_arr = pa.array(row_offsets, pa.int32())
+        col_doc_ids = pa.ListArray.from_arrays(
+            off_arr, pa.array(run_doc_global, pa.int64())
+        )
+        col_tfs = pa.ListArray.from_arrays(
+            off_arr, pa.array(run_tf, pa.int32())
+        )
+
+        _mark("bounds")
+        if self.store_positions and len(ts):
+            gaps = delta_encode(ps_, rb)
+            all_bytes, vlens = encode_varints_with_lengths(gaps)
+            run_byte_lens = np.add.reduceat(vlens, rb).astype(np.int32)
+            run_byte_off = np.zeros(len(rb) + 1, dtype=np.int64)
+            np.cumsum(run_byte_lens, out=run_byte_off[1:])
+            term_byte_off = run_byte_off[row_offsets.astype(np.int64)]
+            mv = memoryview(all_bytes)
+            col_pos_bytes = pa.array(
+                [
+                    mv[term_byte_off[i] : term_byte_off[i + 1]]
+                    for i in range(n_rows)
+                ],
+                pa.binary(),
+            )
+            col_pos_lens = pa.ListArray.from_arrays(
+                off_arr, pa.array(run_byte_lens, pa.int32())
+            )
+        else:
+            col_pos_bytes = pa.array([b""] * n_rows, pa.binary())
+            col_pos_lens = pa.ListArray.from_arrays(
+                off_arr, pa.array(np.zeros(len(rb), np.int32), pa.int32())
+            )
+
+        _mark("posenc")
         seg = term_seg_array(terms_out, self.num_segments)
+        main = pa.table(
+            {
+                "term": pa.array(terms_out, pa.string()),
+                "seg": pa.array(seg, pa.int32()),
+                "doc_ids": col_doc_ids,
+                "tfs": col_tfs,
+                "pos_bytes": col_pos_bytes,
+                "pos_lens": col_pos_lens,
+            }
+        )
 
         # docstat pseudo-rows, routed by doc-id range partition
         part = (doc_ids * self.docstat_partitions) // self.total_docs
         part = np.clip(part, 0, self.docstat_partitions - 1)
+        ds_terms, ds_seg = [], []
+        ds_docs, ds_lens_col, ds_bytes, ds_plens = [], [], [], []
         for p in np.unique(part):
             mask = part == p
-            terms_out.append(DOCSTATS_TERM)
-            seg = np.append(seg, np.int32(self.num_segments + int(p)))
-            col_doc_ids.append(doc_ids[mask].tolist())
-            col_tfs.append(doc_lens[mask].tolist())
-            col_pos_bytes.append(b"")
-            # zero-length position slice per doc, so these rows flow through
-            # the generic run-merge (salted pre-merge) unchanged
-            col_pos_lens.append(np.zeros(int(mask.sum()), np.int32))
-
-        return pa.table(
+            ds_terms.append(DOCSTATS_TERM)
+            ds_seg.append(self.num_segments + int(p))
+            ds_docs.append(doc_ids[mask])
+            ds_lens_col.append(doc_lens[mask].astype(np.int32))
+            ds_bytes.append(b"")
+            # zero-length position slice per doc, so these rows flow
+            # through the generic run-merge (salted pre-merge) unchanged
+            ds_plens.append(np.zeros(int(mask.sum()), np.int32))
+        stats = pa.table(
             {
-                "term": pa.array(terms_out, pa.string()),
-                "seg": pa.array(seg, pa.int32()),
-                "doc_ids": pa.array(col_doc_ids, pa.list_(pa.int64())),
-                "tfs": pa.array(col_tfs, pa.list_(pa.int32())),
-                "pos_bytes": pa.array(col_pos_bytes, pa.binary()),
+                "term": pa.array(ds_terms, pa.string()),
+                "seg": pa.array(ds_seg, pa.int32()),
+                "doc_ids": pa.array(
+                    [x.tolist() for x in ds_docs], pa.list_(pa.int64())
+                ),
+                "tfs": pa.array(
+                    [x.tolist() for x in ds_lens_col], pa.list_(pa.int32())
+                ),
+                "pos_bytes": pa.array(ds_bytes, pa.binary()),
                 "pos_lens": pa.array(
-                    [np.asarray(x, np.int32) for x in col_pos_lens],
-                    pa.list_(pa.int32()),
+                    [x.tolist() for x in ds_plens], pa.list_(pa.int32())
                 ),
             }
         )
+        _mark("build")
+        if _dbg:
+            with open(_dbg, "a") as f:
+                parts_s = " ".join(f"{n}={t - _marks[i][1]:.2f}" for i, (n, t) in enumerate(_marks[1:]))
+                f.write(f"{_os.getpid()} {parts_s}\n")
+        return pa.concat_tables([main, stats]).combine_chunks()
+
+
+class TokenizeFragments(TokenizePartial):
+    """Fragment-driven variant: each batch is ONE row-group descriptor
+    (from sources.corpus_source.fragment_plan); the actor reads the row
+    group itself and tokenizes it.
+
+    Why: a separate read stage upstream of a batching tokenize stage gets
+    FUSED by Ray Data into one operator whose batch size is counted in
+    *descriptor* rows — a 160-fragment corpus then collapses into a single
+    task and the whole build serializes. Fusing read+tokenize explicitly,
+    one task per row group, keeps the intended parallelism (and saves one
+    serialization of the raw content through the object store). Units of
+    work = row groups, so parallelism is identical at every num_cpus
+    (SURVEY.md §7.4 R4)."""
+
+    def __init__(self, *, columns, doc_id_column=None, **kw):
+        super().__init__(**kw)
+        from ..sources.corpus_source import _ReadFragment
+
+        self.reader = _ReadFragment(columns, doc_id_column)
+
+    def __call__(self, batch: dict) -> pa.Table:
+        return super().__call__(self.reader(batch))
+
+
+_PROCESS_CACHE: dict = {}
+
+
+def tokenize_fragment_batch(batch: dict, **params) -> pa.Table:
+    import os as _os, time as _time
+    _dbg = _os.environ.get("IRPC_TOK_DEBUG")
+    if _dbg:
+        _t0 = _time.monotonic()
+    """Stateless-task form of TokenizeFragments with per-worker-process
+    instance caching.
+
+    Plain tasks reuse Ray's already-warm worker processes (an actor pool
+    pays a fresh process per actor — measured as the dominant cost of
+    small builds), while the module-level cache keeps the Analyzer's stem
+    cache warm across every task that lands on the same worker — the same
+    once-per-worker state the reference keeps per pool process
+    (``IndexCreator.py:36-38``)."""
+    key = tuple(sorted((k, repr(v)) for k, v in params.items()))
+    inst = _PROCESS_CACHE.get(key)
+    if inst is None:
+        inst = TokenizeFragments(**params)
+        _PROCESS_CACHE[key] = inst
+    if not _dbg:
+        return inst(batch)
+    _t1 = _time.monotonic()
+    tbl = inst.reader(batch)
+    _t2 = _time.monotonic()
+    out = TokenizePartial.__call__(inst, tbl)
+    _t3 = _time.monotonic()
+    with open(_dbg, "a") as f:
+        f.write(f"{_os.getpid()} init={_t1-_t0:.2f} read={_t2-_t1:.2f} tok={_t3-_t2:.2f} rows={tbl.num_rows}\n")
+    return out

@@ -100,7 +100,7 @@ def test_partitioning_invariance(ray_session, corpus_dir, index_dir, tmp_path):
     build_index(
         corpus_dir,
         d2,
-        BuildConfig(num_segments=7, docstat_partitions=3, tokenize_batch_size=17),
+        BuildConfig(num_segments=7, docstat_partitions=3, fragments_per_task=2),
     )
     a = _read_full_index(index_dir, 4)
     b = _read_full_index(d2, 7)
@@ -114,7 +114,7 @@ def test_salted_build_identical(ray_session, corpus_dir, index_dir, tmp_path):
         corpus_dir,
         d2,
         BuildConfig(
-            num_segments=4, docstat_partitions=2, salt=3, tokenize_batch_size=23
+            num_segments=4, docstat_partitions=2, salt=3, fragments_per_task=3
         ),
     )
     assert _read_full_index(index_dir, 4) == _read_full_index(d2, 4)

@@ -95,7 +95,10 @@ def test_posting_blob_golden():
     pos = np.array([5, 1, 3], dtype=np.int64)  # doc0: [5]; doc2: [1,3]
     starts = np.array([0, 1], dtype=np.int64)
     blob = encode_posting_blob(doc_ids, tfs, encode_positions(pos, starts))
-    # df=2 ctf=3 | gaps 0,2 | tfs 1,2 | pos 5, 1,2
-    assert blob == bytes([2, 3, 0, 2, 1, 2, 5, 1, 2])
+    # df=2 ctf=3 skip=4 | gaps 0,2 | tfs 1,2 | pos 5, 1,2
+    assert blob == bytes([2, 3, 4, 0, 2, 1, 2, 5, 1, 2])
     d, t, p, _ = decode_posting_blob(blob)
     assert d.tolist() == [0, 2] and t.tolist() == [1, 2] and p.tolist() == [5, 1, 3]
+    d2, t2, p2, ps2 = decode_posting_blob(blob, with_positions=False)
+    assert d2.tolist() == [0, 2] and t2.tolist() == [1, 2] and p2 is None
+    assert ps2.tolist() == [0, 1]
