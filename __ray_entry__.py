@@ -166,6 +166,33 @@ def _q_postings(sf_dir: str) -> pa.Table:
     )
 
 
+REPLYTO_CUSTKEY = 7
+
+
+def _q_replyto(sf_dir: str) -> pa.Table:
+    """ReplyTo:<key> through the ENGINE grammar, backed by an adjacency
+    artifact built from orders (o_custkey → o_orderkey children) — the
+    reference's reply_to_index as a first-class operator."""
+    from informationretrieval_en_people_cn_ray.pipelines.adjacency import (
+        AdjacencyIndex,
+        build_adjacency,
+    )
+
+    f = os.path.join(sf_dir, "orders.parquet")
+    d = os.path.join(
+        CACHE_ROOT,
+        "adj_" + hashlib.sha256(
+            f"{os.path.abspath(f)}|{os.path.getmtime(f)}".encode()
+        ).hexdigest()[:16],
+    )
+    if not os.path.exists(os.path.join(d, "adjacency.json")):
+        build_adjacency(f, "o_custkey", "o_orderkey", d, num_partitions=4)
+    eng = _engine(sf_dir)
+    eng.adjacency = AdjacencyIndex(d)
+    ids = eng.search(f"ReplyTo:{REPLYTO_CUSTKEY} AND ReplyTo:{REPLYTO_CUSTKEY}")
+    return _ids_table(ids)
+
+
 def _q_term_stats(sf_dir: str):
     return dp.term_stats(sf_dir)
 
@@ -257,6 +284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_search": _q_prefix,
         "phrase_search": _q_phrase,
         "phrase_prefix_search": _q_phrase_prefix,
+        "replyto_children": _q_replyto,
         # flagship stemmed pipeline (rows-only; pytest-oracle gated)
         "bm25_topk_stemmed": _q_bm25_stemmed,
         "reference_queryset_stemmed": _q_queryset_stemmed,
@@ -518,6 +546,9 @@ select distinct a.doc_id
 from tok a join tok b on a.doc_id = b.doc_id and b.pos = a.pos + 1
 where a.term = '{pw}'
   and b.term like '{pp}%' and len(b.term) between 2 and 128
+""",
+        "replyto_children": f"""
+select o_orderkey as doc_id from orders where o_custkey = {REPLYTO_CUSTKEY}
 """,
         "exact_dedup": """
 select min(doc_id) as doc_id from documents group by text

@@ -155,7 +155,9 @@ class SearchEngine:
         mode: str = "local",
         num_actors: int = 2,
         stem: bool | None = None,
+        adjacency=None,  # AdjacencyIndex for ReplyTo-style queries
     ):
+        self.adjacency = adjacency
         self.local = LocalSegments(index_dir)
         self.manifest = self.local.manifest
         cfg = self.manifest.get("config", {})
@@ -319,11 +321,14 @@ class SearchEngine:
         if tok.kind == "phrase_prefix":
             return self._phrase_prefix_docs(tok.value)
         if tok.kind == "replyto":
-            raise NotImplementedError(
-                "ReplyTo requires an adjacency index; the source-code corpus "
-                "has no reply structure (SURVEY.md §2.4 J4). Use "
-                "datapipe.group_adjacency for the generic lookup-table form."
-            )
+            if self.adjacency is None:
+                raise NotImplementedError(
+                    "ReplyTo needs an adjacency index — pass "
+                    "SearchEngine(..., adjacency=AdjacencyIndex(dir)) built "
+                    "with pipelines.adjacency.build_adjacency (the "
+                    "reference's reply_to_index, SURVEY.md §2.4 J4)."
+                )
+            return np.sort(self.adjacency.children(int(tok.value)))
         raise QueryParseError(f"unknown token kind {tok.kind}")
 
     # ---- public API ----------------------------------------------------

@@ -1,0 +1,156 @@
+"""CSV ingest + normalization (S1/M8) and adjacency index (J4/A4) —
+including an end-to-end CSV → index → query flow and ReplyTo via the
+engine grammar."""
+
+import csv
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def csv_corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("csvsrc")
+    path = str(d / "comments.csv")
+    rows = [
+        # cid, url, author, text
+        [0, "u0", "alice", "Tragic，event！with CJK punctuation"],
+        [1, "u1", "bob", "line\nbreaks\r\nand returns\rhere"],
+        [2, "u2", "carol", "plain running characters"],
+        [3, "u3", None, "row with null author"],
+    ]
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["cid", "url", "author", "text"])
+        w.writerows(rows)
+    return path
+
+
+def test_ingest_normalizes_and_audits(ray_session, csv_corpus, tmp_path):
+    from informationretrieval_en_people_cn_ray.sources.csv_ingest import (
+        ingest_csv_corpus,
+    )
+
+    out = str(tmp_path / "corpus")
+    ingest_csv_corpus(
+        csv_corpus,
+        out,
+        column_map={"cid": "doc_key", "url": "path", "author": "repo", "text": "content"},
+        text_columns=["content"],
+        min_fields=4,
+    )
+    import glob
+
+    t = pa.concat_tables(
+        [pq.read_table(f) for f in sorted(glob.glob(out + "/*.parquet"))]
+    )
+    texts = dict(zip(t["doc_key"].to_pylist(), t["content"].to_pylist()))
+    assert texts[0] == "Tragic,event!with CJK punctuation"  # CJK → ASCII
+    assert texts[1] == "line breaks and returns here"  # newlines → spaces
+    assert 3 not in texts  # null-audited row dropped
+    assert len(texts) == 3
+
+
+def test_csv_to_index_to_query(ray_session, csv_corpus, tmp_path):
+    """Full flow: CSV ingest → index build → query (reference §3.3 + §3.1
+    + §3.2 chained)."""
+    from informationretrieval_en_people_cn_ray.sources.csv_ingest import (
+        ingest_csv_corpus,
+    )
+    from informationretrieval_en_people_cn_ray.pipelines.build import (
+        BuildConfig,
+        build_index,
+    )
+    from informationretrieval_en_people_cn_ray.pipelines.search import (
+        SearchEngine,
+    )
+
+    corpus = str(tmp_path / "corpus2")
+    ingest_csv_corpus(
+        csv_corpus,
+        corpus,
+        column_map={"cid": "doc_key", "text": "content"},
+        text_columns=["content"],
+    )
+    idx = str(tmp_path / "idx")
+    build_index(corpus, idx, BuildConfig(num_segments=2, docstat_partitions=1))
+    eng = SearchEngine(idx)
+    ids, scores = eng.search("running characters", k=5)
+    assert len(ids) == 1  # only the 'plain running characters' doc
+    ids2 = eng.search("tragic AND event")
+    assert len(ids2) == 1
+
+
+def test_adjacency_build_and_lookup(ray_session, tmp_path):
+    from informationretrieval_en_people_cn_ray.pipelines.adjacency import (
+        AdjacencyIndex,
+        build_adjacency,
+    )
+
+    src = str(tmp_path / "edges.parquet")
+    parents = [1, 1, 2, 2, 2, 5, 1]
+    children = [10, 11, 20, 21, 22, 50, 12]
+    pq.write_table(
+        pa.table(
+            {"p": pa.array(parents, pa.int64()), "c": pa.array(children, pa.int64())}
+        ),
+        src,
+    )
+    out = str(tmp_path / "adj")
+    m = build_adjacency(src, "p", "c", out, num_partitions=3)
+    assert m["n_parents"] == 3 and m["n_edges"] == 7
+    a = AdjacencyIndex(out)
+    assert a.children(1).tolist() == [10, 11, 12]
+    assert a.children(2).tolist() == [20, 21, 22]
+    assert a.children(5).tolist() == [50]
+    assert a.children(99).tolist() == []
+
+
+def test_replyto_through_engine(ray_session, tmp_path):
+    """ReplyTo:<key> token resolves via the adjacency index (SURVEY J4),
+    composable with boolean algebra."""
+    from informationretrieval_en_people_cn_ray.corpus import write_corpus
+    from informationretrieval_en_people_cn_ray.pipelines.adjacency import (
+        AdjacencyIndex,
+        build_adjacency,
+    )
+    from informationretrieval_en_people_cn_ray.pipelines.build import (
+        BuildConfig,
+        build_index,
+    )
+    from informationretrieval_en_people_cn_ray.pipelines.search import (
+        SearchEngine,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    write_corpus(corpus, 30, seed=5, num_parquet_files=1)
+    idx = str(tmp_path / "idx")
+    build_index(corpus, idx, BuildConfig(num_segments=2, docstat_partitions=1))
+
+    # synthetic reply graph: parent = doc_id // 10
+    edges = str(tmp_path / "edges.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "parent": pa.array([i // 10 for i in range(30)], pa.int64()),
+                "child": pa.array(list(range(30)), pa.int64()),
+            }
+        ),
+        edges,
+    )
+    adj_dir = str(tmp_path / "adj")
+    build_adjacency(edges, "parent", "child", adj_dir, num_partitions=2)
+
+    eng = SearchEngine(idx, adjacency=AdjacencyIndex(adj_dir))
+    ids = eng.search("ReplyTo:1 AND ReplyTo:1")
+    assert list(ids) == list(range(10, 20))
+    # composed with a keyword constraint → subset
+    ids2 = eng.search("ReplyTo:1 AND the")
+    assert set(ids2) <= set(range(10, 20))
+    # engine without adjacency still raises helpfully
+    eng2 = SearchEngine(idx)
+    with pytest.raises(NotImplementedError, match="adjacency"):
+        eng2.search("ReplyTo:1 AND the")
