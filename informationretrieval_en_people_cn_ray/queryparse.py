@@ -62,7 +62,12 @@ _OPS = {"AND", "OR", "NOT"}
 def classify(raw: str) -> Token:
     """Non-operator lexeme → typed token (reference ``QueryTree.py:7-42``)."""
     if raw.startswith("ReplyTo:"):
-        return Token("replyto", raw[len("ReplyTo:") :])
+        key = raw[len("ReplyTo:") :]
+        try:
+            int(key)
+        except ValueError:
+            raise QueryParseError(f"ReplyTo key must be an integer: {raw}")
+        return Token("replyto", key)
     if raw.startswith("'"):
         if raw.endswith("'*"):
             return Token("phrase_prefix", raw[1:-2])

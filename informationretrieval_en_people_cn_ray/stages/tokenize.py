@@ -75,11 +75,6 @@ class TokenizePartial:
         limit_worker_threads()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import os as _os, time as _tm
-        _dbg = _os.environ.get("IRPC_TOK_DEBUG2")
-        _marks = [("start", _tm.monotonic())]
-        def _mark(name):
-            if _dbg: _marks.append((name, _tm.monotonic()))
         doc_ids = batch["doc_id"].to_numpy()
         contents = batch[self.content_column].to_pylist()
         if self.verify_sha and "content_sha256" in batch.column_names:
@@ -95,7 +90,6 @@ class TokenizePartial:
                     + ("..." if len(bad) > 10 else "")
                 )
 
-        _mark("sha")
         # --- vectorized analysis -------------------------------------
         # Per-batch pipeline: tokenize each doc (C regex), dictionary-
         # encode the whole batch's token stream (Arrow C++), stem + filter
@@ -105,7 +99,6 @@ class TokenizePartial:
         # (SURVEY.md §7.4 R6).
         tok = self.az.tokens
         tok_lists = [tok(t) for t in contents]
-        _mark("findall")
         doc_lens = np.fromiter(
             (len(x) for x in tok_lists), dtype=np.int64, count=len(tok_lists)
         )
@@ -116,11 +109,9 @@ class TokenizePartial:
             flat = pa.array(
                 list(chain.from_iterable(tok_lists)), pa.string()
             )
-            _mark("flatarr")
             enc = flat.dictionary_encode()
             codes = enc.indices.to_numpy().astype(np.int64)
             uniq = enc.dictionary.to_pylist()
-            _mark("dictenc")
         else:
             codes = np.empty(0, np.int64)
             uniq = []
@@ -144,7 +135,6 @@ class TokenizePartial:
             else:
                 code_to_tid[u_i] = -1
 
-        _mark("stems")
         doc_starts = np.zeros(len(doc_lens), dtype=np.int64)
         if len(doc_lens) > 1:
             np.cumsum(doc_lens[:-1], out=doc_starts[1:])
@@ -161,7 +151,6 @@ class TokenizePartial:
         order = np.lexsort((d2, t2))
         ts, ds, ps_ = t2[order], d2[order], p2[order]
 
-        _mark("lexsort")
         # (term, doc) run boundaries → per-run tf; term boundaries → rows
         if len(ts):
             rb = np.flatnonzero(
@@ -190,7 +179,6 @@ class TokenizePartial:
             off_arr, pa.array(run_tf, pa.int32())
         )
 
-        _mark("bounds")
         if self.store_positions and len(ts):
             gaps = delta_encode(ps_, rb)
             all_bytes, vlens = encode_varints_with_lengths(gaps)
@@ -215,7 +203,6 @@ class TokenizePartial:
                 off_arr, pa.array(np.zeros(len(rb), np.int32), pa.int32())
             )
 
-        _mark("posenc")
         seg = term_seg_array(terms_out, self.num_segments)
         main = pa.table(
             {
@@ -259,11 +246,6 @@ class TokenizePartial:
                 ),
             }
         )
-        _mark("build")
-        if _dbg:
-            with open(_dbg, "a") as f:
-                parts_s = " ".join(f"{n}={t - _marks[i][1]:.2f}" for i, (n, t) in enumerate(_marks[1:]))
-                f.write(f"{_os.getpid()} {parts_s}\n")
         return pa.concat_tables([main, stats]).combine_chunks()
 
 
@@ -295,10 +277,6 @@ _PROCESS_CACHE: dict = {}
 
 
 def tokenize_fragment_batch(batch: dict, **params) -> pa.Table:
-    import os as _os, time as _time
-    _dbg = _os.environ.get("IRPC_TOK_DEBUG")
-    if _dbg:
-        _t0 = _time.monotonic()
     """Stateless-task form of TokenizeFragments with per-worker-process
     instance caching.
 
@@ -313,13 +291,4 @@ def tokenize_fragment_batch(batch: dict, **params) -> pa.Table:
     if inst is None:
         inst = TokenizeFragments(**params)
         _PROCESS_CACHE[key] = inst
-    if not _dbg:
-        return inst(batch)
-    _t1 = _time.monotonic()
-    tbl = inst.reader(batch)
-    _t2 = _time.monotonic()
-    out = TokenizePartial.__call__(inst, tbl)
-    _t3 = _time.monotonic()
-    with open(_dbg, "a") as f:
-        f.write(f"{_os.getpid()} init={_t1-_t0:.2f} read={_t2-_t1:.2f} tok={_t3-_t2:.2f} rows={tbl.num_rows}\n")
-    return out
+    return inst(batch)

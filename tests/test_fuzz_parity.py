@@ -1,0 +1,63 @@
+"""Randomized engine-vs-oracle parity: random corpora seeds × generated
+queries of every grammar kind — the broad net behind the targeted tests."""
+
+import numpy as np
+import pytest
+
+from informationretrieval_en_people_cn_ray.corpus import write_corpus
+from informationretrieval_en_people_cn_ray.oracle import OracleIndex
+from informationretrieval_en_people_cn_ray.pipelines.build import (
+    BuildConfig,
+    build_index,
+)
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303])
+def test_fuzz_engine_matches_oracle(ray_session, tmp_path, seed):
+    from informationretrieval_en_people_cn_ray.pipelines.search import (
+        SearchEngine,
+    )
+
+    corpus = str(tmp_path / f"c{seed}")
+    write_corpus(corpus, 80, seed=seed, num_parquet_files=2, avg_tokens=60)
+    idx = str(tmp_path / f"i{seed}")
+    build_index(
+        corpus, idx, BuildConfig(num_segments=3, docstat_partitions=2)
+    )
+    oracle = OracleIndex.from_corpus(corpus)
+    eng = SearchEngine(idx)
+
+    rng = np.random.RandomState(seed)
+    vocab = sorted(oracle.postings)
+    pick = lambda: vocab[int(rng.randint(len(vocab)))]
+
+    for _ in range(15):
+        kind = int(rng.randint(5))
+        if kind == 0:  # ranked free text
+            q = " ".join(pick() for _ in range(int(rng.randint(1, 4))))
+            ids, scores = eng.search(q, k=10)
+            exp = oracle.bm25(q, k=10)
+            assert [int(i) for i in ids] == [d for d, _ in exp], q
+            assert np.allclose(scores, [s for _, s in exp], atol=1e-9), q
+        elif kind == 1:  # AND
+            a, b = pick(), pick()
+            got = sorted(int(x) for x in eng.search(f"{a} AND {b}"))
+            assert got == sorted(
+                oracle.keyword_set(a) & oracle.keyword_set(b)
+            ), (a, b)
+        elif kind == 2:  # NOT
+            a, b = pick(), pick()
+            got = sorted(int(x) for x in eng.search(f"{a} NOT {b}"))
+            assert got == sorted(
+                oracle.keyword_set(a) - oracle.keyword_set(b)
+            ), (a, b)
+        elif kind == 3:  # prefix
+            p = pick()[: int(rng.randint(1, 4))]
+            got = sorted(int(x) for x in eng.search(f"{p}* AND {p}*"))
+            assert got == sorted(oracle.prefix_set(p)), p
+        else:  # dirichlet ranked
+            q = " ".join(pick() for _ in range(2))
+            ids, scores = eng.search(q, k=10, scorer="dirichlet")
+            exp = oracle.dirichlet(q, k=10)
+            assert [int(i) for i in ids] == [d for d, _ in exp], q
+            assert np.allclose(scores, [s for _, s in exp], atol=1e-9), q
