@@ -300,6 +300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_topk": lambda sf: dp.embedding_topk(sf),
         "embedding_lsh_topk": lambda sf: dp.embedding_lsh_topk(sf),
         "group_adjacency": lambda sf: dp.group_adjacency(sf),
+        "events_window": lambda sf: dp.events_tumbling_window(sf),
     }
 
 
@@ -577,6 +578,13 @@ from embeddings e
 order by list_cosine_similarity(e.embedding::DOUBLE[], (select qv from q)) desc,
          e.vec_id
 limit 20
+""",
+        "events_window": """
+select event_type,
+       to_timestamp((epoch_us(ts) // 3600000000) * 3600000000 / 1000000)::timestamp as window_start,
+       count(*) as n_events,
+       sum(floor(value * 1000.0)::bigint) as sum_value_milli
+from events group by event_type, window_start
 """,
         "group_adjacency": """
 select o_custkey,

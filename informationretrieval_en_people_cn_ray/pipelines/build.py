@@ -136,7 +136,7 @@ def build_index(
         "config": config.key(),
         # bump when the on-disk blob/segment layout changes — stale caches
         # (queries(), bench) must rebuild, not misparse
-        "format_version": 2,
+        "format_version": 3,
     }
     build_fp = fingerprint(lineage)
 

@@ -497,6 +497,66 @@ def embedding_lsh_topk(sf_dir: str, k: int = 10, seed: int = 42):
 
 
 # ---------------------------------------------------------------------------
+# stream-shaped: tumbling-window aggregate over the events log
+#
+# Ray Data has no event-time windows/watermarks (the reference is pure
+# batch anyway, SURVEY.md §1.3); stream-shaped inputs are treated as an
+# ordered, partitioned log: assign the tumbling bucket in a vectorized
+# map_batches (with per-batch partial aggregation), then a small final
+# groupby — the windowed-aggregate pattern a training-data pipeline uses
+# for telemetry/event tables.
+
+
+def events_tumbling_window(sf_dir: str, hours: int = 1):
+    """(event_type, window_start, n_events, sum_value) — tumbling window
+    per event type; partial combine per batch before the shuffle."""
+    from ray.data.aggregate import Count, Sum
+
+    us_per = hours * 3600 * 1_000_000
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy()  # µs since epoch
+        win = (ts // us_per) * us_per
+        # integer milli-units: float summation order differs between
+        # engines in the last ulp; integer sums are order-independent
+        # and hash-exact
+        mv = np.floor(batch["value"].to_numpy() * 1000.0).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "window_start": pa.array(win, pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "value_milli": pa.array(mv, pa.int64()),
+            }
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        g = (
+            df.groupby(["event_type", "window_start"], as_index=False)
+            .agg(
+                n_events=("value_milli", "size"),
+                sum_value_milli=("value_milli", "sum"),
+            )
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    parts = ds.map_batches(bucket, batch_format="pyarrow").map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return parts.groupby(["event_type", "window_start"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_value_milli", alias_name="sum_value_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # join-index / adjacency (the reference's reply_to_index as a generic op)
 
 

@@ -405,14 +405,111 @@ class SearchEngine:
                 raise ValueError(f"unknown scorer {scorer}")
         return topk(cand, scores, k)
 
+    def ranked_pruned(
+        self,
+        plan: QueryPlan,
+        k: int = 10,
+        k1: float = BM25_K1,
+        b: float = BM25_B,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """MaxScore-pruned BM25 top-k — rank-identical to ``ranked`` by
+        construction (the north_star's pruned-BM25; per-term ``max_tf``
+        bounds today, per-block maxima planned as format v3).
+
+        Terms are processed in descending upper-bound order; once the
+        summed upper bound of the remaining terms is STRICTLY below the
+        current k-th score, docs appearing only in those remaining terms
+        cannot reach the top-k and their scoring is skipped entirely.
+        Every returned doc is scored with ALL query terms, so returned
+        scores equal the unpruned scorer's exactly.
+
+        Upper bound per term (valid for every posting since the BM25 term
+        contribution increases in tf and decreases in dl ≥ tf):
+            ub = idf * (k1+1) * mtf / ((1 + k1*b/avgdl) * mtf + k1*(1-b))
+        """
+        qterms = self.az.query_terms(plan.text)
+        plists = self._postings_map(qterms)
+        terms = [t for t in dict.fromkeys(qterms) if plists.get(t) is not None]
+        if not terms:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        # per-occurrence weights preserved: a duplicated query term scores
+        # multiple times in ranked(); count multiplicity
+        mult = {t: qterms.count(t) for t in terms}
+        ubs = []
+        for t in terms:
+            p = plists[t]
+            mtf = float(self._max_tf(t, p))
+            idf = np.log(1.0 + (self.N - p.df + 0.5) / (p.df + 0.5))
+            ub = (
+                idf * (k1 + 1.0) * mtf
+                / ((1.0 + k1 * b / self.avgdl) * mtf + k1 * (1.0 - b))
+            ) * mult[t]
+            ubs.append(ub)
+        order = np.argsort(-np.asarray(ubs), kind="stable")
+        suffix = np.zeros(len(order) + 1)
+        for i in range(len(order) - 1, -1, -1):
+            suffix[i] = suffix[i + 1] + ubs[int(order[i])]
+
+        seen = np.empty(0, np.int64)
+        all_docs: list[np.ndarray] = []
+        all_scores: list[np.ndarray] = []
+        theta = -np.inf
+        n_scored = 0
+        for rank_i, oi in enumerate(order):
+            if n_scored >= k and suffix[rank_i] < theta:
+                break
+            t = terms[int(oi)]
+            new = np.setdiff1d(plists[t].doc_ids, seen, assume_unique=True)
+            if new.size == 0:
+                continue
+            scores = np.zeros(len(new))
+            lens = self.stats.lens_for(new)
+            for qt in qterms:  # full scoring, query-term order (identity)
+                p = plists.get(qt)
+                if p is None:
+                    continue
+                bm25_accumulate(
+                    scores, new, p.doc_ids, p.tfs, lens, p.df,
+                    self.N, self.avgdl, k1, b,
+                )
+            all_docs.append(new)
+            all_scores.append(scores)
+            seen = np.union1d(seen, new)
+            n_scored += len(new)
+            if n_scored >= k:
+                flat = np.concatenate(all_scores)
+                theta = np.partition(flat, len(flat) - k)[len(flat) - k]
+        return topk(
+            np.concatenate(all_docs), np.concatenate(all_scores), k
+        )
+
+    def _max_tf(self, term: str, p: _Posting) -> int:
+        r = self.local.reader(term_seg(term, self.local.num_segments))
+        i = r.find(term)
+        mt = int(r.max_tf[i]) if i is not None else 0
+        return mt if mt > 0 else (int(p.tfs.max()) if len(p.tfs) else 1)
+
     def search(
-        self, query: str, k: int | None = 10, scorer: str = "bm25", **kw
+        self,
+        query: str,
+        k: int | None = 10,
+        scorer: str = "bm25",
+        prune: bool = False,
+        **kw,
     ):
         """Parse + dispatch. Boolean → sorted id array; ranked →
-        (doc_ids, scores)."""
+        (doc_ids, scores). ``prune=True`` uses the MaxScore-pruned BM25
+        path (rank-identical) when applicable."""
         plan = parse(query)
         if plan.kind == "boolean":
             return self.boolean(plan)
+        if (
+            prune
+            and scorer == "bm25"
+            and k is not None
+            and all(t.kind == "keyword" for t in plan.tokens)
+        ):
+            return self.ranked_pruned(plan, k=k, **kw)
         return self.ranked(plan, k=k, scorer=scorer, **kw)
 
 
@@ -421,10 +518,17 @@ class QueryEval:
     index — the Ray-Data-shaped batch query path (a Dataset of queries
     over a stateful actor pool; SURVEY.md §2.3 ST2)."""
 
-    def __init__(self, index_dir: str, k: int = 10, scorer: str = "bm25"):
+    def __init__(
+        self,
+        index_dir: str,
+        k: int = 10,
+        scorer: str = "bm25",
+        prune: bool = True,
+    ):
         self.engine = SearchEngine(index_dir, mode="local")
         self.k = k
         self.scorer = scorer
+        self.prune = prune
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         q_out, rank_out, doc_out, score_out = [], [], [], []
@@ -433,6 +537,12 @@ class QueryEval:
             if plan.kind == "boolean":
                 ids = self.engine.boolean(plan)
                 scores = np.full(len(ids), np.nan)
+            elif (
+                self.prune
+                and self.scorer == "bm25"
+                and all(t.kind == "keyword" for t in plan.tokens)
+            ):
+                ids, scores = self.engine.ranked_pruned(plan, k=self.k)
             else:
                 ids, scores = self.engine.ranked(
                     plan, k=self.k, scorer=self.scorer

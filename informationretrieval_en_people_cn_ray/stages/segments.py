@@ -149,6 +149,7 @@ class SegmentBuilder:
         out_terms: list[str] = []
         out_df: list[int] = []
         out_ctf: list[int] = []
+        out_max_tf: list[int] = []
         out_off: list[int] = []
         out_size: list[int] = []
         blobs: list[bytes] = []
@@ -176,6 +177,7 @@ class SegmentBuilder:
             out_df.append(len(doc_ids))
             ctf = int(tfs.sum())
             out_ctf.append(ctf)
+            out_max_tf.append(int(tfs.max()) if len(tfs) else 0)
             out_off.append(offset)
             out_size.append(len(blob))
             offset += len(blob)
@@ -190,6 +192,10 @@ class SegmentBuilder:
                 "term": pa.array(out_terms, pa.string()),
                 "df": pa.array(out_df, pa.int64()),
                 "ctf": pa.array(out_ctf, pa.int64()),
+                # per-term max tf: the MaxScore/WAND upper-bound input
+                # (north_star pruned-BM25; block-level maxima are the
+                # planned format-v3 refinement)
+                "max_tf": pa.array(out_max_tf, pa.int64()),
                 "offset": pa.array(out_off, pa.int64()),
                 "size": pa.array(out_size, pa.int64()),
             }
@@ -273,6 +279,11 @@ class SegmentReader:
         self.terms = np.asarray(t["term"].to_pylist(), dtype=object)
         self.df = t["df"].to_numpy()
         self.ctf = t["ctf"].to_numpy()
+        self.max_tf = (
+            t["max_tf"].to_numpy()
+            if "max_tf" in t.column_names
+            else np.zeros(len(self.df), np.int64)
+        )
         self.offset = t["offset"].to_numpy()
         self.size = t["size"].to_numpy()
         self.postings = np.memmap(

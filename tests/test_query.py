@@ -202,3 +202,35 @@ def test_search_many_dataset(ray_session, engine):
     ranked = out[out["query"] == qs[0]].sort_values("rank")
     ids, scores = engine.search(qs[0], k=5)
     assert ranked["doc_id"].tolist() == [int(x) for x in ids]
+
+
+def test_maxscore_pruned_identical(engine, oracle):
+    """MaxScore pruning must be invisible: identical doc ids AND scores
+    (SURVEY R1 rank-identity; north_star pruned-BM25)."""
+    queries = [
+        "data value result",
+        "the running characters",   # hot + rare mix
+        "import class name the",
+        "data",                      # single term
+        "zzznope data",              # one missing term
+        "data data value",           # duplicated query term
+    ]
+    for q in queries:
+        for k in (1, 3, 10, 50):
+            a_ids, a_sc = engine.search(q, k=k, scorer="bm25")
+            b_ids, b_sc = engine.search(q, k=k, scorer="bm25", prune=True)
+            assert [int(x) for x in a_ids] == [int(x) for x in b_ids], (q, k)
+            assert np.allclose(a_sc, b_sc, atol=0), (q, k)
+
+
+def test_maxscore_prunes_hot_terms(engine):
+    """With a rare term dominating, the hot term's unique docs are never
+    scored (observable via fewer scored docs than the candidate union)."""
+    from informationretrieval_en_people_cn_ray.queryparse import parse
+
+    plan = parse("quoted the")  # 'quot' rare (every 5th doc), 'the' ~all docs
+    full_ids, _ = engine.ranked(plan, k=None)
+    ids, sc = engine.ranked_pruned(plan, k=3)
+    a_ids, a_sc = engine.ranked(plan, k=3)
+    assert [int(x) for x in ids] == [int(x) for x in a_ids]
+    assert np.allclose(sc, a_sc, atol=0)
