@@ -69,6 +69,7 @@ class BuildConfig:
     salt: int = 0  # 0 = no pre-merge; else number of salted buckets per term
     content_column: str = "content"
     doc_id_column: str | None = None  # use an existing stable id column
+    max_blob_docs: int = 1_000_000  # giant-term posting chunk size
 
     def key(self) -> dict:
         return asdict(self)
@@ -206,7 +207,10 @@ def build_index(
             premerge_runs, batch_format="pyarrow"
         )
 
-    builder = SegmentBuilder(out_dir, build_fp, config.num_segments)
+    builder = SegmentBuilder(
+        out_dir, build_fp, config.num_segments,
+        max_blob_docs=config.max_blob_docs,
+    )
 
     def build_segment(group: pa.Table) -> pa.Table:
         return builder(group)

@@ -77,11 +77,10 @@ class LocalSegments:
         self, term: str, with_positions: bool = False
     ) -> _Posting | None:
         r = self.reader(term_seg(term, self.num_segments))
-        i = r.find(term)
-        if i is None:
+        rng = r.term_range(term)
+        if rng is None:
             return None
-        d, t, p, ps = r.postings_decoded(i, with_positions)
-        return _Posting(d, t, p, ps, int(r.df[i]), int(r.ctf[i]))
+        return _Posting(*r.postings_merged(*rng, with_positions))
 
     def prefix_terms(self, prefix: str) -> list[str]:
         out = []
@@ -89,7 +88,7 @@ class LocalSegments:
             r = self.reader(seg)
             lo, hi = r.prefix_range(prefix)
             out.extend(r.terms[lo:hi].tolist())
-        return sorted(out)
+        return sorted(dict.fromkeys(out))  # chunked terms repeat rows
 
 
 @ray.remote
@@ -107,12 +106,11 @@ class SegmentSearcher:
         out = {}
         for term, seg in terms:
             r = self.readers[seg]
-            i = r.find(term)
-            if i is None:
+            rng = r.term_range(term)
+            if rng is None:
                 out[term] = None
             else:
-                d, t, p, ps = r.postings_decoded(i, with_positions)
-                out[term] = (d, t, p, ps, int(r.df[i]), int(r.ctf[i]))
+                out[term] = r.postings_merged(*rng, with_positions)
         return out
 
     def prefix_terms(self, prefix: str) -> list[str]:
@@ -485,8 +483,8 @@ class SearchEngine:
 
     def _max_tf(self, term: str, p: _Posting) -> int:
         r = self.local.reader(term_seg(term, self.local.num_segments))
-        i = r.find(term)
-        mt = int(r.max_tf[i]) if i is not None else 0
+        rng = r.term_range(term)
+        mt = int(r.max_tf[rng[0] : rng[1]].max()) if rng else 0
         return mt if mt > 0 else (int(p.tfs.max()) if len(p.tfs) else 1)
 
     def search(

@@ -92,10 +92,22 @@ def docstat_dir(out_dir: str, part: int) -> str:
 class SegmentBuilder:
     """groupby('seg').map_groups body — one call per partition."""
 
-    def __init__(self, out_dir: str, build_fp: str, num_segments: int):
+    def __init__(
+        self,
+        out_dir: str,
+        build_fp: str,
+        num_segments: int,
+        max_blob_docs: int = 1_000_000,
+    ):
         self.out_dir = out_dir
         self.build_fp = build_fp
         self.num_segments = num_segments
+        # giant-term cap: a term whose postings exceed this many docs is
+        # written as MULTIPLE consecutive blobs (chunk column in the term
+        # dictionary). At 10^12-doc scale a head term's single blob would
+        # be unboundedly large; chunking bounds encode/decode working-set
+        # per blob and lets future block-skipping address chunks directly.
+        self.max_blob_docs = max_blob_docs
         self._threads_limited = False
 
     def __call__(self, group: pa.Table) -> pa.Table:
@@ -147,6 +159,7 @@ class SegmentBuilder:
         bdata, boffs = _binary_views(group["pos_bytes"])
 
         out_terms: list[str] = []
+        out_chunk: list[int] = []
         out_df: list[int] = []
         out_ctf: list[int] = []
         out_max_tf: list[int] = []
@@ -156,6 +169,8 @@ class SegmentBuilder:
         offset = 0
         n_postings = 0
         tokens = 0
+        n_distinct = 0
+        step = self.max_blob_docs
 
         i = 0
         n = len(order)
@@ -171,18 +186,27 @@ class SegmentBuilder:
                 [bdata[boffs[r] : boffs[r + 1]] for r in rows],
                 [lvals[loffs[r] : loffs[r + 1]] for r in rows],
             )
-            blob = encode_posting_blob(doc_ids, tfs, pos_bytes)
-            blobs.append(blob)
-            out_terms.append(t)
-            out_df.append(len(doc_ids))
-            ctf = int(tfs.sum())
-            out_ctf.append(ctf)
-            out_max_tf.append(int(tfs.max()) if len(tfs) else 0)
-            out_off.append(offset)
-            out_size.append(len(blob))
-            offset += len(blob)
-            n_postings += len(doc_ids)
-            tokens += ctf
+            n_distinct += 1
+            pos_ends = np.zeros(len(doc_ids) + 1, dtype=np.int64)
+            np.cumsum(pos_lens, out=pos_ends[1:])
+            for ci, c0 in enumerate(range(0, max(1, len(doc_ids)), step)):
+                c1 = min(c0 + step, len(doc_ids))
+                cd, ct = doc_ids[c0:c1], tfs[c0:c1]
+                blob = encode_posting_blob(
+                    cd, ct, pos_bytes[pos_ends[c0] : pos_ends[c1]]
+                )
+                blobs.append(blob)
+                out_terms.append(t)
+                out_chunk.append(ci)
+                out_df.append(len(cd))
+                ctf = int(ct.sum())
+                out_ctf.append(ctf)
+                out_max_tf.append(int(ct.max()) if len(ct) else 0)
+                out_off.append(offset)
+                out_size.append(len(blob))
+                offset += len(blob)
+                n_postings += len(cd)
+                tokens += ctf
             i = j
 
         postings = b"".join(blobs)
@@ -190,11 +214,14 @@ class SegmentBuilder:
         terms_tbl = pa.table(
             {
                 "term": pa.array(out_terms, pa.string()),
+                # chunk ordinal within the term (giant terms span several
+                # consecutive rows/blobs; readers merge the range)
+                "chunk": pa.array(out_chunk, pa.int32()),
                 "df": pa.array(out_df, pa.int64()),
                 "ctf": pa.array(out_ctf, pa.int64()),
-                # per-term max tf: the MaxScore/WAND upper-bound input
+                # per-chunk max tf: the MaxScore/WAND upper-bound input
                 # (north_star pruned-BM25; block-level maxima are the
-                # planned format-v3 refinement)
+                # planned refinement)
                 "max_tf": pa.array(out_max_tf, pa.int64()),
                 "offset": pa.array(out_off, pa.int64()),
                 "size": pa.array(out_size, pa.int64()),
@@ -208,7 +235,8 @@ class SegmentBuilder:
             {
                 "kind": "postings",
                 "seg": seg,
-                "n_terms": len(out_terms),
+                "n_terms": n_distinct,
+                "n_chunks": len(out_terms),
                 "n_docs": n_postings,  # posting entries, not distinct docs
                 "tokens": tokens,
                 "bytes": len(postings),
@@ -218,7 +246,7 @@ class SegmentBuilder:
             },
         )
         return self._summary(
-            seg, "postings", len(out_terms), n_postings, tokens,
+            seg, "postings", n_distinct, n_postings, tokens,
             len(postings), d, False,
         )
 
@@ -292,11 +320,11 @@ class SegmentReader:
         self._decoded: dict[int, tuple] = {}
 
     def postings_decoded(self, idx: int, with_positions: bool = False) -> tuple:
-        """(doc_ids, tfs, positions|None, pos_starts) with a small cache —
-        query batches hit the same hot terms repeatedly and re-decoding a
-        100k-doc posting list per query dominates batch latency. Positions
-        are decoded lazily (only phrase queries pay for them) and the
-        cached entry upgrades in place."""
+        """(doc_ids, tfs, positions|None, pos_starts) for ONE blob row,
+        with a small cache — query batches hit the same hot terms
+        repeatedly and re-decoding a 100k-doc posting list per query
+        dominates batch latency. Positions decoded lazily (only phrase
+        queries pay) and the cached entry upgrades in place."""
         hit = self._decoded.get(idx)
         if hit is None or (with_positions and hit[2] is None):
             from ..codec import decode_posting_blob
@@ -309,11 +337,44 @@ class SegmentReader:
             self._decoded[idx] = hit
         return hit
 
+    def term_range(self, term: str) -> tuple[int, int] | None:
+        """Row range [lo, hi) of a term's chunks in the dictionary (giant
+        terms span several consecutive chunk rows)."""
+        lo = int(np.searchsorted(self.terms, term, side="left"))
+        if lo >= len(self.terms) or self.terms[lo] != term:
+            return None
+        hi = int(np.searchsorted(self.terms, term, side="right"))
+        return lo, hi
+
+    def postings_merged(
+        self, lo: int, hi: int, with_positions: bool = False
+    ) -> tuple:
+        """Decode + concatenate a term's chunk rows →
+        (doc_ids, tfs, positions|None, pos_starts, df, ctf)."""
+        parts = [
+            self.postings_decoded(i, with_positions) for i in range(lo, hi)
+        ]
+        df = int(self.df[lo:hi].sum())
+        ctf = int(self.ctf[lo:hi].sum())
+        if len(parts) == 1:
+            d, t, p, ps = parts[0]
+            return d, t, p, ps, df, ctf
+        d = np.concatenate([x[0] for x in parts])
+        t = np.concatenate([x[1] for x in parts])
+        p = (
+            np.concatenate([x[2] for x in parts])
+            if with_positions
+            else None
+        )
+        ps = np.zeros(len(d), dtype=np.int64)
+        if len(t):
+            np.cumsum(t[:-1], out=ps[1:])
+        return d, t, p, ps, df, ctf
+
     def find(self, term: str) -> int | None:
-        i = int(np.searchsorted(self.terms, term))
-        if i < len(self.terms) and self.terms[i] == term:
-            return i
-        return None
+        """First chunk row of the term (None if absent)."""
+        r = self.term_range(term)
+        return r[0] if r else None
 
     def blob(self, idx: int) -> bytes:
         o, s = int(self.offset[idx]), int(self.size[idx])

@@ -42,18 +42,22 @@ def index_dir(ray_session, corpus_dir, tmp_path_factory):
 
 
 def _read_full_index(index_dir, num_segments):
-    """index → {term: (doc_ids, tfs, positions_by_doc)}"""
+    """index → {term: (doc_ids, tfs, positions_by_doc)} — merged across
+    giant-term chunks."""
     out = {}
     for seg in range(num_segments):
         r = SegmentReader(index_dir, seg)
-        for i, t in enumerate(r.terms):
-            d, tf, pos, starts = decode_posting_blob(r.blob(i))
+        for t in dict.fromkeys(r.terms.tolist()):
+            lo, hi = r.term_range(t)
+            d, tf, pos, starts, df, ctf = r.postings_merged(
+                lo, hi, with_positions=True
+            )
             pos_by_doc = [
                 pos[starts[k] : starts[k] + tf[k]].tolist()
                 for k in range(len(d))
             ]
             assert term_seg(t, num_segments) == seg
-            out[t] = (d.tolist(), tf.tolist(), pos_by_doc, int(r.df[i]), int(r.ctf[i]))
+            out[t] = (d.tolist(), tf.tolist(), pos_by_doc, df, ctf)
     return out
 
 
@@ -163,3 +167,45 @@ def test_sha_invariant_enforced(ray_session, tmp_path):
     pq.write_table(t, f)
     with pytest.raises(Exception, match="sha256|RayTaskError"):
         build_index(src, str(tmp_path / "bad_idx"), BuildConfig(num_segments=2))
+
+
+def test_chunked_blobs_identical(ray_session, corpus_dir, index_dir, tmp_path):
+    """Giant-term posting chunking (max_blob_docs) is a pure storage
+    layout knob: merged reads and queries are identical; hot terms span
+    multiple chunk rows in the dictionary."""
+    import pyarrow.parquet as pq
+    from informationretrieval_en_people_cn_ray.pipelines.search import (
+        SearchEngine,
+    )
+
+    d2 = str(tmp_path / "idx_chunked")
+    build_index(
+        corpus_dir,
+        d2,
+        BuildConfig(num_segments=4, docstat_partitions=2, max_blob_docs=16),
+    )
+    # the logical index (merged across chunks) is unchanged
+    a = _read_full_index(index_dir, 4)
+    b = _read_full_index(d2, 4)
+    assert a == b
+    # 'the' (present in ~every doc) must actually be chunked
+    from informationretrieval_en_people_cn_ray.stages.postings import term_seg
+
+    seg = term_seg("the", 4)
+    tt = pq.read_table(os.path.join(d2, f"seg={seg:05d}", "terms.parquet"))
+    the_rows = [x for x in tt["term"].to_pylist() if x == "the"]
+    assert len(the_rows) > 1  # chunked
+    # queries identical across layouts
+    e1 = SearchEngine(index_dir)
+    e2 = SearchEngine(d2)
+    for q in ["the data value", "'quoted string' AND the", "th* AND data"]:
+        r1, r2 = e1.search(q, k=10), e2.search(q, k=10)
+        if isinstance(r1, tuple):
+            assert [int(x) for x in r1[0]] == [int(x) for x in r2[0]]
+            assert np.allclose(r1[1], r2[1], atol=0)
+        else:
+            assert list(r1) == list(r2)
+    # pruned path too
+    a1 = e1.search("the data value", k=5, prune=True)
+    a2 = e2.search("the data value", k=5, prune=True)
+    assert [int(x) for x in a1[0]] == [int(x) for x in a2[0]]
