@@ -140,7 +140,7 @@ def _scaling(n_docs: int) -> None:
 
     lo = int(os.environ.get("GRAFT_SCALE_LO", "2"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "8"))
-    repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "2"))
+    repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "1"))
     results = {}
     for cpus in (lo, hi):
         best = None
