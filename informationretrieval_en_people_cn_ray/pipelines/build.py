@@ -43,11 +43,7 @@ from ..sources.corpus_source import corpus_files, fragment_plan
 from ..state.manifest import fingerprint, load_json, write_json_atomic
 from ..stages.postings import merge_runs
 from ..stages.segments import SegmentBuilder
-from ..stages.tokenize import (
-    DOCSTATS_TERM,
-    TokenizeFragments,
-    tokenize_fragment_batch,
-)
+from ..stages.tokenize import TokenizeFragments, tokenize_fragment_batch
 
 
 @dataclass

@@ -16,19 +16,13 @@ Ops returning a Dataset stream; callers (driver gate, bench) consume via
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 import ray
 import ray.data
 
 from ..functions.hashing import (
-    MASK63,
-    MERSENNE61,
-    md5_i63,
     minhash_signature,
     rolling_fingerprint,
     sha256_hex,
@@ -510,7 +504,7 @@ def embedding_lsh_topk(sf_dir: str, k: int = 10, seed: int = 42):
 def events_tumbling_window(sf_dir: str, hours: int = 1):
     """(event_type, window_start, n_events, sum_value) — tumbling window
     per event type; partial combine per batch before the shuffle."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     us_per = hours * 3600 * 1_000_000
 

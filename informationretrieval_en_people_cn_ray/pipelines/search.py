@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import glob
 import os
-import re
 
 import numpy as np
 import pyarrow as pa
@@ -33,7 +32,6 @@ import pyarrow.parquet as pq
 
 import ray
 
-from ..codec import decode_posting_blob
 from ..functions.scoring import bm25_accumulate, dirichlet_accumulate, topk
 from ..oracle import BM25_K1, BM25_B, DIRICHLET_MU, FREQ_CUTOFF
 from ..queryparse import QueryParseError, QueryPlan, Token, parse

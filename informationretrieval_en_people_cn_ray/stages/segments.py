@@ -41,7 +41,6 @@ from ..state.manifest import (
     write_json_atomic,
 )
 from .postings import merge_runs
-from .tokenize import DOCSTATS_TERM
 
 SUMMARY_SCHEMA = pa.schema(
     [

@@ -21,7 +21,6 @@ Pure Python / numpy; no Ray imports — usable inside any map_batches fn.
 from __future__ import annotations
 
 import re
-from typing import Iterable
 
 TOKEN_RE = re.compile(r"[a-z0-9]+")
 # U+0130 (İ) is the only codepoint whose str.lower() expands to multiple
