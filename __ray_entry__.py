@@ -583,7 +583,7 @@ limit 20
 select event_type,
        to_timestamp((epoch_us(ts) // 3600000000) * 3600000000 / 1000000)::timestamp as window_start,
        count(*) as n_events,
-       sum(floor(value * 1000.0)::bigint) as sum_value_milli
+       sum(floor(value * 1000.0)::bigint)::bigint as sum_value_milli
 from events group by event_type, window_start
 """,
         "group_adjacency": """

@@ -103,15 +103,24 @@ class _PreMerge:
 
 def _add_salt_key(batch: pa.Table, salt: int) -> pa.Table:
     """Salt = hash of the run's FIRST doc id — deterministic, and spreads a
-    term's runs uniformly over `salt` buckets."""
+    term's runs uniformly over `salt` buckets.
+
+    The key MUST include ``seg``: for posting rows seg is a pure function
+    of the term (no grouping change), but docstat pseudo-rows all share
+    ``DOCSTATS_TERM`` while differing in seg (doc-id range partition) —
+    without seg in the key, colliding buckets would merge rows across
+    docstat partitions and _PreMerge would emit ONE seg for them,
+    mis-routing doc lengths (→ unsorted concatenated docstats → wrong
+    BM25/Dirichlet doc lengths downstream)."""
     terms = batch["term"].to_pylist()
+    segs = batch["seg"].to_pylist()
     first_doc = np.array(
         [c.values[0].as_py() if len(c.values) else 0 for c in batch["doc_ids"]],
         dtype=np.int64,
     )
     keys = [
-        f"{t}\x01{(zlib.crc32(int(d).to_bytes(8, 'little')) % salt)}"
-        for t, d in zip(terms, first_doc)
+        f"{t}\x01{s}\x01{(zlib.crc32(int(d).to_bytes(8, 'little')) % salt)}"
+        for t, s, d in zip(terms, segs, first_doc)
     ]
     return batch.append_column("salt_key", pa.array(keys, pa.string()))
 

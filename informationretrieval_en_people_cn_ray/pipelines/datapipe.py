@@ -502,52 +502,67 @@ def embedding_lsh_topk(sf_dir: str, k: int = 10, seed: int = 42):
 
 
 def events_tumbling_window(sf_dir: str, hours: int = 1):
-    """(event_type, window_start, n_events, sum_value) — tumbling window
-    per event type; partial combine per batch before the shuffle."""
+    """(event_type, window_start, n_events, sum_value_milli) — tumbling
+    window per event type; Arrow-native partial combine per batch before
+    the shuffle.
+
+    Type fidelity: the window key stays **int64 µs** through the bucket /
+    partial / shuffle stages (a pandas hop here silently downgraded
+    ``timestamp[us]`` to ``timestamp[s]`` and broke the value-hash gate);
+    the single cast to ``timestamp("us")`` happens in the final
+    projection, after the aggregate."""
     from ray.data.aggregate import Sum
 
     us_per = hours * 3600 * 1_000_000
 
-    def bucket(batch: pa.Table) -> pa.Table:
+    def partial(batch: pa.Table) -> pa.Table:
         ts = batch["ts"].cast(pa.int64()).to_numpy()  # µs since epoch
         win = (ts // us_per) * us_per
         # integer milli-units: float summation order differs between
         # engines in the last ulp; integer sums are order-independent
         # and hash-exact
         mv = np.floor(batch["value"].to_numpy() * 1000.0).astype(np.int64)
-        return pa.table(
+        keyed = pa.table(
             {
                 "event_type": batch["event_type"],
-                "window_start": pa.array(win, pa.int64()).cast(
-                    pa.timestamp("us")
-                ),
+                "window_us": pa.array(win, pa.int64()),
                 "value_milli": pa.array(mv, pa.int64()),
             }
         )
-
-    def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = batch.to_pandas()
-        g = (
-            df.groupby(["event_type", "window_start"], as_index=False)
-            .agg(
-                n_events=("value_milli", "size"),
-                sum_value_milli=("value_milli", "sum"),
-            )
+        g = keyed.group_by(["event_type", "window_us"]).aggregate(
+            [("value_milli", "count"), ("value_milli", "sum")]
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "window_us": g["window_us"],
+                "n_events": g["value_milli_count"].cast(pa.int64()),
+                "sum_value_milli": g["value_milli_sum"].cast(pa.int64()),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "window_start": batch["window_us"].cast(pa.timestamp("us")),
+                "n_events": batch["n_events"],
+                "sum_value_milli": batch["sum_value_milli"],
+            }
+        )
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
     )
-    parts = ds.map_batches(bucket, batch_format="pyarrow").map_batches(
-        partial, batch_format="pyarrow"
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "window_us"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value_milli", alias_name="sum_value_milli"),
+        )
     )
-    return parts.groupby(["event_type", "window_start"]).aggregate(
-        Sum("n_events", alias_name="n_events"),
-        Sum("sum_value_milli", alias_name="sum_value_milli"),
-    )
+    return agg.map_batches(finalize, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -133,6 +133,17 @@ class DocStats:
             t = pa.concat_tables(tables)
             self.doc_ids = t["doc_id"].to_numpy()
             self.doc_lens = t["doc_len"].to_numpy()
+            if self.doc_ids.size > 1 and np.any(
+                self.doc_ids[1:] <= self.doc_ids[:-1]
+            ):
+                # range-partitioned parts concatenated in part order must
+                # be globally sorted; anything else means the build
+                # mis-routed docstat rows (lens_for's searchsorted would
+                # silently return wrong doc lengths)
+                raise ValueError(
+                    f"docstats under {index_dir} are not globally sorted — "
+                    "corrupt or mis-partitioned build"
+                )
         else:
             self.doc_ids = np.empty(0, np.int64)
             self.doc_lens = np.empty(0, np.int64)

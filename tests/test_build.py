@@ -111,8 +111,32 @@ def test_partitioning_invariance(ray_session, corpus_dir, index_dir, tmp_path):
     assert a == b
 
 
+def _read_docstats(index_dir, parts):
+    """per-partition (ids, lens) + global sortedness check."""
+    import pyarrow.parquet as pq
+
+    out = []
+    prev_max = None
+    for part in range(parts):
+        t = pq.read_table(
+            os.path.join(
+                index_dir, "docstats", f"part={part:05d}", "docstats.parquet"
+            )
+        )
+        ids = t["doc_id"].to_pylist()
+        assert ids == sorted(ids)
+        if prev_max is not None and ids:
+            assert ids[0] > prev_max  # global sortedness across parts
+        if ids:
+            prev_max = ids[-1]
+        out.append((ids, t["doc_len"].to_pylist()))
+    return out
+
+
 def test_salted_build_identical(ray_session, corpus_dir, index_dir, tmp_path):
-    """Salted pre-merge is a pure performance knob: identical index."""
+    """Salted pre-merge is a pure performance knob: identical index —
+    including docstat partitions, the artifact a bad salt key corrupts
+    (docstat pseudo-rows share a term but differ in seg)."""
     d2 = str(tmp_path / "idx_salted")
     build_index(
         corpus_dir,
@@ -122,6 +146,18 @@ def test_salted_build_identical(ray_session, corpus_dir, index_dir, tmp_path):
         ),
     )
     assert _read_full_index(index_dir, 4) == _read_full_index(d2, 4)
+    assert _read_docstats(index_dir, 2) == _read_docstats(d2, 2)
+    # and the query path over the salted index works end-to-end (the
+    # historical failure mode was an IndexError in DocStats.lens_for)
+    from informationretrieval_en_people_cn_ray.pipelines.search import (
+        SearchEngine,
+    )
+
+    e1, e2 = SearchEngine(index_dir), SearchEngine(d2)
+    ids1, s1 = e1.search("the data value", k=10)
+    ids2, s2 = e2.search("the data value", k=10)
+    assert [int(x) for x in ids1] == [int(x) for x in ids2]
+    assert np.allclose(s1, s2, atol=0)
 
 
 def test_resume_skips_complete_partitions(ray_session, corpus_dir, tmp_path):
