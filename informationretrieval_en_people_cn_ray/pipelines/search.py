@@ -434,24 +434,43 @@ class SearchEngine:
         contribution increases in tf and decreases in dl ≥ tf):
             ub = idf * (k1+1) * mtf / ((1 + k1*b/avgdl) * mtf + k1*(1-b))
         """
+        if any(t.kind != "keyword" for t in plan.tokens):
+            # pruning reasons over keyword posting lists only
+            return self.ranked(plan, k=k, scorer="bm25", k1=k1, b=b)
         qterms = self.az.query_terms(plan.text)
         plists = self._postings_map(qterms)
-        terms = [t for t in dict.fromkeys(qterms) if plists.get(t) is not None]
-        if not terms:
+        # candidate universe: the FIRST analyzed term of each keyword —
+        # exactly ranked()'s _keyword_docs, so the two paths agree even
+        # for keywords that analyze to multiple index terms (e.g.
+        # 'covid-19' → ['covid', '19']: '19' scores but never generates
+        # candidates on its own)
+        cand_terms: list[str] = []
+        for tok in plan.tokens:
+            ts = self.az.query_terms(tok.value)
+            if ts and plists.get(ts[0]) is not None and ts[0] not in cand_terms:
+                cand_terms.append(ts[0])
+        if not cand_terms:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         # per-occurrence weights preserved: a duplicated query term scores
         # multiple times in ranked(); count multiplicity
-        mult = {t: qterms.count(t) for t in terms}
-        ubs = []
-        for t in terms:
+        scored_terms = [
+            t for t in dict.fromkeys(qterms) if plists.get(t) is not None
+        ]
+        mult = {t: qterms.count(t) for t in scored_terms}
+        ub = {}
+        for t in scored_terms:
             p = plists[t]
             mtf = float(self._max_tf(t, p))
             idf = np.log(1.0 + (self.N - p.df + 0.5) / (p.df + 0.5))
-            ub = (
+            ub[t] = (
                 idf * (k1 + 1.0) * mtf
                 / ((1.0 + k1 * b / self.avgdl) * mtf + k1 * (1.0 - b))
             ) * mult[t]
-            ubs.append(ub)
+        # terms that score but never drive candidacy: an unseen doc may
+        # still contain them, so their total upper bound is a CONSTANT in
+        # the stopping rule (zero in the common one-term-per-keyword case)
+        noncand_ub = sum(v for t, v in ub.items() if t not in cand_terms)
+        ubs = [ub[t] for t in cand_terms]
         order = np.argsort(-np.asarray(ubs), kind="stable")
         suffix = np.zeros(len(order) + 1)
         for i in range(len(order) - 1, -1, -1):
@@ -463,9 +482,9 @@ class SearchEngine:
         theta = -np.inf
         n_scored = 0
         for rank_i, oi in enumerate(order):
-            if n_scored >= k and suffix[rank_i] < theta:
+            if n_scored >= k and suffix[rank_i] + noncand_ub < theta:
                 break
-            t = terms[int(oi)]
+            t = cand_terms[int(oi)]
             new = np.setdiff1d(plists[t].doc_ids, seen, assume_unique=True)
             if new.size == 0:
                 continue
@@ -574,14 +593,22 @@ def search_many(
     k: int = 10,
     scorer: str = "bm25",
     concurrency: int = 2,
+    prune: bool = True,
 ):
-    """Dataset-of-queries → actor pool → results Dataset."""
+    """Dataset-of-queries → actor pool → results Dataset.
+
+    ``prune`` forwards to QueryEval (MaxScore-pruned BM25 — rank-identical
+    to the unpruned scorer, so True is the default on both paths; pass
+    False to force the plain scorer, matching SearchEngine.search's
+    opt-in semantics from the other direction)."""
     import ray.data
 
     ds = ray.data.from_items([{"query": q} for q in queries])
     return ds.map_batches(
         QueryEval,
-        fn_constructor_kwargs=dict(index_dir=index_dir, k=k, scorer=scorer),
+        fn_constructor_kwargs=dict(
+            index_dir=index_dir, k=k, scorer=scorer, prune=prune
+        ),
         batch_size=max(1, len(queries) // max(1, concurrency)),
         batch_format="pyarrow",
         concurrency=concurrency,

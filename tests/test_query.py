@@ -214,6 +214,12 @@ def test_maxscore_pruned_identical(engine, oracle):
         "data",                      # single term
         "zzznope data",              # one missing term
         "data data value",           # duplicated query term
+        # keywords analyzing to MULTIPLE index terms ('data-value' →
+        # ['data', 'valu']): only the first term generates candidates in
+        # ranked(); the pruned path must agree (candidate-universe parity)
+        "data-value result",
+        "running-characters the",
+        "the-self",                  # hot multi-term keyword alone
     ]
     for q in queries:
         for k in (1, 3, 10, 50):
