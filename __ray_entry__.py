@@ -428,6 +428,58 @@ from sh
 """
 
 
+def _near_dup_sql(threshold: float = 0.8) -> str:
+    sig_cols = ",\n  ".join(
+        "list_min([(md5_number_lower('%d:' || s) & 9223372036854775807)::bigint"
+        " for s in shingles]) as sig_%d" % (k, k)
+        for k in range(dp.NUM_MINHASHES)
+    )
+    band_cond = " or ".join(
+        f"(a.sig_{2 * b} = b.sig_{2 * b} and a.sig_{2 * b + 1} = b.sig_{2 * b + 1})"
+        for b in range(dp.LSH_BANDS)
+    )
+    return f"""
+with base as (
+  select doc_id, {_TOK} as toks from documents
+),
+sh as (
+  select doc_id,
+    case when len(toks) >= 3
+         then [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+               for i in generate_series(1, len(toks) - 2)]
+         else [array_to_string(toks, ' ')] end as shingles
+  from base
+),
+sig as (
+  select doc_id,
+  {sig_cols}
+  from sh
+),
+hs as (
+  select doc_id,
+    list_distinct(list_transform(
+      shingles, s -> (md5_number_lower(s) & 9223372036854775807)::bigint
+    )) as hset
+  from sh
+),
+cand as (
+  select a.doc_id as doc_a, b.doc_id as doc_b
+  from sig a join sig b on a.doc_id < b.doc_id
+  where {band_cond}
+),
+j as (
+  select c.doc_a, c.doc_b,
+    len(list_intersect(ha.hset, hb.hset))::double
+      / (len(ha.hset) + len(hb.hset)
+         - len(list_intersect(ha.hset, hb.hset))) as jaccard
+  from cand c
+  join hs ha on ha.doc_id = c.doc_a
+  join hs hb on hb.doc_id = c.doc_b
+)
+select doc_a, doc_b, jaccard from j where jaccard >= {threshold}
+"""
+
+
 def _lang_id_sql() -> str:
     def cnt(lang: str) -> str:
         words = ", ".join(f"'{w}'" for w in dp.LANG_MARKERS[lang])
@@ -555,6 +607,7 @@ select o_orderkey as doc_id from orders where o_custkey = {REPLYTO_CUSTKEY}
 select min(doc_id) as doc_id from documents group by text
 """,
         "minhash_signatures": _minhash_sql(),
+        "near_dup_pairs": _near_dup_sql(),
         "simhash": _simhash_sql(),
         "lang_id": _lang_id_sql(),
         "quality_score": _quality_sql(),
@@ -593,5 +646,5 @@ from orders group by o_custkey
 """,
         # rows-only (approximate / stateful / stemmer-dependent):
         # bm25_topk_stemmed, reference_queryset_stemmed,
-        # index_segment_stats_stemmed, near_dup_pairs, embedding_lsh_topk
+        # index_segment_stats_stemmed, embedding_lsh_topk
     }

@@ -238,20 +238,57 @@ NUM_MINHASHES = 8
 LSH_BANDS = 4  # 2 hashes per band
 
 
+def _shingle_hashes_and_sigs(batch: pa.Table):
+    """Vectorized per-batch shingle analysis shared by minhash / near-dup:
+    dictionary-encode the batch's shingle stream so each DISTINCT shingle
+    is md5-hashed once (synthetic and real corpora alike repeat shingles
+    heavily), then derive per-doc minhash signatures with segmented
+    ``np.minimum.reduceat`` and per-doc distinct shingle-hash sets.
+
+    Returns (doc_lens, doc_starts, codes, shingle_hash_of_code[U],
+    sigs[NUM_MINHASHES][n_docs])."""
+    from itertools import chain
+
+    from ..functions.hashing import md5_i63
+
+    texts = batch["text"].to_pylist()
+    sh_lists = [shingles(tokenize(t)) for t in texts]
+    lens = np.fromiter(
+        (len(x) for x in sh_lists), np.int64, count=len(sh_lists)
+    )
+    flat = pa.array(list(chain.from_iterable(sh_lists)), pa.string())
+    enc = flat.dictionary_encode()
+    codes = enc.indices.to_numpy().astype(np.int64)
+    uniq = enc.dictionary.to_pylist()
+    H = np.empty((NUM_MINHASHES, len(uniq)), np.int64)
+    S = np.empty(len(uniq), np.int64)
+    for u_i, u in enumerate(uniq):
+        S[u_i] = md5_i63(u)
+        for k in range(NUM_MINHASHES):
+            H[k, u_i] = md5_i63(f"{k}:{u}")
+    starts = np.zeros(len(lens), np.int64)
+    if len(lens) > 1:
+        np.cumsum(lens[:-1], out=starts[1:])
+    # every doc has >= 1 shingle (shingles() of an empty token list is
+    # the [''] singleton), so reduceat segments are never empty
+    sigs = [
+        np.minimum.reduceat(H[k][codes], starts)
+        if len(codes)
+        else np.empty(0, np.int64)
+        for k in range(NUM_MINHASHES)
+    ]
+    return lens, starts, codes, S, sigs
+
+
 def minhash_signatures(sf_dir: str):
     """(doc_id, sig_0..sig_7) — MinHash over 3-token shingles with
     DuckDB-replicable hashes (SQL-parity)."""
 
     def f(batch: pa.Table) -> pa.Table:
-        cols: dict[str, list] = {f"sig_{k}": [] for k in range(NUM_MINHASHES)}
-        for t in batch["text"].to_pylist():
-            sig = minhash_signature(shingles(tokenize(t)), NUM_MINHASHES)
-            for k in range(NUM_MINHASHES):
-                cols[f"sig_{k}"].append(sig[k])
+        _, _, _, _, sigs = _shingle_hashes_and_sigs(batch)
         data = {"doc_id": batch["doc_id"]}
-        data.update(
-            {k: pa.array(v, pa.int64()) for k, v in cols.items()}
-        )
+        for k in range(NUM_MINHASHES):
+            data[f"sig_{k}"] = pa.array(sigs[k], pa.int64())
         return pa.table(data)
 
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
@@ -261,101 +298,93 @@ def minhash_signatures(sf_dir: str):
 
 def near_dup_pairs(sf_dir: str, jaccard_threshold: float = 0.8):
     """(doc_a, doc_b, jaccard) — MinHash-LSH candidate generation
-    (band groupby) + exact shingle-Jaccard verification.
+    (band groupby) + exact shingle-set Jaccard verification, fully
+    distributed (SQL-parity: the whole op has a DuckDB oracle).
 
-    Scale shape: signatures → explode to (band, h_i, h_j, doc_id) rows →
-    groupby(band key) → per-bucket candidate pairs → verify. Verification
-    here broadcasts doc→shingle-set via ray.put (valid while candidate
-    sets are driver-small; at 100 TB verification would join candidate
-    pairs back against a shingle table instead)."""
-    sigs = minhash_signatures(sf_dir)
+    Scale shape: each doc's (band keys, distinct shingle-hash set) is
+    computed in one pass; band rows CARRY the shingle-hash set into the
+    band groupby, so every bucket verifies its own candidate pairs with
+    no driver-side state and no second corpus read (the band shuffle
+    ships each set LSH_BANDS times — bounded, streaming). A final
+    (doc_a, doc_b) groupby dedupes pairs that collide in several bands.
+    Jaccard is an exact int/int division on both the engine and oracle
+    sides, so values match bit-for-bit without rounding."""
 
-    def bands(batch: pa.Table) -> pa.Table:
-        doc = batch["doc_id"].to_numpy()
-        out_band, out_key, out_doc = [], [], []
-        for b in range(LSH_BANDS):
-            h1 = batch[f"sig_{2 * b}"].to_numpy()
-            h2 = batch[f"sig_{2 * b + 1}"].to_numpy()
-            for i in range(len(doc)):
-                out_band.append(b)
-                out_key.append(f"{b}:{h1[i]}:{h2[i]}")
-                out_doc.append(int(doc[i]))
-        return pa.table(
-            {
-                "band_key": pa.array(out_key, pa.string()),
-                "doc_id": pa.array(out_doc, pa.int64()),
-            }
+    def band_rows(batch: pa.Table) -> pa.Table:
+        lens, starts, codes, S, sigs = _shingle_hashes_and_sigs(batch)
+        n = len(lens)
+        sh_hash = S[codes] if len(codes) else np.empty(0, np.int64)
+        sets = [
+            np.unique(sh_hash[starts[i] : starts[i] + lens[i]])
+            for i in range(n)
+        ]
+        set_offs = np.zeros(n + 1, np.int32)
+        np.cumsum([len(s) for s in sets], out=set_offs[1:])
+        sh_col = pa.ListArray.from_arrays(
+            pa.array(set_offs, pa.int32()),
+            pa.array(
+                np.concatenate(sets) if sets else np.empty(0, np.int64),
+                pa.int64(),
+            ),
         )
+        parts = []
+        for b in range(LSH_BANDS):
+            h1, h2 = sigs[2 * b], sigs[2 * b + 1]
+            keys = [f"{b}:{h1[i]}:{h2[i]}" for i in range(n)]
+            parts.append(
+                pa.table(
+                    {
+                        "band_key": pa.array(keys, pa.string()),
+                        "doc_id": batch["doc_id"],
+                        "sh": sh_col,
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
 
-    banded = sigs.map_batches(bands, batch_format="pyarrow")
+    banded = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        band_rows, batch_format="pyarrow"
+    )
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group["doc_id"].to_pylist()))
-        a_out, b_out = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_out.append(ids[i])
-                b_out.append(ids[j])
+    def bucket_verify(group: pa.Table) -> pa.Table:
+        group = group.combine_chunks()
+        ids = group["doc_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        sh = group["sh"].chunk(0) if hasattr(group["sh"], "chunk") else group["sh"]
+        vals = sh.values.to_numpy(zero_copy_only=False)
+        offs = sh.offsets.to_numpy()
+        a_out, b_out, j_out = [], [], []
+        for x in range(len(order)):
+            i = int(order[x])
+            sa = vals[offs[i] : offs[i + 1]]
+            for y in range(x + 1, len(order)):
+                jj = int(order[y])
+                if ids[jj] == ids[i]:
+                    continue  # same doc landed twice (identical band rows)
+                sb = vals[offs[jj] : offs[jj + 1]]
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                union = sa.size + sb.size - inter
+                j = (inter / union) if union else 1.0
+                if j >= jaccard_threshold:
+                    a_out.append(int(ids[i]))
+                    b_out.append(int(ids[jj]))
+                    j_out.append(j)
         return pa.table(
             {
                 "doc_a": pa.array(a_out, pa.int64()),
                 "doc_b": pa.array(b_out, pa.int64()),
+                "jaccard": pa.array(j_out, pa.float64()),
             }
         )
 
-    cands = banded.groupby("band_key").map_groups(
-        bucket_pairs, batch_format="pyarrow"
+    pairs = banded.groupby("band_key").map_groups(
+        bucket_verify, batch_format="pyarrow"
     )
-    cand_tbl = _to_table(cands)
-    import pyarrow.parquet as pq
+    # dedupe pairs that matched in several bands (identical jaccard)
+    from ray.data.aggregate import Min
 
-    docs = pq.read_table(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
-    sh = {
-        int(d): set(shingles(tokenize(t)))
-        for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
-    }
-    sh_ref = ray.put(sh)
-
-    def verify(batch: pa.Table) -> pa.Table:
-        m = ray.get(sh_ref)
-        a = batch["doc_a"].to_pylist()
-        b = batch["doc_b"].to_pylist()
-        ja, jb, jj = [], [], []
-        seen = set()
-        for x, y in zip(a, b):
-            if (x, y) in seen:
-                continue
-            seen.add((x, y))
-            sa, sb = m[x], m[y]
-            inter = len(sa & sb)
-            union = len(sa | sb)
-            j = inter / union if union else 1.0
-            if j >= jaccard_threshold:
-                ja.append(x)
-                jb.append(y)
-                jj.append(round(j, 4))
-        return pa.table(
-            {
-                "doc_a": pa.array(ja, pa.int64()),
-                "doc_b": pa.array(jb, pa.int64()),
-                "jaccard": pa.array(jj, pa.float64()),
-            }
-        )
-
-    # dedupe candidate pairs across buckets, then verify distributed
-    uniq = cand_tbl.group_by(["doc_a", "doc_b"]).aggregate([])
-    if uniq.num_rows == 0:
-        return pa.table(
-            {
-                "doc_a": pa.array([], pa.int64()),
-                "doc_b": pa.array([], pa.int64()),
-                "jaccard": pa.array([], pa.float64()),
-            }
-        )
-    return _to_table(
-        ray.data.from_arrow(uniq).map_batches(verify, batch_format="pyarrow")
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("jaccard", alias_name="jaccard")
     )
 
 

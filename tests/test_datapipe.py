@@ -104,7 +104,7 @@ def test_exact_dedup_with_planted_dups(ray_session, dup_dir):
 def test_near_dup_pairs_with_planted_dups(ray_session, dup_dir):
     from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
 
-    pairs = dp.near_dup_pairs(dup_dir, jaccard_threshold=0.8)
+    pairs = dp._to_table(dp.near_dup_pairs(dup_dir, jaccard_threshold=0.8))
     got = {
         (a, b): j
         for a, b, j in zip(
