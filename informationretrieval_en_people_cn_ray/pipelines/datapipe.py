@@ -23,11 +23,9 @@ import ray
 import ray.data
 
 from ..functions.hashing import (
-    minhash_signature,
     rolling_fingerprint,
     sha256_hex,
     shingles,
-    simhash64,
 )
 from ..text import tokenize
 
@@ -73,6 +71,33 @@ def read_embeddings(sf_dir: str, columns: list[str] | None = None):
 # text analysis
 
 
+def _batch_token_codes(batch: pa.Table):
+    """Shared vectorized tokenized intermediate for the text-analysis ops
+    (the build path's recipe, ``stages/tokenize.py``): tokenize each doc
+    (C regex), dictionary-encode the batch's WHOLE token stream (Arrow
+    C++), and hand back integer codes — so every op processes the
+    vocabulary-sized ``uniq`` list instead of every token occurrence.
+
+    Returns (doc_lens, doc_idx, codes, uniq)."""
+    from itertools import chain
+
+    texts = batch["text"].to_pylist()
+    tok_lists = [tokenize(t) for t in texts]
+    lens = np.fromiter(
+        (len(x) for x in tok_lists), np.int64, count=len(tok_lists)
+    )
+    total = int(lens.sum())
+    if total:
+        flat = pa.array(list(chain.from_iterable(tok_lists)), pa.string())
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy().astype(np.int64)
+        uniq = enc.dictionary.to_pylist()
+    else:
+        codes, uniq = np.empty(0, np.int64), []
+    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    return lens, doc_idx, codes, uniq
+
+
 def token_count(sf_dir: str):
     """(doc_id, n_tokens) — doc length over the SQL-parity tokenizer."""
 
@@ -90,68 +115,69 @@ def token_count(sf_dir: str):
 def term_stats(sf_dir: str):
     """(term, df, ctf) — global term statistics with per-batch partial
     combine before the term shuffle (SURVEY.md §2.5 A1/A3 as a standalone
-    operator)."""
+    operator); counting is pure numpy over dictionary codes."""
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        df: dict[str, int] = {}
-        ctf: dict[str, int] = {}
-        for t in batch["text"].to_pylist():
-            toks = tokenize(t)
-            seen = set()
-            for tok in toks:
-                ctf[tok] = ctf.get(tok, 0) + 1
-                seen.add(tok)
-            for tok in seen:
-                df[tok] = df.get(tok, 0) + 1
-        terms = sorted(ctf)
+        _, doc_idx, codes, uniq = _batch_token_codes(batch)
+        U = len(uniq)
+        ctf = np.bincount(codes, minlength=U)
+        uk = np.unique(doc_idx * U + codes)  # distinct (doc, term) pairs
+        df = np.bincount(uk % U, minlength=U)
         return pa.table(
             {
-                "term": pa.array(terms, pa.string()),
-                "df": pa.array([df[t] for t in terms], pa.int64()),
-                "ctf": pa.array([ctf[t] for t in terms], pa.int64()),
+                "term": pa.array(uniq, pa.string()),
+                "df": pa.array(df, pa.int64()),
+                "ctf": pa.array(ctf, pa.int64()),
             }
         )
 
     ds = read_documents(sf_dir, ["text"]).map_batches(
         partial, batch_format="pyarrow"
     )
-    return ds.groupby("term").aggregate(
+    # partial outputs are vocabulary-sized (tiny per block); coalescing
+    # before the sort shuffle removes most of its per-block overhead
+    # (measured 2-3x on the wide-read case) at a bounded 8x block growth
+    return ds.repartition(8).groupby("term").aggregate(
         Sum("df", alias_name="df"), Sum("ctf", alias_name="ctf")
     )
 
 
 def quality_score(sf_dir: str):
     """(doc_id, n_tokens, avg_token_len, stop_ratio, alnum_ratio, score)
-    — length/stopword/punctuation quality heuristics (all SQL-parity)."""
+    — length/stopword/punctuation quality heuristics (all SQL-parity);
+    per-doc sums via bincount over dictionary codes."""
+    import pyarrow.compute as pc
+
     stop = frozenset(STOPWORDS)
 
     def f(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        n_toks, avg_len, stop_r, alnum_r, score = [], [], [], [], []
-        for t in texts:
-            toks = tokenize(t)
-            n = len(toks)
-            tok_chars = sum(len(x) for x in toks)
-            n_toks.append(n)
-            a = (tok_chars / n) if n else 0.0
-            s = (sum(1 for x in toks if x in stop) / n) if n else 0.0
-            al = (tok_chars / len(t)) if len(t) else 0.0
-            avg_len.append(a)
-            stop_r.append(s)
-            alnum_r.append(al)
-            # simple composite: long-enough, not stopword-soup, mostly alnum
-            score.append(
-                (1.0 if n >= 10 else n / 10.0) * (1.0 - s) * al
-            )
+        lens, doc_idx, codes, uniq = _batch_token_codes(batch)
+        nd = len(lens)
+        ulen = np.fromiter((len(u) for u in uniq), np.int64, count=len(uniq))
+        ustop = np.fromiter(
+            (u in stop for u in uniq), np.bool_, count=len(uniq)
+        )
+        # integer sums via float64 bincount weights are exact (< 2^53)
+        tok_chars = np.bincount(doc_idx, weights=ulen[codes], minlength=nd)
+        n_stop = np.bincount(
+            doc_idx, weights=ustop[codes].astype(np.float64), minlength=nd
+        )
+        n = lens.astype(np.float64)
+        n_chars = pc.utf8_length(batch["text"]).to_numpy().astype(np.float64)
+        avg_len = np.where(lens > 0, tok_chars / np.where(lens > 0, n, 1.0), 0.0)
+        stop_r = np.where(lens > 0, n_stop / np.where(lens > 0, n, 1.0), 0.0)
+        alnum_r = np.where(
+            n_chars > 0, tok_chars / np.where(n_chars > 0, n_chars, 1.0), 0.0
+        )
+        # identical expression order to the SQL oracle → bit-identical
+        # IEEE doubles (no rounding: python round() is half-even,
+        # DuckDB's is half-away — rounding would desync .5 cases)
+        score = np.where(lens >= 10, 1.0, n / 10.0) * (1.0 - stop_r) * alnum_r
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "n_tokens": pa.array(n_toks, pa.int64()),
-                # no rounding: the SQL oracle computes the identical
-                # IEEE expressions, so raw doubles match bit-for-bit
-                # (python round() is half-even, DuckDB's is half-away —
-                # rounding would DESYNC them on exact .5 cases)
+                "n_tokens": pa.array(lens, pa.int64()),
                 "avg_token_len": pa.array(avg_len, pa.float64()),
                 "stop_ratio": pa.array(stop_r, pa.float64()),
                 "alnum_ratio": pa.array(alnum_r, pa.float64()),
@@ -166,21 +192,31 @@ def quality_score(sf_dir: str):
 
 def lang_id(sf_dir: str):
     """(doc_id, pred_lang) — marker-word language heuristic with the
-    deterministic LANG_ORDER tie-break (SQL-parity via CASE chain)."""
+    deterministic LANG_ORDER tie-break (SQL-parity via CASE chain);
+    marker counting via bincount over dictionary codes."""
     markers = {l: frozenset(ws) for l, ws in LANG_MARKERS.items()}
 
     def f(batch: pa.Table) -> pa.Table:
-        preds = []
-        for t in batch["text"].to_pylist():
-            toks = tokenize(t)
-            best_lang, best_n = "unknown", 0
-            for l in LANG_ORDER:
-                n = sum(1 for x in toks if x in markers[l])
-                if n > best_n:
-                    best_lang, best_n = l, n
-            preds.append(best_lang)
+        lens, doc_idx, codes, uniq = _batch_token_codes(batch)
+        nd = len(lens)
+        best_n = np.zeros(nd, np.int64)
+        best_li = np.full(nd, -1, np.int64)
+        for li, l in enumerate(LANG_ORDER):
+            m = markers[l]
+            um = np.fromiter((u in m for u in uniq), np.bool_, count=len(uniq))
+            cnt = np.bincount(
+                doc_idx, weights=um[codes].astype(np.float64), minlength=nd
+            ).astype(np.int64)
+            better = cnt > best_n  # strict > keeps the first-lang tie-break
+            best_n[better] = cnt[better]
+            best_li[better] = li
+        langs = np.array(["unknown"] + list(LANG_ORDER), dtype=object)
+        preds = langs[best_li + 1]
         return pa.table(
-            {"doc_id": batch["doc_id"], "pred_lang": pa.array(preds, pa.string())}
+            {
+                "doc_id": batch["doc_id"],
+                "pred_lang": pa.array(preds.tolist(), pa.string()),
+            }
         )
 
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
@@ -390,17 +426,37 @@ def near_dup_pairs(sf_dir: str, jaccard_threshold: float = 0.8):
 
 def simhash_codes(sf_dir: str):
     """(doc_id, simhash) — 63-bit weighted simhash per doc (SQL-parity via
-    generated per-bit CASE sums)."""
+    generated per-bit CASE sums). Each DISTINCT term in the batch is
+    md5-hashed once; the per-doc ±1-weighted bit sums are one
+    ``np.add.at`` over distinct (doc, term) pairs."""
+    from ..functions.hashing import md5_u64
 
     def f(batch: pa.Table) -> pa.Table:
-        out = []
-        for t in batch["text"].to_pylist():
-            tfs: dict[str, int] = {}
-            for tok in tokenize(t):
-                tfs[tok] = tfs.get(tok, 0) + 1
-            out.append(simhash64(tfs))
+        _, doc_idx, codes, uniq = _batch_token_codes(batch)
+        nd = batch.num_rows
+        U = len(uniq)
+        bit_idx = np.arange(63, dtype=np.uint64)
+        if U:
+            hv = np.fromiter(
+                (md5_u64(u) for u in uniq), np.uint64, count=U
+            )
+            # (U, 63) ±1 sign matrix, one row per distinct term
+            bits = (
+                ((hv[:, None] >> bit_idx) & np.uint64(1)).astype(np.int64)
+                * 2
+                - 1
+            )
+            uk, w = np.unique(doc_idx * U + codes, return_counts=True)
+            acc = np.zeros((nd, 63), np.int64)
+            np.add.at(acc, uk // U, w[:, None] * bits[uk % U])
+            sim = ((acc > 0).astype(np.uint64) << bit_idx).sum(axis=1)
+        else:
+            sim = np.zeros(nd, np.uint64)
         return pa.table(
-            {"doc_id": batch["doc_id"], "simhash": pa.array(out, pa.int64())}
+            {
+                "doc_id": batch["doc_id"],
+                "simhash": pa.array(sim.astype(np.int64), pa.int64()),
+            }
         )
 
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
@@ -429,7 +485,12 @@ def _query_vector(sf_dir: str) -> np.ndarray:
 def embedding_topk(sf_dir: str, k: int = 20):
     """(vec_id, cos) — brute-force cosine top-k vs the vec_id=0 query
     vector, broadcast once via ray.put and matmul'd per batch (the
-    baseline ANN path; SQL-parity via list_cosine_similarity)."""
+    baseline ANN path; SQL-parity via list_cosine_similarity).
+
+    Top-k is a per-batch PARTIAL top-k (each batch emits at most k rows)
+    merged on the driver — a few k-row tables, not an all-to-all
+    ``Dataset.sort`` over every vector (at 10^12 vectors a global sort
+    moves the whole table to rank 20 rows)."""
     q = _query_vector(sf_dir)
     q_ref = ray.put(q)
 
@@ -442,9 +503,13 @@ def embedding_topk(sf_dir: str, k: int = 20):
         norms = np.sqrt((emb * emb).sum(axis=1))
         denom = norms * qn
         cos = (emb @ qv) / np.where(denom == 0, 1.0, denom)
+        ids = batch["vec_id"].to_numpy()
+        if len(cos) > k:  # partial top-k: (cos desc, vec_id asc)
+            sel = np.lexsort((ids, -cos))[:k]
+            cos, ids = cos[sel], ids[sel]
         return pa.table(
             {
-                "vec_id": batch["vec_id"],
+                "vec_id": pa.array(ids, pa.int64()),
                 "cos": pa.array(cos, pa.float64()),
             }
         )
@@ -452,8 +517,9 @@ def embedding_topk(sf_dir: str, k: int = 20):
     ds = read_embeddings(sf_dir, ["vec_id", "embedding"]).map_batches(
         f, batch_format="pyarrow"
     )
-    top = ds.sort(["cos", "vec_id"], descending=[True, False]).limit(k)
-    t = _to_table(top)
+    t = _to_table(ds)  # ≤ k rows per batch — driver-small by construction
+    order = np.lexsort((t["vec_id"].to_numpy(), -t["cos"].to_numpy()))[:k]
+    t = t.take(pa.array(order))
     return pa.table(
         {
             "vec_id": t["vec_id"],
@@ -585,6 +651,7 @@ def events_tumbling_window(sf_dir: str, hours: int = 1):
     )
     agg = (
         ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(8)  # combined partials are tiny; coalesce pre-shuffle
         .groupby(["event_type", "window_us"])
         .aggregate(
             Sum("n_events", alias_name="n_events"),
