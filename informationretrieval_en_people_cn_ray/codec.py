@@ -7,22 +7,24 @@ themselves as deltas + unsigned LEB128 varints (the north_star's mandated
 encoding), which is both smaller and decodable into numpy arrays without
 materializing text.
 
-Posting blob layout (columnar, so decode is vectorized slices):
+Posting blob layout (format v4 — block-max, skip-capable; see
+``encode_posting_blob`` for the exact byte layout):
 
-    varint df                      -- number of documents
-    varint ctf                     -- collection term frequency (== sum tfs)
-    varint skip                    -- byte length of the gaps+tfs section
-    varint * df   doc-id deltas    -- first absolute, then gaps (ids strictly ascending)
-    varint * df   tfs
+    varint df, ctf, bs, dir_bytes  -- header
+    block directory                -- per 128-doc block: last doc id,
+                                      payload byte length, max tf
+    per-block payload              -- doc-id gaps (delta restart per
+                                      block) then tfs
     varint * ctf  positions        -- per-doc: first absolute, then gaps
-                                     (delta restarts at every doc boundary, so
-                                     per-doc position byte-slices can be
-                                     concatenated in any doc order upstream)
+                                     (delta restarts at every doc boundary)
 
-``skip`` lets ranked/boolean queries decode ONLY doc ids + tfs and jump
-over the position stream entirely — positions are only paid for by phrase
-queries (decoding a hot term's multi-million-entry position stream costs
-seconds; its doc ids + tfs cost milliseconds).
+The directory gives queries three skip levers: (1) ranked/boolean decode
+doc ids + tfs and never touch the position stream (positions are only
+paid for by phrase queries); (2) MaxScore/WAND pruning reads per-block
+``max_tf`` upper bounds without decoding anything; (3) scoring a small
+candidate set against a hot term decodes only the blocks whose
+``last_doc`` range intersects the candidates (``decode_posting_blocks``)
+instead of the term's full list.
 
 All varints are unsigned; values must fit in uint64.
 """
@@ -148,22 +150,71 @@ def encode_positions(positions: np.ndarray, doc_starts: np.ndarray) -> bytes:
     return encode_varints(delta_encode(positions, doc_starts))
 
 
+BLOCK_SIZE = 128  # docs per skip block (format v4 block-max layout)
+
+
 def encode_posting_blob(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     pos_bytes: bytes,
+    block_size: int = BLOCK_SIZE,
 ) -> bytes:
-    """Assemble the final per-term blob. ``doc_ids`` strictly ascending;
-    ``pos_bytes`` = already-encoded per-doc position stream (docs in the
-    same order as doc_ids)."""
+    """Assemble the final per-term blob (format v4, block-max layout).
+    ``doc_ids`` strictly ascending; ``pos_bytes`` = already-encoded
+    per-doc position stream (docs in the same order as doc_ids).
+
+    Layout::
+
+        varint df, ctf, bs, dir_bytes        -- header
+        dir (3*ceil(df/bs) varints, one decode_varints slice):
+          last_doc per block (delta-encoded, first absolute)
+          payload byte length per block
+          max tf per block                   -- WAND/MaxScore block bound
+        payload, per block: nd doc-id gaps (first absolute IN BLOCK),
+          then nd tfs                        -- nd = docs in that block
+        positions                            -- per-doc delta restart
+
+    Doc-id deltas restart at every block, so any block's (doc_ids, tfs)
+    decode independently from its payload slice — ``decode_posting_blocks``
+    reads only the blocks a candidate set touches, which is what makes
+    MaxScore pruning skip the bulk of a hot term's list instead of
+    decoding it all. ``dir_bytes`` keeps the directory one vectorized
+    ``decode_varints`` call rather than a byte-wise header walk."""
     df = int(len(doc_ids))
-    ctf = int(np.asarray(tfs, dtype=np.int64).sum())
-    gaps = encode_varints(delta_encode(doc_ids))
-    tf_bytes = encode_varints(np.asarray(tfs))
+    tfs = np.asarray(tfs, dtype=np.int64)
+    ctf = int(tfs.sum())
+    if df == 0:
+        return encode_varints(np.array([0, 0, block_size, 0], dtype=np.int64))
+    bs = int(block_size)
+    n_blocks = (df + bs - 1) // bs
+    block_starts = np.arange(n_blocks, dtype=np.int64) * bs
+    block_ends = np.minimum(block_starts + bs, df)
+    d = np.asarray(doc_ids, dtype=np.int64)
+    gaps = delta_encode(d, block_starts)
+    gap_bytes, gap_lens = encode_varints_with_lengths(gaps)
+    tf_bytes, tf_lens = encode_varints_with_lengths(tfs)
+    gap_ends = np.cumsum(gap_lens)
+    tf_ends = np.cumsum(tf_lens)
+    # per-block byte lengths of the gap / tf sections
+    gl = gap_ends[block_ends - 1] - np.r_[0, gap_ends[block_ends[:-1] - 1]]
+    tl = tf_ends[block_ends - 1] - np.r_[0, tf_ends[block_ends[:-1] - 1]]
+    blk_bytes = gl + tl
+    last_docs = d[block_ends - 1]
+    max_tfs = np.maximum.reduceat(tfs, block_starts)
+    dir_vals = np.concatenate([delta_encode(last_docs), blk_bytes, max_tfs])
+    dir_bytes = encode_varints(dir_vals)
     header = encode_varints(
-        np.array([df, ctf, len(gaps) + len(tf_bytes)], dtype=np.int64)
+        np.array([df, ctf, bs, len(dir_bytes)], dtype=np.int64)
     )
-    return b"".join((header, gaps, tf_bytes, pos_bytes))
+    # interleave per-block: gaps slice then tfs slice
+    gmv, tmv = memoryview(gap_bytes), memoryview(tf_bytes)
+    g0 = np.r_[0, gap_ends[block_ends[:-1] - 1]]
+    t0 = np.r_[0, tf_ends[block_ends[:-1] - 1]]
+    payload = b"".join(
+        bytes(gmv[g0[i] : g0[i] + gl[i]]) + bytes(tmv[t0[i] : t0[i] + tl[i]])
+        for i in range(n_blocks)
+    )
+    return b"".join((header, dir_bytes, payload, pos_bytes))
 
 
 def _read_header(raw: np.ndarray, n: int) -> tuple[list[int], int]:
@@ -184,24 +235,93 @@ def _read_header(raw: np.ndarray, n: int) -> tuple[list[int], int]:
     return vals, i
 
 
+def read_blob_meta(blob: bytes | memoryview):
+    """Header + block directory only (no payload decode) →
+    dict(df, ctf, bs, last_docs int64[n], blk_offs int64[n+1] —
+    ABSOLUTE byte offsets of each block's payload slice — max_tfs
+    int64[n], payload_end int — absolute offset of the position
+    stream)."""
+    raw = np.frombuffer(blob, dtype=np.uint8)
+    (df, ctf, bs, dir_bytes), h = _read_header(raw, 4)
+    if df == 0:
+        z = np.empty(0, np.int64)
+        return dict(
+            df=0, ctf=0, bs=bs, last_docs=z, max_tfs=z,
+            blk_offs=np.zeros(1, np.int64), payload_end=h,
+        )
+    n = (df + bs - 1) // bs
+    dir_vals = decode_varints(raw[h : h + dir_bytes]).astype(np.int64)
+    last_docs = np.cumsum(dir_vals[:n])
+    blk_bytes = dir_vals[n : 2 * n]
+    max_tfs = dir_vals[2 * n : 3 * n]
+    blk_offs = np.zeros(n + 1, np.int64)
+    np.cumsum(blk_bytes, out=blk_offs[1:])
+    blk_offs += h + dir_bytes
+    return dict(
+        df=df, ctf=ctf, bs=bs, last_docs=last_docs, max_tfs=max_tfs,
+        blk_offs=blk_offs, payload_end=int(blk_offs[-1]),
+    )
+
+
 def decode_posting_blob(blob: bytes | memoryview, with_positions: bool = True):
     """blob → (doc_ids int64[df], tfs int64[df], positions int64[ctf] | None,
     pos_starts int64[df]) — pos_starts[i] is the offset of doc i's
     positions inside ``positions``. ``with_positions=False`` skips the
     position stream entirely (ranked/boolean query fast path)."""
     raw = np.frombuffer(blob, dtype=np.uint8)
-    (df, ctf, skip), h = _read_header(raw, 3)
-    vals = decode_varints(raw[h : h + skip]).astype(np.int64)
-    doc_ids = np.cumsum(vals[:df])
-    tfs = vals[df : 2 * df]
+    m = read_blob_meta(blob)
+    df, ctf, bs = m["df"], m["ctf"], m["bs"]
+    if df == 0:
+        z = np.empty(0, np.int64)
+        return z, z.copy(), (z.copy() if with_positions else None), z.copy()
+    vals = decode_varints(
+        raw[int(m["blk_offs"][0]) : m["payload_end"]]
+    ).astype(np.int64)
+    # de-interleave the per-block [gaps.., tfs..] payload vectorized:
+    # value index of doc j's gap is blk*bs + j; of its tf is
+    # blk*bs + nd(blk) + j   (nd = docs in j's block)
+    j = np.arange(df, dtype=np.int64)
+    blk = j // bs
+    nd = np.minimum(bs, df - blk * bs)
+    gaps = vals[blk * bs + j]
+    tfs = vals[blk * bs + nd + j]
+    n_blocks = (df + bs - 1) // bs
+    block_starts = np.arange(n_blocks, dtype=np.int64) * bs
+    doc_ids = delta_decode(gaps, block_starts)
     pos_starts = np.zeros(df, dtype=np.int64)
-    if df:
-        np.cumsum(tfs[:-1], out=pos_starts[1:])
+    np.cumsum(tfs[:-1], out=pos_starts[1:])
     if not with_positions:
         return doc_ids, tfs, None, pos_starts
-    pos_gaps = decode_varints(raw[h + skip :]).astype(np.int64)[:ctf]
+    pos_gaps = decode_varints(raw[m["payload_end"] :]).astype(np.int64)[:ctf]
     positions = delta_decode(pos_gaps, pos_starts)
     return doc_ids, tfs, positions, pos_starts
+
+
+def decode_posting_blocks(
+    blob: bytes | memoryview, sel: np.ndarray, meta: dict | None = None
+):
+    """Decode ONLY the selected block ordinals → (doc_ids, tfs),
+    concatenated in block order. The point of the v4 layout: scoring a
+    small candidate set against a hot term touches a handful of 128-doc
+    blocks instead of the full list (no position decode either)."""
+    raw = np.frombuffer(blob, dtype=np.uint8)
+    m = meta or read_blob_meta(blob)
+    df, bs = m["df"], m["bs"]
+    sel = np.asarray(sel, dtype=np.int64)
+    if df == 0 or sel.size == 0:
+        z = np.empty(0, np.int64)
+        return z, z.copy()
+    offs = m["blk_offs"]
+    out_d, out_t = [], []
+    for b in sel:
+        b = int(b)
+        nd = int(min(bs, df - b * bs))
+        vals = decode_varints(raw[int(offs[b]) : int(offs[b + 1])]).astype(
+            np.int64
+        )
+        out_d.append(np.cumsum(vals[:nd]))
+        out_t.append(vals[nd : 2 * nd])
+    return np.concatenate(out_d), np.concatenate(out_t)
 
 
 def varint_lengths(values: np.ndarray) -> np.ndarray:

@@ -142,7 +142,7 @@ def build_index(
         "config": config.key(),
         # bump when the on-disk blob/segment layout changes — stale caches
         # (queries(), bench) must rebuild, not misparse
-        "format_version": 3,
+        "format_version": 4,  # v4 = block-max blobs (codec.BLOCK_SIZE dir)
     }
     build_fp = fingerprint(lineage)
 

@@ -88,6 +88,17 @@ class LocalSegments:
             out.extend(r.terms[lo:hi].tolist())
         return sorted(dict.fromkeys(out))  # chunked terms repeat rows
 
+    def term_meta(self, term: str) -> tuple[int, int, int] | None:
+        return self.reader(term_seg(term, self.num_segments)).term_meta(term)
+
+    def postings_for_docs(self, term: str, docs: np.ndarray):
+        r = self.reader(term_seg(term, self.num_segments))
+        rng = r.term_range(term)
+        if rng is None:
+            z = np.empty(0, np.int64)
+            return z, z.copy()
+        return r.postings_for_docs(*rng, docs)
+
 
 @ray.remote
 class SegmentSearcher:
@@ -116,6 +127,27 @@ class SegmentSearcher:
         for r in self.readers.values():
             lo, hi = r.prefix_range(prefix)
             out.extend(r.terms[lo:hi].tolist())
+        return out
+
+    def term_meta_many(self, terms: list[tuple[str, int]]):
+        """[(term, seg)] → {term: (df, ctf, max_tf) | None} — dictionary
+        lookups only, no blob decode."""
+        return {t: self.readers[seg].term_meta(t) for t, seg in terms}
+
+    def postings_for_docs_many(
+        self, terms: list[tuple[str, int]], docs: np.ndarray
+    ):
+        """[(term, seg)] → {term: (doc_ids, tfs)} over only the skip
+        blocks intersecting ``docs``."""
+        out = {}
+        for t, seg in terms:
+            r = self.readers[seg]
+            rng = r.term_range(t)
+            if rng is None:
+                z = np.empty(0, np.int64)
+                out[t] = (z, z.copy())
+            else:
+                out[t] = r.postings_for_docs(*rng, docs)
         return out
 
 
@@ -218,6 +250,48 @@ class SearchEngine:
         for r in ray.get(futs):
             out.extend(r)
         return sorted(out)
+
+    def _term_meta(
+        self, terms: list[str]
+    ) -> dict[str, tuple[int, int, int] | None]:
+        """{term: (df, ctf, max_tf) | None} from the term dictionaries
+        only — the MaxScore bound inputs, zero blob decode (and in actor
+        mode, answered by the segment owner, not duplicated driver
+        state)."""
+        terms = list(dict.fromkeys(terms))
+        if self.mode != "actors":
+            return {t: self.local.term_meta(t) for t in terms}
+        by_actor: dict = {}
+        for t in terms:
+            seg = term_seg(t, self.local.num_segments)
+            by_actor.setdefault(self._actor_of_seg[seg], []).append((t, seg))
+        futs = [a.term_meta_many.remote(p) for a, p in by_actor.items()]
+        out: dict = {}
+        for r in ray.get(futs):
+            out.update(r)
+        return out
+
+    def _postings_for_docs(
+        self, terms: list[str], docs: np.ndarray
+    ) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+        """{term: (doc_ids, tfs)} decoded from only the skip blocks whose
+        range intersects ``docs`` (may be a block-superset; scorers
+        intersect)."""
+        terms = list(dict.fromkeys(terms))
+        if self.mode != "actors":
+            return {t: self.local.postings_for_docs(t, docs) for t in terms}
+        by_actor: dict = {}
+        for t in terms:
+            seg = term_seg(t, self.local.num_segments)
+            by_actor.setdefault(self._actor_of_seg[seg], []).append((t, seg))
+        futs = [
+            a.postings_for_docs_many.remote(p, docs)
+            for a, p in by_actor.items()
+        ]
+        out: dict = {}
+        for r in ray.get(futs):
+            out.update(r)
+        return out
 
     # ---- token-node result sets (sorted numpy doc-id arrays) ----------
 
@@ -420,13 +494,24 @@ class SearchEngine:
         b: float = BM25_B,
     ) -> tuple[np.ndarray, np.ndarray]:
         """MaxScore-pruned BM25 top-k — rank-identical to ``ranked`` by
-        construction (the north_star's pruned-BM25; per-term ``max_tf``
-        bounds today, per-block maxima planned as format v3).
+        construction (the north_star's pruned-BM25 over the v4 block-max
+        blobs).
 
-        Terms are processed in descending upper-bound order; once the
-        summed upper bound of the remaining terms is STRICTLY below the
-        current k-th score, docs appearing only in those remaining terms
-        cannot reach the top-k and their scoring is skipped entirely.
+        Three skip levers, none of which changes any returned score:
+
+        1. upper bounds come from the term DICTIONARY (df/ctf/max_tf) —
+           no posting is decoded to decide processing order;
+        2. candidate-driving terms are processed in descending
+           upper-bound order and decoded lazily; once the summed bound of
+           the remaining driving terms (plus the constant bound of
+           non-candidate scoring terms) is STRICTLY below the current
+           k-th score, unseen docs cannot reach the top-k and the
+           remaining terms' lists are NEVER decoded;
+        3. scoring the new candidates against every other query term
+           decodes only the skip blocks whose doc-range intersects them
+           (``postings_for_docs``) — a hot tail term contributes a few
+           128-doc blocks, not its full list.
+
         Every returned doc is scored with ALL query terms, so returned
         scores equal the unpruned scorer's exactly.
 
@@ -438,7 +523,7 @@ class SearchEngine:
             # pruning reasons over keyword posting lists only
             return self.ranked(plan, k=k, scorer="bm25", k1=k1, b=b)
         qterms = self.az.query_terms(plan.text)
-        plists = self._postings_map(qterms)
+        meta = self._term_meta(qterms)
         # candidate universe: the FIRST analyzed term of each keyword —
         # exactly ranked()'s _keyword_docs, so the two paths agree even
         # for keywords that analyze to multiple index terms (e.g.
@@ -447,21 +532,21 @@ class SearchEngine:
         cand_terms: list[str] = []
         for tok in plan.tokens:
             ts = self.az.query_terms(tok.value)
-            if ts and plists.get(ts[0]) is not None and ts[0] not in cand_terms:
+            if ts and meta.get(ts[0]) is not None and ts[0] not in cand_terms:
                 cand_terms.append(ts[0])
         if not cand_terms:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         # per-occurrence weights preserved: a duplicated query term scores
         # multiple times in ranked(); count multiplicity
         scored_terms = [
-            t for t in dict.fromkeys(qterms) if plists.get(t) is not None
+            t for t in dict.fromkeys(qterms) if meta.get(t) is not None
         ]
         mult = {t: qterms.count(t) for t in scored_terms}
         ub = {}
         for t in scored_terms:
-            p = plists[t]
-            mtf = float(self._max_tf(t, p))
-            idf = np.log(1.0 + (self.N - p.df + 0.5) / (p.df + 0.5))
+            df, _, mtf = meta[t]
+            mtf = float(max(mtf, 1))
+            idf = np.log(1.0 + (self.N - df + 0.5) / (df + 0.5))
             ub[t] = (
                 idf * (k1 + 1.0) * mtf
                 / ((1.0 + k1 * b / self.avgdl) * mtf + k1 * (1.0 - b))
@@ -485,17 +570,19 @@ class SearchEngine:
             if n_scored >= k and suffix[rank_i] + noncand_ub < theta:
                 break
             t = cand_terms[int(oi)]
-            new = np.setdiff1d(plists[t].doc_ids, seen, assume_unique=True)
+            p_t = self._postings_map([t])[t]  # lazy full decode, driver term
+            new = np.setdiff1d(p_t.doc_ids, seen, assume_unique=True)
             if new.size == 0:
                 continue
             scores = np.zeros(len(new))
             lens = self.stats.lens_for(new)
+            sub = self._postings_for_docs(scored_terms, new)
             for qt in qterms:  # full scoring, query-term order (identity)
-                p = plists.get(qt)
-                if p is None:
+                if meta.get(qt) is None:
                     continue
+                d_sub, tf_sub = sub[qt]
                 bm25_accumulate(
-                    scores, new, p.doc_ids, p.tfs, lens, p.df,
+                    scores, new, d_sub, tf_sub, lens, meta[qt][0],
                     self.N, self.avgdl, k1, b,
                 )
             all_docs.append(new)
@@ -508,12 +595,6 @@ class SearchEngine:
         return topk(
             np.concatenate(all_docs), np.concatenate(all_scores), k
         )
-
-    def _max_tf(self, term: str, p: _Posting) -> int:
-        r = self.local.reader(term_seg(term, self.local.num_segments))
-        rng = r.term_range(term)
-        mt = int(r.max_tf[rng[0] : rng[1]].max()) if rng else 0
-        return mt if mt > 0 else (int(p.tfs.max()) if len(p.tfs) else 1)
 
     def search(
         self,

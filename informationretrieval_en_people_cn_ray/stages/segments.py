@@ -317,6 +317,7 @@ class SegmentReader:
             os.path.join(d, "postings.bin"), dtype=np.uint8, mode="r"
         ) if self.size.sum() else np.empty(0, np.uint8)
         self._decoded: dict[int, tuple] = {}
+        self._meta: dict[int, dict] = {}  # blob block directories (tiny)
 
     def postings_decoded(self, idx: int, with_positions: bool = False) -> tuple:
         """(doc_ids, tfs, positions|None, pos_starts) for ONE blob row,
@@ -369,6 +370,70 @@ class SegmentReader:
         if len(t):
             np.cumsum(t[:-1], out=ps[1:])
         return d, t, p, ps, df, ctf
+
+    def blob_meta(self, idx: int) -> dict:
+        """Block directory of one blob (header-only decode, cached) —
+        per-block last_doc / max_tf / payload offsets (codec v4)."""
+        m = self._meta.get(idx)
+        if m is None:
+            from ..codec import read_blob_meta
+
+            m = read_blob_meta(self.blob(idx))
+            self._meta[idx] = m
+        return m
+
+    def term_meta(self, term: str) -> tuple[int, int, int] | None:
+        """(df, ctf, max_tf) from the term DICTIONARY alone — the
+        MaxScore upper-bound inputs, no blob decode."""
+        rng = self.term_range(term)
+        if rng is None:
+            return None
+        lo, hi = rng
+        return (
+            int(self.df[lo:hi].sum()),
+            int(self.ctf[lo:hi].sum()),
+            int(self.max_tf[lo:hi].max()),
+        )
+
+    def postings_for_docs(
+        self, lo: int, hi: int, docs: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids, tfs) restricted to the skip blocks whose doc-id range
+        intersects ``docs`` (sorted) — the v4 selective-decode path. May
+        return a superset of ``docs``∩postings (whole blocks); scorers
+        intersect. Falls back to an already-cached full decode."""
+        from ..codec import decode_posting_blocks
+
+        out_d, out_t = [], []
+        for idx in range(lo, hi):
+            hit = self._decoded.get(idx)
+            if hit is not None:
+                out_d.append(hit[0])
+                out_t.append(hit[1])
+                continue
+            m = self.blob_meta(idx)
+            if m["df"] == 0:
+                continue
+            sel = np.unique(np.searchsorted(m["last_docs"], docs))
+            sel = sel[sel < len(m["last_docs"])]
+            if sel.size == 0:
+                continue
+            if sel.size * 4 >= len(m["last_docs"]):
+                # dense candidate set: one vectorized full decode (cached
+                # for later terms/iterations) beats a per-block loop
+                hit = self.postings_decoded(idx, with_positions=False)
+                out_d.append(hit[0])
+                out_t.append(hit[1])
+                continue
+            d, t = decode_posting_blocks(self.blob(idx), sel, m)
+            out_d.append(d)
+            out_t.append(t)
+        if not out_d:
+            z = np.empty(0, np.int64)
+            return z, z.copy()
+        if len(out_d) == 1:
+            return out_d[0], out_t[0]
+        return np.concatenate(out_d), np.concatenate(out_t)
 
     def find(self, term: str) -> int | None:
         """First chunk row of the term (None if absent)."""

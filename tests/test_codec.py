@@ -89,16 +89,66 @@ def test_posting_blob_roundtrip(pl):
 
 
 def test_posting_blob_golden():
-    """FIXTURES.md §3: a hand-checkable golden blob."""
+    """FIXTURES.md §3: a hand-checkable golden blob (format v4)."""
     doc_ids = np.array([0, 2], dtype=np.int64)
     tfs = np.array([1, 2], dtype=np.int64)
     pos = np.array([5, 1, 3], dtype=np.int64)  # doc0: [5]; doc2: [1,3]
     starts = np.array([0, 1], dtype=np.int64)
     blob = encode_posting_blob(doc_ids, tfs, encode_positions(pos, starts))
-    # df=2 ctf=3 skip=4 | gaps 0,2 | tfs 1,2 | pos 5, 1,2
-    assert blob == bytes([2, 3, 4, 0, 2, 1, 2, 5, 1, 2])
+    # header df=2 ctf=3 bs=128 dir_bytes=3 | dir: last_doc 2, blk_bytes 4,
+    # max_tf 2 | payload: gaps 0,2 tfs 1,2 | pos 5, 1,2
+    assert blob == bytes([2, 3, 128, 1, 3, 2, 4, 2, 0, 2, 1, 2, 5, 1, 2])
     d, t, p, _ = decode_posting_blob(blob)
     assert d.tolist() == [0, 2] and t.tolist() == [1, 2] and p.tolist() == [5, 1, 3]
     d2, t2, p2, ps2 = decode_posting_blob(blob, with_positions=False)
     assert d2.tolist() == [0, 2] and t2.tolist() == [1, 2] and p2 is None
     assert ps2.tolist() == [0, 1]
+
+
+def test_blob_meta_and_block_decode():
+    """Block directory + selective decode: multi-block blob round-trips
+    per block and the directory carries per-block maxima."""
+    from informationretrieval_en_people_cn_ray.codec import (
+        decode_posting_blocks,
+        read_blob_meta,
+    )
+
+    df = 1000
+    doc_ids = np.arange(0, df * 3, 3, dtype=np.int64) + 7
+    tfs = (np.arange(df, dtype=np.int64) % 9) + 1
+    starts = np.zeros(df, dtype=np.int64)
+    np.cumsum(tfs[:-1], out=starts[1:])
+    pos = np.arange(int(tfs.sum()), dtype=np.int64) % 50
+    # per-doc ascending positions required by the delta restart
+    pos = np.concatenate(
+        [np.sort(pos[starts[i] : starts[i] + tfs[i]]) for i in range(df)]
+    )
+    blob = encode_posting_blob(
+        doc_ids, tfs, encode_positions(pos, starts), block_size=128
+    )
+    m = read_blob_meta(blob)
+    assert m["df"] == df and m["bs"] == 128
+    n = (df + 127) // 128
+    assert len(m["last_docs"]) == n
+    assert m["last_docs"].tolist() == [
+        int(doc_ids[min((i + 1) * 128, df) - 1]) for i in range(n)
+    ]
+    assert m["max_tfs"].tolist() == [
+        int(tfs[i * 128 : (i + 1) * 128].max()) for i in range(n)
+    ]
+    # full decode unchanged
+    d, t, p, _ = decode_posting_blob(blob)
+    assert d.tolist() == doc_ids.tolist() and t.tolist() == tfs.tolist()
+    assert p.tolist() == pos.tolist()
+    # every single block decodes to its slice
+    for b in range(n):
+        bd, bt = decode_posting_blocks(blob, np.array([b]), m)
+        lo, hi = b * 128, min((b + 1) * 128, df)
+        assert bd.tolist() == doc_ids[lo:hi].tolist()
+        assert bt.tolist() == tfs[lo:hi].tolist()
+    # and a sparse selection concatenates in order
+    bd, bt = decode_posting_blocks(blob, np.array([0, 3, n - 1]), m)
+    exp_d = np.concatenate(
+        [doc_ids[b * 128 : min((b + 1) * 128, df)] for b in (0, 3, n - 1)]
+    )
+    assert bd.tolist() == exp_d.tolist()

@@ -191,6 +191,13 @@ def test_actor_mode_matches_local(ray_session, engine, corpus_dir, tmp_path_fact
             assert np.allclose(a[1], b[1], atol=0)
         else:
             assert _ids(a) == _ids(b)
+    # pruned path in actor mode: meta + block-selective decode are
+    # answered by the segment-owner actors and must stay rank-identical
+    for q in ["the data value", "data-value result", "quoted the"]:
+        a = engine.search(q, k=5, prune=True)
+        b = eng2.search(q, k=5, prune=True)
+        assert [int(x) for x in a[0]] == [int(x) for x in b[0]]
+        assert np.allclose(a[1], b[1], atol=0)
 
 
 def test_search_many_dataset(ray_session, engine):
@@ -227,6 +234,36 @@ def test_maxscore_pruned_identical(engine, oracle):
             b_ids, b_sc = engine.search(q, k=k, scorer="bm25", prune=True)
             assert [int(x) for x in a_ids] == [int(x) for x in b_ids], (q, k)
             assert np.allclose(a_sc, b_sc, atol=0), (q, k)
+
+
+def test_block_selective_decode(ray_session, tmp_path_factory):
+    """v4 skip blocks: a narrow candidate set against a hot term decodes
+    only the touched 128-doc blocks (the dense-candidate fallback needs
+    > 4 blocks to stay out of the way), with tfs identical to a full
+    decode."""
+    from informationretrieval_en_people_cn_ray.pipelines.search import (
+        SearchEngine,
+    )
+
+    cd = str(tmp_path_factory.mktemp("blkcorpus"))
+    write_corpus(cd, 800, seed=5, num_parquet_files=2)
+    d_idx = str(tmp_path_factory.mktemp("blkindex"))
+    build_index(cd, d_idx, BuildConfig(num_segments=3, docstat_partitions=2))
+    eng = SearchEngine(d_idx)
+    p = eng._postings_map(["the"])["the"]
+    assert len(p.doc_ids) > 512  # spans ≥ 5 skip blocks
+    fresh = SearchEngine(d_idx)  # no decode cache
+    cand = np.asarray(p.doc_ids[:3])
+    d, tf = fresh.local.postings_for_docs("the", cand)
+    assert set(cand.tolist()) <= set(d.tolist())
+    assert len(d) <= 128  # only the first block was decoded
+    m = dict(zip(p.doc_ids.tolist(), p.tfs.tolist()))
+    assert all(m[int(x)] == int(t) for x, t in zip(d, tf))
+    # dense candidates on the same fresh reader fall back to a full
+    # (cached) decode and still agree
+    d2, tf2 = fresh.local.postings_for_docs("the", p.doc_ids)
+    assert d2.tolist() == p.doc_ids.tolist()
+    assert tf2.tolist() == p.tfs.tolist()
 
 
 def test_maxscore_prunes_hot_terms(engine):
