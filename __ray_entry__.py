@@ -299,6 +299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": lambda sf: dp.fingerprint(sf),
         "embedding_topk": lambda sf: dp.embedding_topk(sf),
         "embedding_lsh_topk": lambda sf: dp.embedding_lsh_topk(sf),
+        "embed_then_topk": lambda sf: dp.embed_then_topk(sf),
         "group_adjacency": lambda sf: dp.group_adjacency(sf),
         "events_window": lambda sf: dp.events_tumbling_window(sf),
     }

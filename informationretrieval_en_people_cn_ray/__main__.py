@@ -1,0 +1,166 @@
+"""``python -m informationretrieval_en_people_cn_ray`` — job entry.
+
+Mirrors the reference's two CLI modes (``SearchEngine.py:298-313``,
+``IRWS_Argument_Parsing.py:6-13``):
+
+- ``Index:comments.csv`` build mode →
+    python -m informationretrieval_en_people_cn_ray index CORPUS OUT_DIR
+- query-file mode (one query per line, top-k printed per query) →
+    python -m informationretrieval_en_people_cn_ray search INDEX_DIR \
+        [--query Q | --query-file F] [--k K] [--scorer bm25|dirichlet] \
+        [--hydrate CORPUS --columns repo,path]
+
+This is the one module that owns a Ray session when run standalone
+(``ray job submit``-compatible); it never re-inits an existing session,
+so it also runs inside a driver-initialised cluster.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray(cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(include_dashboard=False, logging_level="ERROR")
+        if cpus:
+            kwargs["num_cpus"] = cpus
+        ray.init(address="local", **kwargs)
+
+
+def _cmd_index(args: argparse.Namespace) -> int:
+    from .pipelines.build import BuildConfig, build_index
+
+    _ensure_ray(args.num_cpus)
+    cfg = BuildConfig(
+        num_segments=args.segments,
+        docstat_partitions=args.docstat_partitions,
+        stem=not args.no_stem,
+        salt=args.salt,
+        content_column=args.content_column,
+        doc_id_column=args.doc_id_column,
+    )
+    manifest = build_index(args.corpus, args.out_dir, cfg)
+    print(
+        json.dumps(
+            {
+                k: manifest[k]
+                for k in (
+                    "num_docs",
+                    "total_tokens",
+                    "n_terms",
+                    "postings_bytes",
+                    "wall_s",
+                )
+            }
+        )
+    )
+    return 0
+
+
+def _cmd_search(args: argparse.Namespace) -> int:
+    import numpy as np
+
+    from .pipelines.search import SearchEngine, search_many
+    from .sources.corpus_source import DocStore
+
+    _ensure_ray(args.num_cpus)
+    if args.query:
+        queries = [args.query]
+    elif args.query_file:
+        with open(args.query_file) as f:
+            queries = [q.strip() for q in f if q.strip()]
+    else:
+        print("need --query or --query-file", file=sys.stderr)
+        return 2
+    store = DocStore(args.hydrate) if args.hydrate else None
+    hydrate_cols = args.columns.split(",") if args.columns else None
+
+    if len(queries) > 1:
+        # batch path: Dataset of queries over the actor pool
+        tbl = search_many(
+            args.index_dir,
+            queries,
+            k=args.k,
+            scorer=args.scorer,
+            concurrency=args.concurrency,
+            prune=not args.no_prune,
+        ).to_pandas()
+        for q in queries:
+            rows = tbl[tbl["query"] == q].sort_values("rank")
+            _print_result(
+                q,
+                rows["doc_id"].tolist(),
+                rows["score"].tolist(),
+                store,
+                hydrate_cols,
+            )
+        return 0
+
+    eng = SearchEngine(args.index_dir, mode="local")
+    res = eng.search(
+        queries[0], k=args.k, scorer=args.scorer, prune=not args.no_prune
+    )
+    if isinstance(res, tuple):
+        ids, scores = res
+    else:
+        ids, scores = res, np.full(len(res), np.nan)
+    _print_result(queries[0], ids, scores, store, hydrate_cols)
+    return 0
+
+
+def _print_result(query, doc_ids, scores, store, hydrate_cols) -> None:
+    """One JSON line per query — machine-consumable like bench.py."""
+    out = {
+        "query": query,
+        "doc_ids": [int(d) for d in doc_ids],
+        "scores": [None if s != s else round(float(s), 4) for s in scores],
+    }
+    if store is not None and len(out["doc_ids"]):
+        t = store.lookup(out["doc_ids"], columns=hydrate_cols)
+        by_id = {
+            int(r["doc_id"]): {k: r[k] for k in t.column_names if k != "doc_id"}
+            for r in t.to_pylist()
+        }
+        out["docs"] = [by_id.get(d) for d in out["doc_ids"]]
+    print(json.dumps(out))
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="informationretrieval_en_people_cn_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("index", help="build an index from a parquet corpus")
+    pi.add_argument("corpus")
+    pi.add_argument("out_dir")
+    pi.add_argument("--segments", type=int, default=16)
+    pi.add_argument("--docstat-partitions", type=int, default=4)
+    pi.add_argument("--no-stem", action="store_true")
+    pi.add_argument("--salt", type=int, default=0)
+    pi.add_argument("--content-column", default="content")
+    pi.add_argument("--doc-id-column", default=None)
+    pi.set_defaults(fn=_cmd_index)
+
+    ps = sub.add_parser("search", help="query a built index")
+    ps.add_argument("index_dir")
+    ps.add_argument("--query")
+    ps.add_argument("--query-file")
+    ps.add_argument("--k", type=int, default=10)
+    ps.add_argument("--scorer", choices=("bm25", "dirichlet"), default="bm25")
+    ps.add_argument("--no-prune", action="store_true")
+    ps.add_argument("--concurrency", type=int, default=2)
+    ps.add_argument("--hydrate", help="corpus path for doc hydration")
+    ps.add_argument("--columns", help="comma-separated hydration columns")
+    ps.set_defaults(fn=_cmd_search)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -73,29 +73,10 @@ def read_embeddings(sf_dir: str, columns: list[str] | None = None):
 
 def _batch_token_codes(batch: pa.Table):
     """Shared vectorized tokenized intermediate for the text-analysis ops
-    (the build path's recipe, ``stages/tokenize.py``): tokenize each doc
-    (C regex), dictionary-encode the batch's WHOLE token stream (Arrow
-    C++), and hand back integer codes — so every op processes the
-    vocabulary-sized ``uniq`` list instead of every token occurrence.
+    (text.batch_token_codes over the batch's text column)."""
+    from ..text import batch_token_codes
 
-    Returns (doc_lens, doc_idx, codes, uniq)."""
-    from itertools import chain
-
-    texts = batch["text"].to_pylist()
-    tok_lists = [tokenize(t) for t in texts]
-    lens = np.fromiter(
-        (len(x) for x in tok_lists), np.int64, count=len(tok_lists)
-    )
-    total = int(lens.sum())
-    if total:
-        flat = pa.array(list(chain.from_iterable(tok_lists)), pa.string())
-        enc = flat.dictionary_encode()
-        codes = enc.indices.to_numpy().astype(np.int64)
-        uniq = enc.dictionary.to_pylist()
-    else:
-        codes, uniq = np.empty(0, np.int64), []
-    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
-    return lens, doc_idx, codes, uniq
+    return batch_token_codes(batch["text"].to_pylist())
 
 
 def token_count(sf_dir: str):
@@ -580,6 +561,75 @@ def embedding_lsh_topk(sf_dir: str, k: int = 10, seed: int = 42):
             "vec_id": t["vec_id"],
             "cos": pa.array(
                 [round(float(x), 4) for x in t["cos"].to_pylist()], pa.float64()
+            ),
+        }
+    )
+
+
+def embed_documents(
+    sf_dir: str, dim: int = 32, concurrency: int = 2, batch_size: int = 512
+):
+    """(doc_id, embedding list<double>) — deterministic hashing-embedding
+    of the documents table through an ACTOR-POOL stage (model state built
+    once per actor in ``__init__``; SURVEY.md §2 ST3). Streams; at scale
+    the output is written partitioned, not collected."""
+    from ..stages.embedder import HashingEmbedder
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        HashingEmbedder,
+        fn_constructor_kwargs=dict(dim=dim),
+        batch_size=batch_size,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+def embed_then_topk(sf_dir: str, k: int = 20, dim: int = 32):
+    """(doc_id, cos) — full corpus→embeddings→similarity pipeline: embed
+    every document with the actor-pool stage, then brute-force cosine
+    top-k against doc 0's embedding (broadcast once; per-batch partial
+    top-k, tiny driver merge). Model scoring → no SQL oracle; gated by
+    determinism/geometry pytest."""
+    import pyarrow.parquet as pq
+
+    from ..stages.embedder import HashingEmbedder
+
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    i0 = docs["doc_id"].to_pylist().index(0)
+    q = HashingEmbedder(dim=dim).embed([docs["text"][i0].as_py()])[0]
+    q_ref = ray.put(q)
+
+    def score(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        arr = batch["embedding"]
+        arr = arr.chunk(0) if hasattr(arr, "chunk") else arr
+        emb = arr.values.to_numpy(zero_copy_only=False).reshape(-1, len(qv))
+        cos = emb @ qv  # both sides L2-normalized by the embedder
+        ids = batch["doc_id"].to_numpy()
+        if len(cos) > k:
+            sel = np.lexsort((ids, -cos))[:k]
+            cos, ids = cos[sel], ids[sel]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "cos": pa.array(cos, pa.float64()),
+            }
+        )
+
+    ds = embed_documents(sf_dir, dim=dim).map_batches(
+        score, batch_format="pyarrow"
+    )
+    t = _to_table(ds)  # ≤ k rows per batch
+    order = np.lexsort((t["doc_id"].to_numpy(), -t["cos"].to_numpy()))[:k]
+    t = t.take(pa.array(order))
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "cos": pa.array(
+                [round(float(x), 4) for x in t["cos"].to_pylist()],
+                pa.float64(),
             ),
         }
     )

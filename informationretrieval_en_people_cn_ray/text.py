@@ -270,3 +270,33 @@ def tokenize(text: str) -> list[str]:
     if _DOTTED_I in text:
         text = text.replace(_DOTTED_I, "i")
     return TOKEN_RE.findall(text.lower())
+
+
+def batch_token_codes(texts: list[str]):
+    """Vectorized tokenized intermediate shared by the text-analysis and
+    embedding stages: tokenize each doc (C regex), dictionary-encode the
+    batch's WHOLE token stream (Arrow C++), and hand back integer codes —
+    so callers process the vocabulary-sized ``uniq`` list instead of every
+    token occurrence.
+
+    Returns (doc_lens int64[n], doc_idx int64[T], codes int64[T],
+    uniq list[str])."""
+    from itertools import chain
+
+    import numpy as np
+    import pyarrow as pa
+
+    tok_lists = [tokenize(t) for t in texts]
+    lens = np.fromiter(
+        (len(x) for x in tok_lists), np.int64, count=len(tok_lists)
+    )
+    total = int(lens.sum())
+    if total:
+        flat = pa.array(list(chain.from_iterable(tok_lists)), pa.string())
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy().astype(np.int64)
+        uniq = enc.dictionary.to_pylist()
+    else:
+        codes, uniq = np.empty(0, np.int64), []
+    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    return lens, doc_idx, codes, uniq

@@ -1,0 +1,81 @@
+"""CLI entry (`python -m`) + DocStore hydration (SURVEY.md §2 S8/J7)."""
+
+import json
+import os
+
+import pytest
+
+from informationretrieval_en_people_cn_ray.corpus import write_corpus
+from informationretrieval_en_people_cn_ray.sources.corpus_source import (
+    DocStore,
+    read_corpus,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("clicorpus"))
+    write_corpus(d, 90, seed=11, num_parquet_files=3)
+    return d
+
+
+def test_docstore_lookup_matches_read_corpus(ray_session, corpus_dir):
+    """lookup(doc_id) must return exactly the row the streaming reader
+    assigned that doc_id to — same layout-derived id function on both
+    paths (reference ``SearchEngine.load_comment`` seek parity)."""
+    ds = read_corpus(corpus_dir, columns=["content", "path"])
+    full = {
+        int(r["doc_id"]): (r["content"], r["path"]) for r in ds.take_all()
+    }
+    store = DocStore(corpus_dir)
+    ids = [0, 7, 41, 89, 89, 30]  # dupes collapse, order-insensitive
+    t = store.lookup(ids, columns=["content", "path"])
+    assert t.num_rows == len(set(ids))
+    for r in t.to_pylist():
+        content, path = full[r["doc_id"]]
+        assert r["content"] == content and r["path"] == path
+
+
+def test_docstore_lookup_crosses_fragments(corpus_dir):
+    """ids spanning different files/row groups hydrate in one call."""
+    store = DocStore(corpus_dir)
+    n_frags = len(store.plan)
+    assert n_frags >= 3
+    picks = [int(p["base"]) for p in store.plan]  # first row of each frag
+    t = store.lookup(picks, columns=["content"])
+    assert sorted(t["doc_id"].to_pylist()) == sorted(picks)
+
+
+def test_cli_index_and_search(ray_session, corpus_dir, tmp_path, capsys):
+    from informationretrieval_en_people_cn_ray.__main__ import main
+
+    idx = str(tmp_path / "cli_idx")
+    rc = main(["index", corpus_dir, idx, "--segments", "4"])
+    assert rc == 0
+    built = json.loads(capsys.readouterr().out.strip())
+    assert built["num_docs"] == 90 and built["n_terms"] > 0
+
+    rc = main(
+        [
+            "search", idx, "--query", "the data value", "--k", "5",
+            "--hydrate", corpus_dir, "--columns", "path",
+        ]
+    )
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip())
+    assert res["query"] == "the data value"
+    assert 0 < len(res["doc_ids"]) <= 5
+    assert all(d and "path" in d for d in res["docs"])
+
+    # query-file batch mode (the reference's primary UX)
+    qf = str(tmp_path / "queries.txt")
+    with open(qf, "w") as f:
+        f.write("data value\nthe AND data\n\n")
+    rc = main(["search", idx, "--query-file", qf, "--k", "3"])
+    assert rc == 0
+    lines = [
+        json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert [l["query"] for l in lines] == ["data value", "the AND data"]
+    assert len(lines[0]["doc_ids"]) <= 3
+    assert all(s is None for s in lines[1]["scores"])  # boolean → no scores

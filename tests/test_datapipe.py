@@ -166,3 +166,42 @@ def test_media_strict_raises():
 
     with pytest.raises(NotImplementedError, match="PIL|ffmpeg"):
         MediaDecode(strict=True)
+
+
+def test_hashing_embedder_deterministic_and_geometric():
+    """ST3 stage: identical text → identical embedding regardless of
+    batching/actor; near-identical texts → high cosine; disjoint-vocab
+    texts → much lower cosine."""
+    import numpy as np
+
+    from informationretrieval_en_people_cn_ray.stages.embedder import (
+        HashingEmbedder,
+    )
+
+    a = "the quick brown fox jumps over the lazy dog"
+    b = "the quick brown fox jumps over the lazy cat"
+    c = "import numpy as something else entirely unrelated words"
+    e1 = HashingEmbedder(dim=32).embed([a, b, c])
+    e2 = HashingEmbedder(dim=32).embed([c, a])  # fresh model, other batch
+    assert np.allclose(e1[0], e2[1], atol=0)  # deterministic across actors
+    assert np.allclose(e1[2], e2[0], atol=0)
+    assert np.allclose((e1 * e1).sum(axis=1), 1.0)  # L2-normalized
+    cos_ab = float(e1[0] @ e1[1])
+    cos_ac = float(e1[0] @ e1[2])
+    assert cos_ab > 0.8 and cos_ab > cos_ac + 0.3
+    # empty text embeds to the zero vector, not NaN
+    z = HashingEmbedder(dim=32).embed([""])
+    assert np.allclose(z, 0.0)
+
+
+def test_embed_then_topk_pipeline(ray_session):
+    """Corpus → actor-pool embedding → ANN: doc 0 ranks itself first with
+    cosine 1.0; output is the top-k contract shape."""
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    t = dp.embed_then_topk("/root/testdata/sf0.001", k=10)
+    assert t.column_names == ["doc_id", "cos"]
+    assert t.num_rows == 10
+    assert t["doc_id"][0].as_py() == 0 and t["cos"][0].as_py() == 1.0
+    cos = t["cos"].to_pylist()
+    assert cos == sorted(cos, reverse=True)
