@@ -29,6 +29,13 @@ import time
 
 
 def _headline(cpus: int, n_docs: int) -> dict:
+    # push-based sort shuffle pipelines the groupby's map/merge with the
+    # upstream tokenize instead of a hard barrier — measured 60 → 48 s on
+    # the 8-cpu 200k-doc build, and the win grows with node count (the
+    # barrier idles every node). Overridable via the same env var.
+    os.environ.setdefault(
+        "RAY_DATA_DEFAULT_SHUFFLE_STRATEGY", "sort_shuffle_push_based"
+    )
     import ray
 
     if not ray.is_initialized():
@@ -140,7 +147,10 @@ def _scaling(n_docs: int) -> None:
 
     lo = int(os.environ.get("GRAFT_SCALE_LO", "2"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "8"))
-    repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "1"))
+    # min-of-3 per leg by default: this VM's leg-to-leg variance is
+    # ±40% (BENCH/BASELINE.md) — single runs measure the host's mood,
+    # not the engine
+    repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "3"))
     results = {}
     for cpus in (lo, hi):
         best = None
