@@ -308,8 +308,11 @@ def minhash_signatures(sf_dir: str):
             data[f"sig_{k}"] = pa.array(sigs[k], pa.int64())
         return pa.table(data)
 
+    # big batches: the distinct-shingle md5 dedup only pays off when a
+    # batch spans enough docs to repeat shingles (tiny read blocks would
+    # hash every occurrence)
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        f, batch_format="pyarrow"
+        f, batch_format="pyarrow", batch_size=1024
     )
 
 
@@ -360,7 +363,7 @@ def near_dup_pairs(sf_dir: str, jaccard_threshold: float = 0.8):
         return pa.concat_tables(parts)
 
     banded = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        band_rows, batch_format="pyarrow"
+        band_rows, batch_format="pyarrow", batch_size=1024
     )
 
     def bucket_verify(group: pa.Table) -> pa.Table:
@@ -394,13 +397,13 @@ def near_dup_pairs(sf_dir: str, jaccard_threshold: float = 0.8):
             }
         )
 
-    pairs = banded.groupby("band_key").map_groups(
+    pairs = banded.repartition(8).groupby("band_key").map_groups(
         bucket_verify, batch_format="pyarrow"
     )
     # dedupe pairs that matched in several bands (identical jaccard)
     from ray.data.aggregate import Min
 
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+    return pairs.repartition(4).groupby(["doc_a", "doc_b"]).aggregate(
         Min("jaccard", alias_name="jaccard")
     )
 
@@ -441,7 +444,7 @@ def simhash_codes(sf_dir: str):
         )
 
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        f, batch_format="pyarrow"
+        f, batch_format="pyarrow", batch_size=1024
     )
 
 
@@ -604,8 +607,10 @@ def embed_then_topk(sf_dir: str, k: int = 20, dim: int = 32):
     def score(batch: pa.Table) -> pa.Table:
         qv = ray.get(q_ref)
         arr = batch["embedding"]
-        arr = arr.chunk(0) if hasattr(arr, "chunk") else arr
-        emb = arr.values.to_numpy(zero_copy_only=False).reshape(-1, len(qv))
+        if hasattr(arr, "combine_chunks"):  # multi-chunk batches
+            arr = arr.combine_chunks()
+        # flatten() honors slice offsets (unlike .values on sliced arrays)
+        emb = arr.flatten().to_numpy(zero_copy_only=False).reshape(-1, len(qv))
         cos = emb @ qv  # both sides L2-normalized by the embedder
         ids = batch["doc_id"].to_numpy()
         if len(cos) > k:
