@@ -151,6 +151,67 @@ class SegmentSearcher:
         return out
 
 
+@ray.remote
+class DocStatsShard:
+    """One docstat RANGE partition as an actor — the score-by-doc-range
+    scale path: at 10^12 docs the (doc_id, doc_len) array doesn't fit one
+    process, so scoring moves to the shard that owns each doc range and
+    only per-shard top-k heaps travel back. The shard loads ITS parquet
+    partition in __init__ (never the driver), slices every posting /
+    candidate array to its range with two searchsorted calls, and runs
+    the same accumulate kernels as the local path — so the merged result
+    is identical by construction."""
+
+    def __init__(self, index_dir: str, part_dir: str):
+        t = pq.read_table(os.path.join(part_dir, "docstats.parquet"))
+        self.doc_ids = t["doc_id"].to_numpy()
+        self.doc_lens = t["doc_len"].to_numpy()
+
+    def bounds(self) -> tuple[int, int]:
+        if self.doc_ids.size == 0:
+            return (0, -1)
+        return int(self.doc_ids[0]), int(self.doc_ids[-1])
+
+    def score_bm25(
+        self,
+        cand_arrays: list[np.ndarray],
+        score_lists: list[tuple[np.ndarray, np.ndarray, int]],
+        N: int,
+        avgdl: float,
+        k1: float,
+        b: float,
+        k: int | None,
+    ):
+        """cand_arrays: sorted doc-id arrays whose union (within my
+        range) is the candidate set; score_lists: per QUERY-TERM
+        OCCURRENCE (doc_ids, tfs, df) — accumulated in list order, the
+        same float-addition order as the local scorer."""
+        if self.doc_ids.size == 0:
+            z = np.empty(0, np.int64)
+            return z, np.empty(0, np.float64)
+        lo, hi = self.doc_ids[0], self.doc_ids[-1]
+        parts = []
+        for a in cand_arrays:
+            s = np.searchsorted(a, lo, side="left")
+            e = np.searchsorted(a, hi, side="right")
+            if e > s:
+                parts.append(a[s:e])
+        if not parts:
+            z = np.empty(0, np.int64)
+            return z, np.empty(0, np.float64)
+        cand = np.unique(np.concatenate(parts))
+        idx = np.searchsorted(self.doc_ids, cand)
+        lens = self.doc_lens[idx]
+        scores = np.zeros(len(cand), dtype=np.float64)
+        for d, tf, df in score_lists:
+            s = np.searchsorted(d, lo, side="left")
+            e = np.searchsorted(d, hi, side="right")
+            bm25_accumulate(
+                scores, cand, d[s:e], tf[s:e], lens, df, N, avgdl, k1, b
+            )
+        return topk(cand, scores, k)
+
+
 class DocStats:
     """Range-partitioned (doc_id, doc_len) artifacts → sorted arrays +
     searchsorted lookup (the reference's ``comment_offsets.npy`` /
@@ -207,6 +268,7 @@ class SearchEngine:
         self.avgdl = self.manifest["avgdl"]
         self.mode = mode
         self.actors = []
+        self._shards: list | None = None  # DocStatsShard actors, lazy
         if mode == "actors":
             segs = list(range(self.local.num_segments))
             chunks = [segs[i::num_actors] for i in range(num_actors)]
@@ -595,6 +657,66 @@ class SearchEngine:
         return topk(
             np.concatenate(all_docs), np.concatenate(all_scores), k
         )
+
+    def ranked_by_range(
+        self,
+        plan: QueryPlan,
+        k: int | None = 10,
+        k1: float = BM25_K1,
+        b: float = BM25_B,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """BM25 top-k scored BY DOC-RANGE PARTITION — the 10^12-doc scale
+        path (SURVEY.md scale note at the top of this module): each
+        docstat shard actor loads its own (doc_id, doc_len) partition,
+        receives the query's posting arrays ONCE via the object store,
+        slices them to its range, scores locally, and returns a k-row
+        heap; the driver merges #shards × k rows. The driver-resident
+        DocStats array is never touched, so doc-length state scales with
+        the number of shards, not with one process's heap.
+
+        Rank-identical to ``ranked()``: per-doc scores are accumulated in
+        the same query-term order, candidates partition disjointly across
+        shards, and the merged top-k uses the same canonical tie-break."""
+        if any(t.kind != "keyword" for t in plan.tokens):
+            return self.ranked(plan, k=k, scorer="bm25", k1=k1, b=b)
+        qterms = self.az.query_terms(plan.text)
+        plists = self._postings_map(qterms)
+        cand_arrays = []
+        seen_terms: set[str] = set()
+        for tok in plan.tokens:
+            ts = self.az.query_terms(tok.value)
+            if ts and plists.get(ts[0]) is not None and ts[0] not in seen_terms:
+                seen_terms.add(ts[0])
+                cand_arrays.append(plists[ts[0]].doc_ids)
+        if not cand_arrays:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        score_lists = [
+            (plists[t].doc_ids, plists[t].tfs, plists[t].df)
+            for t in qterms
+            if plists.get(t) is not None
+        ]
+        if self._shards is None:
+            parts = sorted(
+                glob.glob(
+                    os.path.join(self.local.index_dir, "docstats", "part=*")
+                )
+            )
+            self._shards = [
+                DocStatsShard.remote(self.local.index_dir, p) for p in parts
+            ]
+        # one object-store put each; every shard reads the same copy
+        cand_ref = ray.put(cand_arrays)
+        score_ref = ray.put(score_lists)
+        futs = [
+            s.score_bm25.remote(
+                cand_ref, score_ref, self.N, self.avgdl, k1, b, k
+            )
+            for s in self._shards
+        ]
+        parts_res = ray.get(futs)
+        ids = np.concatenate([r[0] for r in parts_res])
+        scores = np.concatenate([r[1] for r in parts_res])
+        return topk(ids, scores, k)
 
     def search(
         self,

@@ -277,3 +277,24 @@ def test_maxscore_prunes_hot_terms(engine):
     a_ids, a_sc = engine.ranked(plan, k=3)
     assert [int(x) for x in ids] == [int(x) for x in a_ids]
     assert np.allclose(sc, a_sc, atol=0)
+
+
+def test_ranked_by_range_identical(ray_session, engine, oracle):
+    """Score-by-doc-range (shard actors own the docstat partitions) must
+    be invisible: identical ids AND scores vs the local scorer, across
+    k values, hot/rare mixes and multi-term keywords."""
+    queries = [
+        "data value result",
+        "the running characters",
+        "data",
+        "zzznope data",
+        "data data value",
+        "data-value result",
+    ]
+    for q in queries:
+        plan = parse(q)
+        for k in (1, 5, 50, None):
+            a_ids, a_sc = engine.ranked(plan, k=k)
+            b_ids, b_sc = engine.ranked_by_range(plan, k=k)
+            assert [int(x) for x in a_ids] == [int(x) for x in b_ids], (q, k)
+            assert np.allclose(a_sc, b_sc, atol=0), (q, k)
