@@ -302,6 +302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_then_topk": lambda sf: dp.embed_then_topk(sf),
         "group_adjacency": lambda sf: dp.group_adjacency(sf),
         "events_window": lambda sf: dp.events_tumbling_window(sf),
+        "media_decode": lambda sf: dp.media_decode(sf),
     }
 
 

@@ -247,7 +247,13 @@ def exact_dedup_keepers(sf_dir: str):
     ds = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         h, batch_format="pyarrow"
     )
-    agg = ds.groupby("sha").aggregate(Min("doc_id", alias_name="doc_id"))
+    # hashed rows are short; coalesce the read's small blocks before the
+    # shuffle (same overhead fix as term_stats)
+    agg = (
+        ds.repartition(8)
+        .groupby("sha")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+    )
     return agg.select_columns(["doc_id"])
 
 
@@ -714,6 +720,21 @@ def events_tumbling_window(sf_dir: str, hours: int = 1):
         )
     )
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def media_decode(sf_dir: str, n: int = 200):
+    """(media_id, kind, width, height, n_frames, feature) — multimodal
+    decode through the actor-pool stage over a deterministic synthetic
+    media table (binary payload + typed metadata; the decode itself is
+    the honestly-stubbed fake, the Ray plumbing is real — see
+    stages/multimodal.py). Rows-only driver check (no SQL media
+    decode)."""
+    from ..stages.multimodal import MediaDecode, synthesize_media_table
+
+    ds = ray.data.from_arrow(synthesize_media_table(n, seed=7))
+    return ds.map_batches(
+        MediaDecode, batch_size=32, batch_format="pyarrow", concurrency=2
+    )
 
 
 # ---------------------------------------------------------------------------

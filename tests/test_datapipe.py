@@ -205,3 +205,33 @@ def test_embed_then_topk_pipeline(ray_session):
     assert t["doc_id"][0].as_py() == 0 and t["cos"][0].as_py() == 1.0
     cos = t["cos"].to_pylist()
     assert cos == sorted(cos, reverse=True)
+
+
+def test_partitioned_sink_resume(ray_session, tmp_path):
+    """write_partitioned: commit-marker-last, fingerprint-keyed skip on
+    re-run, unreadable before commit."""
+    import ray.data
+
+    from informationretrieval_en_people_cn_ray.state.sink import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    out = str(tmp_path / "sink")
+    ds = ray.data.range(1000)
+    m1 = write_partitioned(ds, out, "fp1")
+    assert m1["rows"] == 1000 and not m1["skipped"] and m1["files"] >= 1
+    back = read_partitioned(out)
+    assert back.count() == 1000
+    # same fingerprint → skipped, data untouched
+    m2 = write_partitioned(ray.data.range(5), out, "fp1")
+    assert m2["skipped"] and read_partitioned(out).count() == 1000
+    # new fingerprint → rewritten
+    m3 = write_partitioned(ray.data.range(5), out, "fp2")
+    assert not m3["skipped"] and read_partitioned(out).count() == 5
+    # a sink without a committed manifest is not readable
+    import os, shutil
+
+    os.remove(os.path.join(out, "manifest.json"))
+    with pytest.raises(FileNotFoundError):
+        read_partitioned(out)
