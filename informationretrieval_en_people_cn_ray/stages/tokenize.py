@@ -26,7 +26,6 @@ fails the task (and therefore the build) with the offending doc_ids.
 from __future__ import annotations
 
 import hashlib
-from itertools import chain
 
 import numpy as np
 import pyarrow as pa
@@ -76,8 +75,8 @@ class TokenizePartial:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_numpy()
-        contents = batch[self.content_column].to_pylist()
         if self.verify_sha and "content_sha256" in batch.column_names:
+            contents = batch[self.content_column].to_pylist()
             expected = batch["content_sha256"].to_pylist()
             bad = [
                 int(d)
@@ -91,24 +90,20 @@ class TokenizePartial:
                 )
 
         # --- vectorized analysis -------------------------------------
-        # Per-batch pipeline: tokenize each doc (C regex), dictionary-
-        # encode the whole batch's token stream (Arrow C++), stem + filter
-        # only the UNIQUE tokens (vocabulary-sized, cached per actor),
-        # then one lexsort + one varint encode for the whole batch.
-        # Positions index the FULL token stream even for filtered tokens
+        # Per-batch pipeline: Arrow-tokenize the whole batch (RE2 split,
+        # byte-identical to text.tokenize — fuzz-gated), dictionary-
+        # encode the token stream (Arrow C++), stem + filter only the
+        # UNIQUE tokens (vocabulary-sized, cached per actor), then one
+        # lexsort + one varint encode for the whole batch. Positions
+        # index the FULL token stream even for filtered tokens
         # (SURVEY.md §7.4 R6).
-        tok = self.az.tokens
-        tok_lists = [tok(t) for t in contents]
-        doc_lens = np.fromiter(
-            (len(x) for x in tok_lists), dtype=np.int64, count=len(tok_lists)
-        )
+        from ..text import tokenize_batch
+
+        doc_lens, flat = tokenize_batch(batch[self.content_column])
         total = int(doc_lens.sum())
         doc_ids = np.asarray(doc_ids, dtype=np.int64)
 
         if total:
-            flat = pa.array(
-                list(chain.from_iterable(tok_lists)), pa.string()
-            )
             enc = flat.dictionary_encode()
             codes = enc.indices.to_numpy().astype(np.int64)
             uniq = enc.dictionary.to_pylist()

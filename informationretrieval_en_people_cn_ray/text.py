@@ -272,27 +272,49 @@ def tokenize(text: str) -> list[str]:
     return TOKEN_RE.findall(text.lower())
 
 
-def batch_token_codes(texts: list[str]):
+def tokenize_batch(col) -> tuple:
+    """Arrow-native batch tokenizer — byte-identical tokens to
+    ``tokenize()`` (fuzz-gated in tests/test_text.py): RE2 split on the
+    lowered text instead of a Python regex per doc, so the build's
+    hottest stage never materializes Python token lists.
+
+    ``col``: pa.Array / pa.ChunkedArray of strings (or a list of str).
+    Returns (doc_lens int64[n] — ALL tokens per doc, flat tokens
+    pa.StringArray in doc order)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, list):
+        col = pa.array(col, pa.string())
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    col = pc.replace_substring(col, _DOTTED_I, "i")
+    parts = pc.split_pattern_regex(pc.utf8_lower(col), "[^a-z0-9]+")
+    offs = parts.offsets.to_numpy()  # absolute into the child values
+    flat = parts.flatten()  # slice-safe (honors offsets)
+    raw_counts = np.diff(offs)
+    keep = pc.not_equal(flat, "")  # split leaves '' at run boundaries
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    doc_idx_all = np.repeat(np.arange(n, dtype=np.int64), raw_counts)
+    lens = np.bincount(doc_idx_all[keep_np], minlength=n).astype(np.int64)
+    return lens, flat.filter(keep)
+
+
+def batch_token_codes(texts):
     """Vectorized tokenized intermediate shared by the text-analysis and
-    embedding stages: tokenize each doc (C regex), dictionary-encode the
-    batch's WHOLE token stream (Arrow C++), and hand back integer codes —
-    so callers process the vocabulary-sized ``uniq`` list instead of every
+    embedding stages: Arrow-tokenize the whole batch, dictionary-encode
+    its token stream (Arrow C++), and hand back integer codes — so
+    callers process the vocabulary-sized ``uniq`` list instead of every
     token occurrence.
 
     Returns (doc_lens int64[n], doc_idx int64[T], codes int64[T],
     uniq list[str])."""
-    from itertools import chain
-
     import numpy as np
-    import pyarrow as pa
 
-    tok_lists = [tokenize(t) for t in texts]
-    lens = np.fromiter(
-        (len(x) for x in tok_lists), np.int64, count=len(tok_lists)
-    )
-    total = int(lens.sum())
-    if total:
-        flat = pa.array(list(chain.from_iterable(tok_lists)), pa.string())
+    lens, flat = tokenize_batch(texts)
+    if len(flat):
         enc = flat.dictionary_encode()
         codes = enc.indices.to_numpy().astype(np.int64)
         uniq = enc.dictionary.to_pylist()

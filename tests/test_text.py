@@ -2,6 +2,8 @@
 
 import duckdb
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from informationretrieval_en_people_cn_ray.text import (
     Analyzer,
@@ -117,3 +119,47 @@ def test_long_token_filtered():
 def test_query_terms_match_index_terms():
     az = Analyzer(stem=True)
     assert az.query_terms("Running CHARACTERS a") == ["run", "charact"]
+
+
+def test_tokenize_batch_matches_python_edge_cases():
+    """Arrow batch tokenizer must be byte-identical to tokenize() —
+    unicode specials, ligatures, empties, long runs."""
+    from informationretrieval_en_people_cn_ray.text import (
+        tokenize,
+        tokenize_batch,
+    )
+
+    cases = [
+        "Hello, World! x9", "İstanbul İİ xİy", "aİb", "İ",
+        "ﬁle ﬂow ﬀ ﬃ", "Straße xßy abẞcd", "KELVIN K sign",
+        "ΣΙΣΥΦΟΣ σ ς", "ǅungla ǄǄ ǆ", "ｆｕｌｌｗｉｄｔｈ",
+        "", "   ", "\n\t", "a", "9", "§¸…· x = \"quoted, string!\"",
+        "q" * 300, "a b" * 1000, "ÅngströM 123abc45",
+    ]
+    lens, flat = tokenize_batch(cases)
+    toks = flat.to_pylist()
+    pos = 0
+    for c, n in zip(cases, lens.tolist()):
+        expect = tokenize(c)
+        assert toks[pos : pos + n] == expect, repr(c)
+        assert n == len(expect), repr(c)
+        pos += n
+    assert pos == len(toks)
+
+
+@given(st.lists(st.text(max_size=60), min_size=1, max_size=20))
+@settings(max_examples=200, deadline=None)
+def test_tokenize_batch_matches_python_fuzz(texts):
+    from informationretrieval_en_people_cn_ray.text import (
+        tokenize,
+        tokenize_batch,
+    )
+
+    lens, flat = tokenize_batch(texts)
+    toks = flat.to_pylist()
+    pos = 0
+    for c, n in zip(texts, lens.tolist()):
+        expect = tokenize(c)
+        assert toks[pos : pos + n] == expect, repr(c)
+        pos += n
+    assert pos == len(toks)
