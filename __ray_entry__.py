@@ -293,15 +293,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": lambda sf: dp.exact_dedup_keepers(sf),
         "minhash_signatures": lambda sf: dp.minhash_signatures(sf),
         "near_dup_pairs": lambda sf: dp.near_dup_pairs(sf),
+        "ngram_jaccard": lambda sf: dp.ngram_jaccard_pairs(sf),
         "simhash": lambda sf: dp.simhash_codes(sf),
         "lang_id": lambda sf: dp.lang_id(sf),
         "quality_score": lambda sf: dp.quality_score(sf),
         "fingerprint": lambda sf: dp.fingerprint(sf),
         "embedding_topk": lambda sf: dp.embedding_topk(sf),
         "embedding_lsh_topk": lambda sf: dp.embedding_lsh_topk(sf),
+        "embedding_ivf_topk": lambda sf: dp.embedding_ivf_topk(sf),
+        "embedding_cosine_pairs": lambda sf: dp.embedding_cosine_pairs(sf),
         "embed_then_topk": lambda sf: dp.embed_then_topk(sf),
         "group_adjacency": lambda sf: dp.group_adjacency(sf),
         "events_window": lambda sf: dp.events_tumbling_window(sf),
+        "events_sliding_window": lambda sf: dp.events_sliding_window(sf),
+        "asof_join": lambda sf: dp.asof_join_events_orders(sf),
         "media_decode": lambda sf: dp.media_decode(sf),
     }
 
@@ -610,6 +615,7 @@ select min(doc_id) as doc_id from documents group by text
 """,
         "minhash_signatures": _minhash_sql(),
         "near_dup_pairs": _near_dup_sql(),
+        "ngram_jaccard": _near_dup_sql(0.5),
         "simhash": _simhash_sql(),
         "lang_id": _lang_id_sql(),
         "quality_score": _quality_sql(),
@@ -641,6 +647,32 @@ select event_type,
        sum(floor(value * 1000.0)::bigint)::bigint as sum_value_milli
 from events group by event_type, window_start
 """,
+        "events_sliding_window": """
+select event_type,
+       to_timestamp(((epoch_us(ts) // 3600000000) - off.off) * 3600000000 / 1000000)::timestamp as window_start,
+       count(*) as n_events,
+       sum(floor(value * 1000.0)::bigint)::bigint as sum_value_milli
+from events cross join (select unnest([0, 1]) as off) off
+group by event_type, window_start
+""",
+        "embedding_cosine_pairs": """
+select a.vec_id as vec_a, b.vec_id as vec_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) as cos
+from embeddings a join embeddings b on a.vec_id < b.vec_id
+where list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+""",
+        "asof_join": """
+with pairs as (
+  select e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+         row_number() over (
+           partition by e.event_id
+           order by o.o_orderdate desc, o.o_orderkey desc
+         ) as rn
+  from events e
+  join orders o on o.o_custkey = e.user_id and o.o_orderdate <= e.ts
+)
+select event_id, user_id, o_orderkey, o_totalprice from pairs where rn = 1
+""",
         "group_adjacency": """
 select o_custkey,
        string_agg(o_orderkey::varchar, ',' order by o_orderkey) as orderkeys
@@ -648,5 +680,6 @@ from orders group by o_custkey
 """,
         # rows-only (approximate / stateful / stemmer-dependent):
         # bm25_topk_stemmed, reference_queryset_stemmed,
-        # index_segment_stats_stemmed, embedding_lsh_topk
+        # index_segment_stats_stemmed, embedding_lsh_topk,
+        # embedding_ivf_topk, embed_then_topk, media_decode
     }

@@ -520,6 +520,76 @@ def embedding_topk(sf_dir: str, k: int = 20):
     )
 
 
+def embedding_cosine_pairs(sf_dir: str, threshold: float = 0.4):
+    """(vec_a, vec_b, cos) — embedding-cosine near-duplicate pairs:
+    every pair of vectors with cosine >= threshold (SQL-parity via
+    list_cosine_similarity self-join).
+
+    Scale shape: the table is split into row blocks that live in the
+    OBJECT STORE (put once via ``to_arrow_refs`` — never re-shipped per
+    task); the B·(B+1)/2 block pairs fan out as a Dataset of (i, j) work
+    items and each task matmuls one block pair, emitting only the
+    above-threshold pairs. Exact all-pairs is O(n²) by definition — the
+    baseline; when n makes that infeasible the LSH-bucketed prefilter
+    (``embedding_lsh_topk``'s hyperplane buckets) bounds each task to one
+    bucket instead."""
+    ds = read_embeddings(sf_dir, ["vec_id", "embedding"])
+    refs = ds.to_arrow_refs()
+
+    def _block(tbl: pa.Table):
+        ids = tbl["vec_id"].to_numpy()
+        arr = tbl["embedding"]
+        if hasattr(arr, "combine_chunks"):
+            arr = arr.combine_chunks()
+        emb = np.stack(
+            [np.asarray(e, dtype=np.float64) for e in arr.to_pylist()]
+        )
+        norms = np.sqrt((emb * emb).sum(axis=1))
+        return ids, emb, np.where(norms == 0, 1.0, norms)
+
+    def cross(batch: pa.Table) -> pa.Table:
+        a_out, b_out, c_out = [], [], []
+        for i, j in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
+            ida, ea, na = _block(ray.get(refs[i]))
+            idb, eb, nb = _block(ray.get(refs[j]))
+            cos = (ea @ eb.T) / np.outer(na, nb)
+            # each unordered pair exactly once: the (i, j) task owns the
+            # block pair, and every qualifying pair is emitted id-ordered
+            # (vec_a < vec_b) whichever block each id sits in
+            hot = cos >= threshold
+            mask = (ida[:, None] < idb[None, :]) & hot
+            ai, bi = np.nonzero(mask)
+            a_out.append(ida[ai])
+            b_out.append(idb[bi])
+            c_out.append(cos[ai, bi])
+            if i != j:
+                rmask = (ida[:, None] > idb[None, :]) & hot
+                ai, bi = np.nonzero(rmask)
+                a_out.append(idb[bi])
+                b_out.append(ida[ai])
+                c_out.append(cos[ai, bi])
+        a = np.concatenate(a_out) if a_out else np.empty(0, np.int64)
+        b = np.concatenate(b_out) if b_out else np.empty(0, np.int64)
+        c = np.concatenate(c_out) if c_out else np.empty(0, np.float64)
+        return pa.table(
+            {
+                "vec_a": pa.array(a, pa.int64()),
+                "vec_b": pa.array(b, pa.int64()),
+                "cos": pa.array(
+                    [round(float(x), 4) for x in c], pa.float64()
+                ),
+            }
+        )
+
+    nb = len(refs)
+    items = [
+        {"i": i, "j": j} for i in range(nb) for j in range(i, nb)
+    ]
+    return ray.data.from_items(items).map_batches(
+        cross, batch_format="pyarrow", batch_size=1
+    )
+
+
 NUM_HYPERPLANES = 6
 
 
@@ -570,6 +640,131 @@ def embedding_lsh_topk(sf_dir: str, k: int = 10, seed: int = 42):
             "vec_id": t["vec_id"],
             "cos": pa.array(
                 [round(float(x), 4) for x in t["cos"].to_pylist()], pa.float64()
+            ),
+        }
+    )
+
+
+def embedding_ivf_topk(
+    sf_dir: str,
+    k: int = 10,
+    nlist: int = 8,
+    nprobe: int = 3,
+    iters: int = 2,
+):
+    """(vec_id, cos) — IVF (inverted-file) approximate nearest neighbour:
+    a coarse quantizer (distributed Lloyd iterations) partitions vectors
+    into nlist cells; the query probes only the nprobe nearest cells, so
+    a scan touches ~nprobe/nlist of the data — the scale path next to the
+    brute-force baseline (``embedding_topk``) and the hyperplane LSH
+    variant. Approximate → rows-only driver check; recall-vs-brute-force
+    is pytest-gated.
+
+    Every pass is streaming ``map_batches``: training emits per-batch
+    (cell, sum, count) PARTIALS (nlist×dim-sized, tiny) that are merged
+    driver-side — the centroid state is the only driver-resident object,
+    O(nlist·dim) regardless of corpus size; centroids/query ship via
+    ``ray.put`` once per pass. Deterministic: centroids init from the
+    nlist smallest vec_ids, no RNG."""
+
+    def _emb_mat(batch: pa.Table):
+        arr = batch["embedding"]
+        if hasattr(arr, "combine_chunks"):
+            arr = arr.combine_chunks()
+        emb = np.stack(
+            [np.asarray(e, dtype=np.float64) for e in arr.to_pylist()]
+        )
+        norms = np.sqrt((emb * emb).sum(axis=1))
+        return emb / np.where(norms == 0.0, 1.0, norms)[:, None]
+
+    # deterministic init: the nlist lowest-vec_id vectors (one tiny
+    # ordered head read, not a corpus scan)
+    import pyarrow.parquet as pq
+
+    head = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    order = np.argsort(head["vec_id"].to_numpy(), kind="stable")[:nlist]
+    cent = _emb_mat(head.take(pa.array(order)))
+    q = _query_vector(sf_dir)
+    q = q / (np.linalg.norm(q) or 1.0)
+
+    for _ in range(iters):
+        c_ref = ray.put(cent)
+
+        def train_partial(batch: pa.Table) -> pa.Table:
+            C = ray.get(c_ref)
+            X = _emb_mat(batch)
+            assign = np.argmax(X @ C.T, axis=1)
+            sums = np.zeros_like(C)
+            np.add.at(sums, assign, X)
+            cnt = np.bincount(assign, minlength=len(C))
+            return pa.table(
+                {
+                    "cell": pa.array(np.arange(len(C)), pa.int64()),
+                    "vsum": pa.array(
+                        [row.tolist() for row in sums],
+                        pa.list_(pa.float64()),
+                    ),
+                    "cnt": pa.array(cnt, pa.int64()),
+                }
+            )
+
+        partials = _to_table(
+            read_embeddings(sf_dir, ["embedding"]).map_batches(
+                train_partial, batch_format="pyarrow"
+            )
+        )
+        cells = partials["cell"].to_numpy()
+        cnts = partials["cnt"].to_numpy()
+        vs = np.stack(
+            [np.asarray(v, np.float64) for v in partials["vsum"].to_pylist()]
+        )
+        sums = np.zeros_like(cent)
+        np.add.at(sums, cells, vs)
+        total = np.bincount(cells, weights=cnts, minlength=len(cent))
+        keep = total > 0
+        newc = cent.copy()  # empty cells keep their old centroid
+        newc[keep] = sums[keep] / total[keep][:, None]
+        norms = np.sqrt((newc * newc).sum(axis=1))
+        cent = newc / np.where(norms == 0.0, 1.0, norms)[:, None]
+
+    probe = set(
+        int(c) for c in np.argsort(-(cent @ q), kind="stable")[:nprobe]
+    )
+    c_ref = ray.put(cent)
+    q_ref = ray.put(q)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        C, qv = ray.get(c_ref), ray.get(q_ref)
+        X = _emb_mat(batch)
+        assign = np.argmax(X @ C.T, axis=1)
+        mask = np.isin(assign, list(probe))
+        ids = batch["vec_id"].to_numpy()[mask]
+        cos = X[mask] @ qv
+        if len(cos) > k:
+            sel = np.lexsort((ids, -cos))[:k]
+            cos, ids = cos[sel], ids[sel]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cos": pa.array(cos, pa.float64()),
+            }
+        )
+
+    t = _to_table(
+        read_embeddings(sf_dir, ["vec_id", "embedding"]).map_batches(
+            scan, batch_format="pyarrow"
+        )
+    )
+    sel = np.lexsort((t["vec_id"].to_numpy(), -t["cos"].to_numpy()))[:k]
+    t = t.take(pa.array(sel))
+    return pa.table(
+        {
+            "vec_id": t["vec_id"],
+            "cos": pa.array(
+                [round(float(x), 4) for x in t["cos"].to_pylist()],
+                pa.float64(),
             ),
         }
     )
@@ -657,34 +852,36 @@ def embed_then_topk(sf_dir: str, k: int = 20, dim: int = 32):
 # for telemetry/event tables.
 
 
-def events_tumbling_window(sf_dir: str, hours: int = 1):
-    """(event_type, window_start, n_events, sum_value_milli) — tumbling
-    window per event type; Arrow-native partial combine per batch before
-    the shuffle.
+def _windowed_events(sf_dir: str, hop_us: int, n_windows: int):
+    """Shared tumbling/sliding machinery: assign each event to its
+    ``n_windows`` containing hop-aligned windows (1 for tumbling),
+    partial-combine per batch, shuffle the combined partials, and cast
+    the window key to ``timestamp[us]`` only in the final projection.
 
     Type fidelity: the window key stays **int64 µs** through the bucket /
     partial / shuffle stages (a pandas hop here silently downgraded
-    ``timestamp[us]`` to ``timestamp[s]`` and broke the value-hash gate);
-    the single cast to ``timestamp("us")`` happens in the final
-    projection, after the aggregate."""
+    ``timestamp[us]`` to ``timestamp[s]`` and broke the value-hash gate)."""
     from ray.data.aggregate import Sum
-
-    us_per = hours * 3600 * 1_000_000
 
     def partial(batch: pa.Table) -> pa.Table:
         ts = batch["ts"].cast(pa.int64()).to_numpy()  # µs since epoch
-        win = (ts // us_per) * us_per
         # integer milli-units: float summation order differs between
         # engines in the last ulp; integer sums are order-independent
         # and hash-exact
         mv = np.floor(batch["value"].to_numpy() * 1000.0).astype(np.int64)
-        keyed = pa.table(
-            {
-                "event_type": batch["event_type"],
-                "window_us": pa.array(win, pa.int64()),
-                "value_milli": pa.array(mv, pa.int64()),
-            }
-        )
+        keyed_parts = []
+        for off in range(n_windows):
+            win = (ts // hop_us - off) * hop_us
+            keyed_parts.append(
+                pa.table(
+                    {
+                        "event_type": batch["event_type"],
+                        "window_us": pa.array(win, pa.int64()),
+                        "value_milli": pa.array(mv, pa.int64()),
+                    }
+                )
+            )
+        keyed = pa.concat_tables(keyed_parts)
         g = keyed.group_by(["event_type", "window_us"]).aggregate(
             [("value_milli", "count"), ("value_milli", "sum")]
         )
@@ -720,6 +917,25 @@ def events_tumbling_window(sf_dir: str, hours: int = 1):
         )
     )
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def events_tumbling_window(sf_dir: str, hours: int = 1):
+    """(event_type, window_start, n_events, sum_value_milli) — tumbling
+    window per event type; Arrow-native partial combine per batch before
+    the shuffle (see _windowed_events)."""
+    return _windowed_events(sf_dir, hours * 3600 * 1_000_000, 1)
+
+
+def events_sliding_window(sf_dir: str, window_hours: int = 2, hop_hours: int = 1):
+    """(event_type, window_start, n_events, sum_value_milli) — SLIDING
+    (hopping) window: each event contributes to window_hours/hop_hours
+    hop-aligned windows, assigned vectorized in the same partial-combine
+    pass (the duplication happens inside the map task, pre-combined, so
+    the shuffle still only moves window-count-bounded partials)."""
+    assert window_hours % hop_hours == 0
+    return _windowed_events(
+        sf_dir, hop_hours * 3600 * 1_000_000, window_hours // hop_hours
+    )
 
 
 def media_decode(sf_dir: str, n: int = 200):
@@ -762,3 +978,106 @@ def group_adjacency(sf_dir: str):
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey"]
     )
     return ds.groupby("o_custkey").map_groups(agg, batch_format="pyarrow")
+
+
+def asof_join_events_orders(sf_dir: str):
+    """(event_id, user_id, o_orderkey, o_totalprice) — AS-OF JOIN: for
+    each event, the latest order of the same key at-or-before the event
+    time (ties on o_orderdate broken by max o_orderkey — fully
+    deterministic, so the op has an exact SQL oracle; inner-join
+    semantics: events with no prior order are dropped).
+
+    Ray Data has no as-of join; the distributed shape is the standard
+    one: key-partition BOTH sides (union with per-side null columns →
+    one ``groupby(key)`` shuffle), then inside each group a vectorized
+    sorted-merge (``np.searchsorted`` of event times into the key's
+    date-sorted orders). Partitioning assumption: keys are plentiful
+    relative to cores and no single key's history exceeds one task's
+    memory — for time-skewed single-key streams, range-partition by time
+    with boundary replication instead (each partition also receives the
+    last right-side row before its range)."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def ev_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch["user_id"].cast(pa.int64()),
+                "event_id": batch["event_id"].cast(pa.int64()),
+                "ts_us": batch["ts"].cast(pa.int64()),
+                "o_orderkey": pa.nulls(n, pa.int64()),
+                "date_us": pa.nulls(n, pa.int64()),
+                "o_totalprice": pa.nulls(n, pa.float64()),
+            }
+        )
+
+    def ord_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch["o_custkey"].cast(pa.int64()),
+                "event_id": pa.nulls(n, pa.int64()),
+                "ts_us": pa.nulls(n, pa.int64()),
+                "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+                "date_us": batch["o_orderdate"].cast(pa.int64()),
+                "o_totalprice": batch["o_totalprice"].cast(pa.float64()),
+            }
+        )
+
+    both = ev.map_batches(ev_rows, batch_format="pyarrow").union(
+        orders.map_batches(ord_rows, batch_format="pyarrow")
+    )
+
+    def asof(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        group = group.combine_chunks()
+        # split Arrow-side BEFORE to_numpy: a nullable int64 column would
+        # otherwise round-trip through float64 (lossy past 2^53)
+        is_ev = pc.is_valid(group["event_id"])
+        g_ev = group.filter(is_ev)
+        g_or = group.filter(pc.invert(is_ev))
+        eid = g_ev["event_id"].to_numpy(zero_copy_only=False)
+        ets = g_ev["ts_us"].to_numpy(zero_copy_only=False)
+        okey = g_or["o_orderkey"].to_numpy(zero_copy_only=False)
+        odate = g_or["date_us"].to_numpy(zero_copy_only=False)
+        oprice = g_or["o_totalprice"].to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_totalprice": pa.array([], pa.float64()),
+            }
+        )
+        if len(eid) == 0 or len(okey) == 0:
+            return empty
+        # sort orders by (date, orderkey): searchsorted 'right' - 1 then
+        # lands on the max orderkey among equal dates — the tie-break
+        order = np.lexsort((okey, odate))
+        odate, okey, oprice = odate[order], okey[order], oprice[order]
+        pos = np.searchsorted(odate, ets, side="right") - 1
+        hit = pos >= 0
+        if not hit.any():
+            return empty
+        key = int(group["key"][0].as_py())
+        return pa.table(
+            {
+                "event_id": pa.array(eid[hit].astype(np.int64), pa.int64()),
+                "user_id": pa.array(
+                    np.full(int(hit.sum()), key, np.int64), pa.int64()
+                ),
+                "o_orderkey": pa.array(
+                    okey[pos[hit]].astype(np.int64), pa.int64()
+                ),
+                "o_totalprice": pa.array(oprice[pos[hit]], pa.float64()),
+            }
+        )
+
+    return both.groupby("key").map_groups(asof, batch_format="pyarrow")

@@ -235,3 +235,139 @@ def test_partitioned_sink_resume(ray_session, tmp_path):
     os.remove(os.path.join(out, "manifest.json"))
     with pytest.raises(FileNotFoundError):
         read_partitioned(out)
+
+
+# ---------------------------------------------------------------------------
+# round-2 additions: cosine near-dup, sliding window, as-of join, IVF ANN
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def test_embedding_cosine_pairs_matches_bruteforce(ray_session):
+    """Blocked block-pair fan-out == single-process O(n^2) reference,
+    and every pair is emitted exactly once, id-ordered."""
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    t = dp._to_table(dp.embedding_cosine_pairs(SF001, threshold=0.4))
+    got = {
+        (a, b): c
+        for a, b, c in zip(
+            t["vec_a"].to_pylist(), t["vec_b"].to_pylist(), t["cos"].to_pylist()
+        )
+    }
+    assert len(got) == t.num_rows  # no duplicate pairs
+    emb = pq.read_table(
+        f"{SF001}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = emb["vec_id"].to_numpy()
+    X = np.stack([np.asarray(e, np.float64) for e in emb["embedding"].to_pylist()])
+    n = np.sqrt((X * X).sum(axis=1))
+    C = (X @ X.T) / np.outer(n, n)
+    exp = {}
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j] and C[i, j] >= 0.4:
+                exp[(int(ids[i]), int(ids[j]))] = round(float(C[i, j]), 4)
+    assert got == exp and len(exp) > 0
+
+
+def test_events_sliding_window_covers_tumbling(ray_session):
+    """Every event lands in exactly window/hop sliding windows: total
+    n_events doubles vs tumbling at window=2h hop=1h, and each tumbling
+    bucket's count is contained in the matching sliding bucket."""
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    tum = dp._to_table(dp.events_tumbling_window(SF001))
+    sli = dp._to_table(dp.events_sliding_window(SF001, 2, 1))
+    assert sli["n_events"].to_numpy().sum() == 2 * tum["n_events"].to_numpy().sum()
+    skey = {
+        (e, w): n
+        for e, w, n in zip(
+            sli["event_type"].to_pylist(),
+            sli["window_start"].to_pylist(),
+            sli["n_events"].to_pylist(),
+        )
+    }
+    for e, w, n in zip(
+        tum["event_type"].to_pylist(),
+        tum["window_start"].to_pylist(),
+        tum["n_events"].to_pylist(),
+    ):
+        assert skey[(e, w)] >= n  # sliding window ⊇ its tumbling core
+
+
+def test_asof_join_semantics(ray_session, tmp_path):
+    """Planted case: latest order at-or-before wins, date ties break to
+    max o_orderkey, events before any order are dropped."""
+    import ray.data
+
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    d = str(tmp_path)
+    ts = lambda s: np.datetime64(s, "us")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "ts": pa.array(
+                    [ts("2024-01-10"), ts("2024-01-20"), ts("2023-12-01"), ts("2024-02-01")],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([7, 7, 7, 9], pa.int64()),
+                "event_type": pa.array(["a"] * 4, pa.string()),
+                "value": pa.array([1.0] * 4, pa.float64()),
+                "props": pa.array(["{}"] * 4, pa.string()),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([100, 101, 102, 200], pa.int64()),
+                "o_custkey": pa.array([7, 7, 7, 9], pa.int64()),
+                "o_orderstatus": pa.array(["O"] * 4, pa.string()),
+                "o_totalprice": pa.array([10.0, 11.0, 12.0, 20.0], pa.float64()),
+                # 100 and 101 tie on date → 101 (max key) must win
+                "o_orderdate": pa.array(
+                    [ts("2024-01-05"), ts("2024-01-05"), ts("2024-01-15"), ts("2024-01-01")],
+                    pa.timestamp("us"),
+                ),
+                "o_orderpriority": pa.array(["x"] * 4, pa.string()),
+            }
+        ),
+        os.path.join(d, "orders.parquet"),
+    )
+    t = dp._to_table(dp.asof_join_events_orders(d))
+    got = {
+        e: (k, p)
+        for e, k, p in zip(
+            t["event_id"].to_pylist(),
+            t["o_orderkey"].to_pylist(),
+            t["o_totalprice"].to_pylist(),
+        )
+    }
+    assert got == {
+        1: (101, 11.0),  # tie on 2024-01-05 → max orderkey
+        2: (102, 12.0),  # latest at-or-before 01-20
+        4: (200, 20.0),
+        # event 3 (before any order) dropped
+    }
+
+
+def test_embedding_ivf_recall(ray_session):
+    """IVF with nprobe=nlist degenerates to exact brute force (rank and
+    value identical to embedding_topk); at nprobe<nlist recall@10 stays
+    useful (>= 0.5 on the synthetic table)."""
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    exact = dp.embedding_topk(SF001, k=10)
+    full = dp.embedding_ivf_topk(SF001, k=10, nlist=4, nprobe=4)
+    assert full["vec_id"].to_pylist() == exact["vec_id"].to_pylist()
+    assert np.allclose(full["cos"].to_numpy(), exact["cos"].to_numpy(), atol=2e-4)
+    approx = dp.embedding_ivf_topk(SF001, k=10, nlist=8, nprobe=2)
+    rec = len(set(approx["vec_id"].to_pylist()) & set(exact["vec_id"].to_pylist())) / 10
+    assert rec >= 0.5, rec
+    # determinism: same call, same result
+    again = dp.embedding_ivf_topk(SF001, k=10, nlist=8, nprobe=2)
+    assert again["vec_id"].to_pylist() == approx["vec_id"].to_pylist()
