@@ -307,6 +307,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": lambda sf: dp.events_tumbling_window(sf),
         "events_sliding_window": lambda sf: dp.events_sliding_window(sf),
         "asof_join": lambda sf: dp.asof_join_events_orders(sf),
+        "range_join": lambda sf: dp.range_join_count(sf),
+        "distinct_users": lambda sf: dp.distinct_users(sf),
+        "hll_distinct_users": lambda sf: dp.hll_distinct_users(sf),
         "media_decode": lambda sf: dp.media_decode(sf),
     }
 
@@ -661,6 +664,16 @@ select a.vec_id as vec_a, b.vec_id as vec_b,
 from embeddings a join embeddings b on a.vec_id < b.vec_id
 where list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
 """,
+        "range_join": """
+select e.event_id, count(*) as n_orders
+from events e join orders o
+  on o.o_totalprice >= e.value * 1000 and o.o_totalprice < e.value * 1000 + 5000
+group by e.event_id
+""",
+        "distinct_users": """
+select event_type, count(distinct user_id) as n_users
+from events group by event_type
+""",
         "asof_join": """
 with pairs as (
   select e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
@@ -681,5 +694,6 @@ from orders group by o_custkey
         # rows-only (approximate / stateful / stemmer-dependent):
         # bm25_topk_stemmed, reference_queryset_stemmed,
         # index_segment_stats_stemmed, embedding_lsh_topk,
-        # embedding_ivf_topk, embed_then_topk, media_decode
+        # embedding_ivf_topk, embed_then_topk, media_decode,
+        # hll_distinct_users
     }

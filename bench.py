@@ -28,6 +28,36 @@ import sys
 import time
 
 
+def _allocator_env() -> None:
+    """Keep freed memory inside the process instead of returning it to
+    the kernel. On lazily-backed VMs (snapshot-restored / ballooned
+    hosts — this sandbox faults fresh anonymous pages at ~5-15 MB/s
+    while steady-state bandwidth is ~8 GB/s) the default glibc behavior
+    of mmap/munmap-ing every large buffer re-pays the first-touch fault
+    storm on EVERY batch; raising the mmap/trim thresholds and routing
+    Arrow through malloc makes repeated buffer allocations reuse
+    already-faulted heap pages (measured 5 MB/s → 8 GB/s on the second
+    allocation onward). Harmless on healthy hosts. Must run before
+    ray.init so worker processes inherit it."""
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+    os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
+
+
+def _fault_probe_mbps() -> float:
+    """First-touch page-fault service rate (MB/s): times the first fill
+    of a fresh 64 MB buffer. Healthy hosts measure GB/s; this sandbox
+    has measured as low as 5 MB/s after a snapshot restore. Recorded in
+    the bench line so throughput numbers can be read against host
+    health."""
+    import numpy as np
+
+    t0 = time.monotonic()
+    a = np.empty(64_000_000 // 8)
+    a.fill(1.0)
+    return round(64.0 / (time.monotonic() - t0), 1)
+
+
 def _headline(cpus: int, n_docs: int) -> dict:
     # push-based sort shuffle pipelines the groupby's map/merge with the
     # upstream tokenize instead of a hard barrier — measured 60 → 48 s on
@@ -36,6 +66,7 @@ def _headline(cpus: int, n_docs: int) -> dict:
     os.environ.setdefault(
         "RAY_DATA_DEFAULT_SHUFFLE_STRATEGY", "sort_shuffle_push_based"
     )
+    _allocator_env()
     import ray
 
     if not ray.is_initialized():
@@ -198,6 +229,8 @@ def main() -> None:
     cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_docs = int(os.environ.get("GRAFT_BENCH_DOCS", "200000"))
+    _allocator_env()
+    fault_mbps = _fault_probe_mbps()
 
     if "--scaling" in sys.argv:
         _scaling(n_docs)
@@ -206,6 +239,7 @@ def main() -> None:
     import ray
 
     head = _headline(cpus, n_docs)
+    head["fault_probe_mbps"] = fault_mbps
     q = (
         {}
         if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY")

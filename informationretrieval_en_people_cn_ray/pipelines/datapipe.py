@@ -980,6 +980,214 @@ def group_adjacency(sf_dir: str):
     return ds.groupby("o_custkey").map_groups(agg, batch_format="pyarrow")
 
 
+def range_join_count(sf_dir: str, scale: float = 1000.0, width: float = 5000.0):
+    """(event_id, n_orders) — banded RANGE JOIN: for each event, the
+    number of orders whose o_totalprice falls in the half-open band
+    [value·scale, value·scale + width). Inner semantics (events with no
+    order in band are dropped). Exact SQL oracle (integer counts, same
+    IEEE comparisons both sides).
+
+    Ray Data has no non-equi join; the distributed shape is BAND
+    BUCKETING: both sides hash to width-sized price buckets — each order
+    lands in exactly one bucket, each event is REPLICATED to the (≤2)
+    buckets its band overlaps — so one ``groupby(bucket)`` shuffle
+    co-locates every candidate pair exactly once; inside a bucket the
+    count is two ``np.searchsorted`` calls against the bucket's sorted
+    prices. Replica partial counts then sum in a tiny second groupby
+    (output-sized, not pair-sized: the 1.5M candidate pairs at sf0.01
+    never materialize)."""
+    from ray.data.aggregate import Sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice"]
+    )
+
+    def ev_rows(batch: pa.Table) -> pa.Table:
+        lo = batch["value"].to_numpy() * scale
+        b0 = np.floor(lo / width).astype(np.int64)
+        b1 = np.floor((lo + width) / width).astype(np.int64)
+        eid = batch["event_id"].to_numpy()
+        # replica per touched bucket (b1 == b0 + 1 except on the exact
+        # boundary; emitting both and exact-filtering inside the bucket
+        # keeps the math boundary-safe)
+        ids = np.concatenate([eid, eid])
+        los = np.concatenate([lo, lo])
+        bks = np.concatenate([b0, b1])
+        keep = np.concatenate(
+            [np.ones(len(eid), bool), b1 != b0]
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(bks[keep], pa.int64()),
+                "event_id": pa.array(ids[keep], pa.int64()),
+                "lo": pa.array(los[keep], pa.float64()),
+                "price": pa.nulls(int(keep.sum()), pa.float64()),
+            }
+        )
+
+    def ord_rows(batch: pa.Table) -> pa.Table:
+        p = batch["o_totalprice"].to_numpy()
+        n = len(p)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    np.floor(p / width).astype(np.int64), pa.int64()
+                ),
+                "event_id": pa.nulls(n, pa.int64()),
+                "lo": pa.nulls(n, pa.float64()),
+                "price": pa.array(p, pa.float64()),
+            }
+        )
+
+    both = ev.map_batches(ev_rows, batch_format="pyarrow").union(
+        orders.map_batches(ord_rows, batch_format="pyarrow")
+    )
+
+    def bucket_count(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        group = group.combine_chunks()
+        is_ev = pc.is_valid(group["event_id"])
+        g_ev = group.filter(is_ev)
+        g_or = group.filter(pc.invert(is_ev))
+        if g_ev.num_rows == 0 or g_or.num_rows == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "n_orders": pa.array([], pa.int64()),
+                }
+            )
+        prices = np.sort(g_or["price"].to_numpy(zero_copy_only=False))
+        lo = g_ev["lo"].to_numpy(zero_copy_only=False)
+        cnt = np.searchsorted(prices, lo + width, side="left") - np.searchsorted(
+            prices, lo, side="left"
+        )
+        return pa.table(
+            {
+                "event_id": g_ev["event_id"].cast(pa.int64()),
+                "n_orders": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    per_bucket = both.groupby("bucket").map_groups(
+        bucket_count, batch_format="pyarrow"
+    )
+    agg = per_bucket.groupby("event_id").aggregate(
+        Sum("n_orders", alias_name="n_orders")
+    )
+    return agg.filter(lambda row: row["n_orders"] > 0)
+
+
+def distinct_users(sf_dir: str):
+    """(event_type, n_users) — exact distributed COUNT DISTINCT: each
+    batch emits its unique (event_type, user_id) pairs (the partial
+    dedup bounds shuffle volume to the distinct-pair count, not the row
+    count), then one groupby counts uniques per type. SQL-exact."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"event_type": batch["event_type"], "user_id": batch["user_id"]}
+        )
+        g = t.group_by(["event_type", "user_id"]).aggregate([])
+        return g
+
+    def count_group(group: pa.Table) -> pa.Table:
+        u = np.unique(group["user_id"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "event_type": group["event_type"].slice(0, 1),
+                "n_users": pa.array([len(u)], pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(8)
+        .groupby("event_type")
+        .map_groups(count_group, batch_format="pyarrow")
+    )
+
+
+HLL_P = 12  # 4096 registers; ~1.04/sqrt(m) ≈ 1.6% standard error
+
+
+def hll_distinct_users(sf_dir: str):
+    """(event_type, n_users_est) — HyperLogLog distinct-user sketch per
+    event type (Flajolet et al. 2007, with the standard small-range
+    linear-counting correction). The mergeable sketch IS the shuffle
+    payload: each batch emits its (event_type, register, max_rank)
+    partials — m-bounded rows per type regardless of input size — which
+    merge with a plain Max aggregate; the estimate is computed per type
+    at the end. Approximate → rows-only driver check; error is
+    pytest-gated against the exact op."""
+    from ray.data.aggregate import Max
+
+    from ..functions.hashing import md5_u64
+
+    m = 1 << HLL_P
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # hash each DISTINCT (type, user) once — the md5 loop runs over
+        # the distinct-pair count, not the row count
+        uniq = pa.table(
+            {"event_type": batch["event_type"], "user_id": batch["user_id"]}
+        ).group_by(["event_type", "user_id"]).aggregate([])
+        et = uniq["event_type"].to_pylist()
+        uid = uniq["user_id"].to_pylist()
+        best: dict[tuple[str, int], int] = {}
+        for e, u in zip(et, uid):
+            h = md5_u64(f"u:{u}")
+            reg = h & (m - 1)
+            w = h >> HLL_P
+            # rank: leading-zero count of the remaining 52 bits + 1
+            rank = (64 - HLL_P) - w.bit_length() + 1
+            k = (e, reg)
+            if best.get(k, 0) < rank:
+                best[k] = rank
+        return pa.table(
+            {
+                "event_type": pa.array([k[0] for k in best], pa.string()),
+                "register": pa.array([k[1] for k in best], pa.int32()),
+                "max_rank": pa.array(list(best.values()), pa.int32()),
+            }
+        )
+
+    def estimate(group: pa.Table) -> pa.Table:
+        ranks = np.zeros(m, np.int64)
+        regs = group["register"].to_numpy(zero_copy_only=False)
+        mr = group["max_rank"].to_numpy(zero_copy_only=False)
+        np.maximum.at(ranks, regs, mr)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.power(2.0, -ranks.astype(np.float64)).sum()
+        zeros = int((ranks == 0).sum())
+        if est <= 2.5 * m and zeros > 0:
+            est = m * np.log(m / zeros)  # linear counting
+        return pa.table(
+            {
+                "event_type": group["event_type"].slice(0, 1),
+                "n_users_est": pa.array([int(round(est))], pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(8)
+        .groupby(["event_type", "register"])
+        .aggregate(Max("max_rank", alias_name="max_rank"))
+        .groupby("event_type")
+        .map_groups(estimate, batch_format="pyarrow")
+    )
+
+
 def asof_join_events_orders(sf_dir: str):
     """(event_id, user_id, o_orderkey, o_totalprice) — AS-OF JOIN: for
     each event, the latest order of the same key at-or-before the event

@@ -9,6 +9,13 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# keep freed memory in-process: on this lazily-backed sandbox VM fresh
+# anonymous pages fault at MB/s (see bench._allocator_env); harmless on
+# healthy hosts, must be set before ray.init so workers inherit it
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
+
 
 @pytest.fixture(scope="session")
 def ray_session():

@@ -371,3 +371,38 @@ def test_embedding_ivf_recall(ray_session):
     # determinism: same call, same result
     again = dp.embedding_ivf_topk(SF001, k=10, nlist=8, nprobe=2)
     assert again["vec_id"].to_pylist() == approx["vec_id"].to_pylist()
+
+
+def test_range_join_count_matches_duckdb(ray_session):
+    """Band-bucketed range join == DuckDB non-equi join + count, at
+    sf0.001 (the candidate pairs never materialize in the engine)."""
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    t = dp._to_table(dp.range_join_count(SF001))
+    got = dict(zip(t["event_id"].to_pylist(), t["n_orders"].to_pylist()))
+    con = duckdb.connect()
+    for tb in ("events", "orders"):
+        con.execute(f"create view {tb} as select * from '{SF001}/{tb}.parquet'")
+    exp = dict(
+        con.sql(
+            """select e.event_id, count(*) from events e join orders o
+               on o.o_totalprice >= e.value*1000
+              and o.o_totalprice < e.value*1000 + 5000
+              group by e.event_id"""
+        ).fetchall()
+    )
+    assert got == exp and len(exp) > 0
+
+
+def test_hll_distinct_users_error_bound(ray_session):
+    """HLL estimate within 5% of the exact distributed count distinct
+    (well inside spec for 4096 registers at these cardinalities)."""
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    exact = dp._to_table(dp.distinct_users(SF001))
+    est = dp._to_table(dp.hll_distinct_users(SF001))
+    e = dict(zip(exact["event_type"].to_pylist(), exact["n_users"].to_pylist()))
+    h = dict(zip(est["event_type"].to_pylist(), est["n_users_est"].to_pylist()))
+    assert set(e) == set(h)
+    for k in e:
+        assert abs(h[k] - e[k]) / e[k] <= 0.05, (k, e[k], h[k])
