@@ -108,6 +108,17 @@ def _q_bm25(sf_dir: str) -> pa.Table:
     return _ranked_table(ids, scores)
 
 
+def _q_bm25_by_range(sf_dir: str) -> pa.Table:
+    """Same ranking as bm25_topk but through the score-by-doc-range scale
+    path (DocStatsShard actors; doc-length state never lives in one
+    process) — exact, so it shares bm25_topk's SQL oracle."""
+    from informationretrieval_en_people_cn_ray.queryparse import parse
+
+    eng = _engine(sf_dir)
+    ids, scores = eng.ranked_by_range(parse(Q_TEXT), k=BM25_K)
+    return _ranked_table(ids, scores)
+
+
 def _q_dirichlet(sf_dir: str) -> pa.Table:
     eng = _engine(sf_dir)
     # cutoff=None: the documents tables have a ~30-term vocabulary, so the
@@ -278,6 +289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lengths_index": _q_doc_lengths_from_index,
         "postings_sample": _q_postings,
         "bm25_topk": _q_bm25,
+        "bm25_topk_by_range": _q_bm25_by_range,
         "dirichlet_topk": _q_dirichlet,
         "boolean_and": _q_boolean_and,
         "boolean_or_not": _q_boolean_or_not,
@@ -573,6 +585,7 @@ from tok where term in ({sample})
 group by term, doc_id
 """,
         "bm25_topk": _bm25_sql(),
+        "bm25_topk_by_range": _bm25_sql(),
         "dirichlet_topk": _dirichlet_sql(),
         "boolean_and": f"""
 with {_TOK_CTE}
