@@ -1,0 +1,124 @@
+"""Randomized engine-vs-DuckDB parity for the non-equi join operators
+(as-of join, banded range join): seeded random events/orders tables with
+adversarial shapes — date ties, events before any order, empty keys,
+band-boundary prices — beyond the planted cases in test_datapipe."""
+
+import os
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _write_tables(d: str, seed: int, n_events: int, n_orders: int, n_keys: int):
+    rng = np.random.RandomState(seed)
+    base = np.datetime64("2024-01-01", "us").astype(np.int64)
+    day = 86_400_000_000
+    ev_ts = base + rng.randint(-40 * day, 40 * day, n_events)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(n_events), pa.int64()),
+                "ts": pa.array(ev_ts, pa.int64()).cast(pa.timestamp("us")),
+                "user_id": pa.array(
+                    rng.randint(0, n_keys, n_events), pa.int64()
+                ),
+                "event_type": pa.array(["t"] * n_events, pa.string()),
+                # values chosen so bands land on bucket boundaries often
+                "value": pa.array(
+                    np.round(rng.uniform(0, 30, n_events), 1), pa.float64()
+                ),
+                "props": pa.array(["{}"] * n_events, pa.string()),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    # duplicate (key, date) pairs on purpose to exercise the tie-break
+    o_dates = base + rng.randint(-45 * day, 45 * day, n_orders) // day * day
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(
+                    rng.permutation(n_orders).astype(np.int64), pa.int64()
+                ),
+                "o_custkey": pa.array(
+                    rng.randint(0, n_keys + 2, n_orders), pa.int64()
+                ),
+                "o_orderstatus": pa.array(["O"] * n_orders, pa.string()),
+                "o_totalprice": pa.array(
+                    np.round(rng.uniform(0, 31_000, n_orders), 2), pa.float64()
+                ),
+                "o_orderdate": pa.array(o_dates, pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array(["x"] * n_orders, pa.string()),
+            }
+        ),
+        os.path.join(d, "orders.parquet"),
+    )
+
+
+def _con(d: str):
+    con = duckdb.connect()
+    for t in ("events", "orders"):
+        con.execute(f"create view {t} as select * from '{d}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("seed", [11, 22, 33])
+def test_fuzz_asof_join_matches_duckdb(ray_session, tmp_path, seed):
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    d = str(tmp_path)
+    _write_tables(d, seed, n_events=300, n_orders=200, n_keys=12)
+    t = dp._to_table(dp.asof_join_events_orders(d))
+    got = {
+        e: (k, p)
+        for e, k, p in zip(
+            t["event_id"].to_pylist(),
+            t["o_orderkey"].to_pylist(),
+            t["o_totalprice"].to_pylist(),
+        )
+    }
+    con = _con(d)
+    exp = {
+        e: (k, p)
+        for e, k, p in con.sql(
+            """with pairs as (
+                 select e.event_id, o.o_orderkey, o.o_totalprice,
+                        row_number() over (
+                          partition by e.event_id
+                          order by o.o_orderdate desc, o.o_orderkey desc
+                        ) as rn
+                 from events e
+                 join orders o
+                   on o.o_custkey = e.user_id and o.o_orderdate <= e.ts)
+               select event_id, o_orderkey, o_totalprice
+               from pairs where rn = 1"""
+        )
+        .fetchall()
+    }
+    assert got == exp
+
+
+@pytest.mark.parametrize("seed", [44, 55, 66])
+def test_fuzz_range_join_matches_duckdb(ray_session, tmp_path, seed):
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    d = str(tmp_path)
+    _write_tables(d, seed, n_events=250, n_orders=300, n_keys=10)
+    t = dp._to_table(dp.range_join_count(d))
+    got = dict(zip(t["event_id"].to_pylist(), t["n_orders"].to_pylist()))
+    con = _con(d)
+    exp = dict(
+        con.sql(
+            """select e.event_id, count(*) from events e join orders o
+               on o.o_totalprice >= e.value*1000
+              and o.o_totalprice < e.value*1000 + 5000
+              group by e.event_id"""
+        )
+        .fetchall()
+    )
+    assert got == exp
