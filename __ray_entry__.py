@@ -88,7 +88,7 @@ def _ranked_table(ids, scores) -> pa.Table:
         {
             "doc_id": pa.array([int(i) for i in ids], pa.int64()),
             "score": pa.array(
-                [round(float(s), 4) for s in scores], pa.float64()
+                [dp.round4(float(s)) for s in scores], pa.float64()
             ),
         }
     )

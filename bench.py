@@ -220,6 +220,12 @@ def _scaling(n_docs: int) -> None:
                 "scaling_efficiency": round(eff, 3),
                 "gate": 0.8,
                 "pass": eff >= 0.8,
+                # host health of the winning leg runs (see BENCH/BASELINE.md:
+                # < 500 MB/s means the run measured the host, not the engine)
+                "fault_probe_mbps": {
+                    str(c): results[c].get("fault_probe_mbps")
+                    for c in (lo, hi)
+                },
             }
         )
     )
@@ -230,11 +236,12 @@ def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_docs = int(os.environ.get("GRAFT_BENCH_DOCS", "200000"))
     _allocator_env()
-    fault_mbps = _fault_probe_mbps()
 
     if "--scaling" in sys.argv:
         _scaling(n_docs)
         return
+
+    fault_mbps = _fault_probe_mbps()
 
     import ray
 

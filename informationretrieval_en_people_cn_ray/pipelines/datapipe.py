@@ -45,6 +45,15 @@ STOPWORDS = LANG_MARKERS["en"]
 
 
 
+def round4(x: float) -> float:
+    """4-decimal rounding matching DuckDB's ROUND (half away from zero);
+    Python's built-in round is half-to-even, which disagrees with the
+    SQL oracles on exact .xxxx5 ties."""
+    import math
+
+    return math.copysign(math.floor(abs(x) * 10000.0 + 0.5) / 10000.0, x)
+
+
 def _to_table(ds) -> pa.Table:
     """Materialize a SMALL Dataset result to one Arrow table.
 
@@ -514,7 +523,7 @@ def embedding_topk(sf_dir: str, k: int = 20):
         {
             "vec_id": t["vec_id"],
             "cos": pa.array(
-                [round(float(x), 4) for x in t["cos"].to_pylist()], pa.float64()
+                [round4(float(x)) for x in t["cos"].to_pylist()], pa.float64()
             ),
         }
     )
@@ -525,33 +534,72 @@ def embedding_cosine_pairs(sf_dir: str, threshold: float = 0.4):
     every pair of vectors with cosine >= threshold (SQL-parity via
     list_cosine_similarity self-join).
 
-    Scale shape: the table is split into row blocks that live in the
-    OBJECT STORE (put once via ``to_arrow_refs`` — never re-shipped per
-    task); the B·(B+1)/2 block pairs fan out as a Dataset of (i, j) work
-    items and each task matmuls one block pair, emitting only the
-    above-threshold pairs. Exact all-pairs is O(n²) by definition — the
-    baseline; when n makes that infeasible the LSH-bucketed prefilter
-    (``embedding_lsh_topk``'s hyperplane buckets) bounds each task to one
-    bucket instead."""
-    ds = read_embeddings(sf_dir, ["vec_id", "embedding"])
-    refs = ds.to_arrow_refs()
+    Scale shape: a distributed pre-pass decodes each row block ONCE into
+    a float64 matrix + norms (a ``map_batches`` stage, so the
+    list<float>→ndarray conversion is O(B), not O(B²)); the decoded
+    blocks live in the OBJECT STORE (never re-shipped per task) and the
+    B·(B+1)/2 block pairs fan out as a Dataset of (i, j) work items,
+    each task one matmul, emitting only the above-threshold pairs.
+    Exact all-pairs is O(n²) by definition — the baseline; when n makes
+    that infeasible the LSH-bucketed prefilter (``embedding_lsh_topk``'s
+    hyperplane buckets) bounds each task to one bucket instead."""
 
-    def _block(tbl: pa.Table):
-        ids = tbl["vec_id"].to_numpy()
-        arr = tbl["embedding"]
+    def decode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "emb": pa.array([], pa.list_(pa.float64())),
+                    "norm": pa.array([], pa.float64()),
+                }
+            )
+        arr = batch["embedding"]
         if hasattr(arr, "combine_chunks"):
             arr = arr.combine_chunks()
-        emb = np.stack(
-            [np.asarray(e, dtype=np.float64) for e in arr.to_pylist()]
-        )
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        emb = flat.reshape(n, -1)
         norms = np.sqrt((emb * emb).sum(axis=1))
-        return ids, emb, np.where(norms == 0, 1.0, norms)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"].cast(pa.int64()),
+                "emb": pa.ListArray.from_arrays(
+                    pa.array(
+                        np.arange(0, (n + 1) * emb.shape[1], emb.shape[1]),
+                        pa.int32(),
+                    ),
+                    pa.array(flat, pa.float64()),
+                ),
+                "norm": pa.array(np.where(norms == 0, 1.0, norms), pa.float64()),
+            }
+        )
+
+    refs = (
+        read_embeddings(sf_dir, ["vec_id", "embedding"])
+        .map_batches(decode, batch_format="pyarrow")
+        .to_arrow_refs()
+    )
+
+    def _block(tbl: pa.Table):
+        n = tbl.num_rows
+        if n == 0:
+            return None
+        ids = tbl["vec_id"].to_numpy()
+        col = tbl["emb"]
+        if hasattr(col, "combine_chunks"):
+            col = col.combine_chunks()
+        emb = col.flatten().to_numpy(zero_copy_only=False).reshape(n, -1)
+        return ids, emb, tbl["norm"].to_numpy()
 
     def cross(batch: pa.Table) -> pa.Table:
         a_out, b_out, c_out = [], [], []
         for i, j in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
-            ida, ea, na = _block(ray.get(refs[i]))
-            idb, eb, nb = _block(ray.get(refs[j]))
+            ba = _block(ray.get(refs[i]))
+            bb = _block(ray.get(refs[j]))
+            if ba is None or bb is None:
+                continue
+            ida, ea, na = ba
+            idb, eb, nb = bb
             cos = (ea @ eb.T) / np.outer(na, nb)
             # each unordered pair exactly once: the (i, j) task owns the
             # block pair, and every qualifying pair is emitted id-ordered
@@ -576,7 +624,7 @@ def embedding_cosine_pairs(sf_dir: str, threshold: float = 0.4):
                 "vec_a": pa.array(a, pa.int64()),
                 "vec_b": pa.array(b, pa.int64()),
                 "cos": pa.array(
-                    [round(float(x), 4) for x in c], pa.float64()
+                    [round4(float(x)) for x in c], pa.float64()
                 ),
             }
         )
@@ -639,7 +687,7 @@ def embedding_lsh_topk(sf_dir: str, k: int = 10, seed: int = 42):
         {
             "vec_id": t["vec_id"],
             "cos": pa.array(
-                [round(float(x), 4) for x in t["cos"].to_pylist()], pa.float64()
+                [round4(float(x)) for x in t["cos"].to_pylist()], pa.float64()
             ),
         }
     )
@@ -671,18 +719,22 @@ def embedding_ivf_topk(
         arr = batch["embedding"]
         if hasattr(arr, "combine_chunks"):
             arr = arr.combine_chunks()
-        emb = np.stack(
-            [np.asarray(e, dtype=np.float64) for e in arr.to_pylist()]
+        # flatten() honors slice offsets; one vectorized cast, no row loop
+        emb = (
+            arr.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(batch.num_rows, -1)
         )
         norms = np.sqrt((emb * emb).sum(axis=1))
         return emb / np.where(norms == 0.0, 1.0, norms)[:, None]
 
-    # deterministic init: the nlist lowest-vec_id vectors (one tiny
-    # ordered head read, not a corpus scan)
+    # deterministic init: the nlist lowest-vec_id vectors of the FIRST
+    # row group (one bounded head read — never a full-table scan)
     import pyarrow.parquet as pq
 
-    head = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    head = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").read_row_group(
+        0, columns=["vec_id", "embedding"]
     )
     order = np.argsort(head["vec_id"].to_numpy(), kind="stable")[:nlist]
     cent = _emb_mat(head.take(pa.array(order)))
@@ -694,6 +746,14 @@ def embedding_ivf_topk(
 
         def train_partial(batch: pa.Table) -> pa.Table:
             C = ray.get(c_ref)
+            if batch.num_rows == 0:
+                return pa.table(
+                    {
+                        "cell": pa.array([], pa.int64()),
+                        "vsum": pa.array([], pa.list_(pa.float64())),
+                        "cnt": pa.array([], pa.int64()),
+                    }
+                )
             X = _emb_mat(batch)
             assign = np.argmax(X @ C.T, axis=1)
             sums = np.zeros_like(C)
@@ -737,6 +797,13 @@ def embedding_ivf_topk(
 
     def scan(batch: pa.Table) -> pa.Table:
         C, qv = ray.get(c_ref), ray.get(q_ref)
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "cos": pa.array([], pa.float64()),
+                }
+            )
         X = _emb_mat(batch)
         assign = np.argmax(X @ C.T, axis=1)
         mask = np.isin(assign, list(probe))
@@ -763,7 +830,7 @@ def embedding_ivf_topk(
         {
             "vec_id": t["vec_id"],
             "cos": pa.array(
-                [round(float(x), 4) for x in t["cos"].to_pylist()],
+                [round4(float(x)) for x in t["cos"].to_pylist()],
                 pa.float64(),
             ),
         }
@@ -834,7 +901,7 @@ def embed_then_topk(sf_dir: str, k: int = 20, dim: int = 32):
         {
             "doc_id": t["doc_id"],
             "cos": pa.array(
-                [round(float(x), 4) for x in t["cos"].to_pylist()],
+                [round4(float(x)) for x in t["cos"].to_pylist()],
                 pa.float64(),
             ),
         }
@@ -932,7 +999,8 @@ def events_sliding_window(sf_dir: str, window_hours: int = 2, hop_hours: int = 1
     hop-aligned windows, assigned vectorized in the same partial-combine
     pass (the duplication happens inside the map task, pre-combined, so
     the shuffle still only moves window-count-bounded partials)."""
-    assert window_hours % hop_hours == 0
+    if window_hours % hop_hours != 0:  # not assert: survives python -O
+        raise ValueError("window_hours must be a multiple of hop_hours")
     return _windowed_events(
         sf_dir, hop_hours * 3600 * 1_000_000, window_hours // hop_hours
     )
