@@ -111,6 +111,58 @@ class MediaDecode:
         )
 
 
+class MediaResize:
+    """Actor-pool stage: fit image/video dimensions into a target box
+    (aspect-preserving) and re-emit the payload — the resize math and
+    the Ray plumbing (binary in/out, metadata update) are real; the
+    pixel resample itself is the honestly-stubbed fake (payload bytes
+    scaled proportionally to the area change), same guard contract as
+    MediaDecode."""
+
+    def __init__(self, max_w: int = 128, max_h: int = 128, strict: bool = False):
+        self.max_w, self.max_h = max_w, max_h
+        self.have_real = _try_real_decoder()
+        if strict and not self.have_real:
+            raise NotImplementedError(
+                "real media resampling needs PIL/ffmpeg which are not in "
+                "this container; run with strict=False to use the "
+                "deterministic fake"
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_w, out_h, out_payload = [], [], []
+        for p, k, w, h in zip(
+            batch["payload"].to_pylist(),
+            batch["kind"].to_pylist(),
+            batch["width"].to_pylist(),
+            batch["height"].to_pylist(),
+        ):
+            if k == "audio" or (w <= self.max_w and h <= self.max_h):
+                nw, nh = w, h
+                body = p
+            else:
+                scale = min(self.max_w / w, self.max_h / h)
+                nw = max(1, int(w * scale))
+                nh = max(1, int(h * scale))
+                # fake resample: payload shrinks with pixel area; content
+                # stays payload-determined (deterministic, testable)
+                keep = max(1, int(len(p) * (nw * nh) / (w * h)))
+                body = p[:keep]
+            out_w.append(nw)
+            out_h.append(nh)
+            out_payload.append(body)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "kind": batch["kind"],
+                "width": pa.array(out_w, pa.int32()),
+                "height": pa.array(out_h, pa.int32()),
+                "n_frames": batch["n_frames"],
+                "payload": pa.array(out_payload, pa.binary()),
+            }
+        )
+
+
 class FrameSample:
     """Actor-pool stage: sample every k-th frame index of video rows —
     demonstrates the flat_map-shaped (1 row → n rows) media transform."""

@@ -406,3 +406,50 @@ def test_hll_distinct_users_error_bound(ray_session):
     assert set(e) == set(h)
     for k in e:
         assert abs(h[k] - e[k]) / e[k] <= 0.05, (k, e[k], h[k])
+
+
+def test_media_resize_stage(ray_session):
+    """Aspect-preserving fit into the target box through the actor-pool
+    stage; audio passes through; payload shrinks with pixel area."""
+    import ray.data
+
+    from informationretrieval_en_people_cn_ray.stages.multimodal import (
+        MediaResize,
+        fake_decode,
+        synthesize_media_table,
+    )
+
+    src = synthesize_media_table(60, seed=3)
+    dims = [fake_decode(p.as_py(), k.as_py()) for p, k in zip(src["payload"], src["kind"])]
+    decoded = pa.table(
+        {
+            "media_id": src["media_id"],
+            "kind": src["kind"],
+            "width": pa.array([d["width"] for d in dims], pa.int32()),
+            "height": pa.array([d["height"] for d in dims], pa.int32()),
+            "n_frames": pa.array([d["n_frames"] for d in dims], pa.int32()),
+            "payload": src["payload"],
+        }
+    )
+    out = ray.data.from_arrow(decoded).map_batches(
+        MediaResize, fn_constructor_kwargs=dict(max_w=100, max_h=80),
+        batch_size=16, batch_format="pyarrow", concurrency=2,
+    )
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    t = dp._to_table(out).combine_chunks()
+    by_id = {r["media_id"]: r for r in t.to_pylist()}
+    for i, d in enumerate(dims):
+        r = by_id[i]
+        k = src["kind"][i].as_py()
+        w, h = d["width"], d["height"]
+        if k == "audio" or (w <= 100 and h <= 80):
+            assert (r["width"], r["height"]) == (w, h)
+            assert len(r["payload"]) == len(src["payload"][i].as_py())
+        else:
+            assert r["width"] <= 100 and r["height"] <= 80
+            # aspect preserved to integer rounding
+            assert abs(r["width"] / r["height"] - w / h) < 0.1
+            assert 0 < len(r["payload"]) <= len(src["payload"][i].as_py())
+    with pytest.raises(NotImplementedError):
+        MediaResize(strict=True)
