@@ -314,6 +314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_lsh_topk": lambda sf: dp.embedding_lsh_topk(sf),
         "embedding_ivf_topk": lambda sf: dp.embedding_ivf_topk(sf),
         "embedding_cosine_pairs": lambda sf: dp.embedding_cosine_pairs(sf),
+        "embedding_cosine_pairs_lsh": lambda sf: dp.embedding_cosine_pairs_lsh(sf),
         "embed_then_topk": lambda sf: dp.embed_then_topk(sf),
         "group_adjacency": lambda sf: dp.group_adjacency(sf),
         "events_window": lambda sf: dp.events_tumbling_window(sf),

@@ -638,6 +638,112 @@ def embedding_cosine_pairs(sf_dir: str, threshold: float = 0.4):
     )
 
 
+def embedding_cosine_pairs_lsh(
+    sf_dir: str,
+    threshold: float = 0.4,
+    nplanes: int = 4,
+    ntables: int = 4,
+    seed: int = 42,
+):
+    """(vec_a, vec_b, cos) — the LSH-bucketed SCALE PATH for
+    embedding-cosine near-dup: ``ntables`` independent hyperplane hash
+    tables; each vector lands in one bucket per table (rows replicated
+    ntables×, like the MinHash bands), one ``groupby`` shuffle
+    co-locates candidates, only same-bucket pairs are scored, and a
+    final (vec_a, vec_b) groupby dedupes pairs caught by several tables
+    — per-bucket work replaces the exact op's O(B²) block-pair fan-out.
+    Approximate (a θ-angle pair is missed by all tables w.p.
+    (1-(1-θ/π)^nplanes)^ntables) → rows-only driver check; recall vs the
+    exact op is pytest-gated. Every emitted pair is
+    exact-cosine-verified, so precision is 1 (a strict subset of
+    ``embedding_cosine_pairs``)."""
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.string()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "emb": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        arr = batch["embedding"]
+        if hasattr(arr, "combine_chunks"):
+            arr = arr.combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        emb = flat.reshape(n, -1)
+        emb_col = pa.ListArray.from_arrays(
+            pa.array(
+                np.arange(0, (n + 1) * emb.shape[1], emb.shape[1]),
+                pa.int32(),
+            ),
+            pa.array(flat, pa.float64()),
+        )
+        rng = np.random.RandomState(seed)
+        parts = []
+        for t in range(ntables):
+            planes = rng.randn(nplanes, emb.shape[1])
+            keys = ((emb @ planes.T) > 0).dot(1 << np.arange(nplanes))
+            parts.append(
+                pa.table(
+                    {
+                        "bucket": pa.array(
+                            [f"{t}:{k}" for k in keys], pa.string()
+                        ),
+                        "vec_id": batch["vec_id"].cast(pa.int64()),
+                        "emb": emb_col,
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        group = group.combine_chunks()
+        n = group.num_rows
+        empty = pa.table(
+            {
+                "vec_a": pa.array([], pa.int64()),
+                "vec_b": pa.array([], pa.int64()),
+                "cos": pa.array([], pa.float64()),
+            }
+        )
+        if n < 2:
+            return empty
+        ids = group["vec_id"].to_numpy()
+        col = group["emb"]
+        if hasattr(col, "combine_chunks"):
+            col = col.combine_chunks()
+        emb = col.flatten().to_numpy(zero_copy_only=False).reshape(n, -1)
+        norms = np.sqrt((emb * emb).sum(axis=1))
+        norms = np.where(norms == 0, 1.0, norms)
+        cos = (emb @ emb.T) / np.outer(norms, norms)
+        mask = (ids[:, None] < ids[None, :]) & (cos >= threshold)
+        ai, bi = np.nonzero(mask)
+        return pa.table(
+            {
+                "vec_a": pa.array(ids[ai], pa.int64()),
+                "vec_b": pa.array(ids[bi], pa.int64()),
+                "cos": pa.array(
+                    [round4(float(x)) for x in cos[ai, bi]], pa.float64()
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Min
+
+    pairs = (
+        read_embeddings(sf_dir, ["vec_id", "embedding"])
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pyarrow")
+    )
+    # dedupe pairs that collide in several tables (identical exact cos)
+    return pairs.groupby(["vec_a", "vec_b"]).aggregate(
+        Min("cos", alias_name="cos")
+    )
+
+
 NUM_HYPERPLANES = 6
 
 

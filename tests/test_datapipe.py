@@ -453,3 +453,32 @@ def test_media_resize_stage(ray_session):
             assert 0 < len(r["payload"]) <= len(src["payload"][i].as_py())
     with pytest.raises(NotImplementedError):
         MediaResize(strict=True)
+
+
+def test_embedding_cosine_pairs_lsh_subset_and_recall(ray_session):
+    """LSH-bucketed near-dup is a strict subset of the exact op with
+    identical cos values (precision 1), and recall stays useful."""
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    exact = dp._to_table(dp.embedding_cosine_pairs(SF001, threshold=0.4))
+    approx = dp._to_table(dp.embedding_cosine_pairs_lsh(SF001, threshold=0.4))
+    e = {
+        (a, b): c
+        for a, b, c in zip(
+            exact["vec_a"].to_pylist(),
+            exact["vec_b"].to_pylist(),
+            exact["cos"].to_pylist(),
+        )
+    }
+    g = {
+        (a, b): c
+        for a, b, c in zip(
+            approx["vec_a"].to_pylist(),
+            approx["vec_b"].to_pylist(),
+            approx["cos"].to_pylist(),
+        )
+    }
+    assert set(g) <= set(e)  # precision 1
+    for k, v in g.items():
+        assert v == e[k]  # same exact cosine on survivors
+    assert len(g) / len(e) >= 0.2, (len(g), len(e))  # useful recall
