@@ -324,6 +324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": lambda sf: dp.distinct_users(sf),
         "hll_distinct_users": lambda sf: dp.hll_distinct_users(sf),
         "media_decode": lambda sf: dp.media_decode(sf),
+        "media_pipeline": lambda sf: dp.media_pipeline(sf),
     }
 
 

@@ -1127,6 +1127,44 @@ def media_decode(sf_dir: str, n: int = 200):
     )
 
 
+def media_pipeline(sf_dir: str, n: int = 200):
+    """(media_id, frame) — the full multimodal chain as ONE streaming
+    Dataset pipeline: decode (payload kept) → aspect-preserving resize →
+    video frame sampling (1 row → n rows). Exercises every multimodal
+    actor-pool stage end-to-end; rows-only driver check."""
+    from ..stages.multimodal import (
+        FrameSample,
+        MediaDecode,
+        MediaResize,
+        synthesize_media_table,
+    )
+
+    ds = ray.data.from_arrow(synthesize_media_table(n, seed=7))
+    return (
+        ds.map_batches(
+            MediaDecode,
+            fn_constructor_kwargs=dict(keep_payload=True),
+            batch_size=32,
+            batch_format="pyarrow",
+            concurrency=2,
+        )
+        .map_batches(
+            MediaResize,
+            fn_constructor_kwargs=dict(max_w=96, max_h=96),
+            batch_size=32,
+            batch_format="pyarrow",
+            concurrency=2,
+        )
+        .map_batches(
+            FrameSample,
+            fn_constructor_kwargs=dict(every=8),
+            batch_size=32,
+            batch_format="pyarrow",
+            concurrency=2,
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # join-index / adjacency (the reference's reply_to_index as a generic op)
 

@@ -79,8 +79,9 @@ class MediaDecode:
                        concurrency=N, num_cpus=1)
     """
 
-    def __init__(self, strict: bool = False):
+    def __init__(self, strict: bool = False, keep_payload: bool = False):
         self.have_real = _try_real_decoder()
+        self.keep_payload = keep_payload  # for decode→resize chaining
         if strict and not self.have_real:
             raise NotImplementedError(
                 "real media decoding needs PIL/ffmpeg which are not in "
@@ -99,16 +100,17 @@ class MediaDecode:
             height.append(d["height"])
             n_frames.append(d["n_frames"])
             feats.append(d["feature"])
-        return pa.table(
-            {
-                "media_id": pa.array(ids, pa.int64()),
-                "kind": pa.array(kinds, pa.string()),
-                "width": pa.array(width, pa.int32()),
-                "height": pa.array(height, pa.int32()),
-                "n_frames": pa.array(n_frames, pa.int32()),
-                "feature": pa.array(feats, pa.list_(pa.float32())),
-            }
-        )
+        cols = {
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+            "width": pa.array(width, pa.int32()),
+            "height": pa.array(height, pa.int32()),
+            "n_frames": pa.array(n_frames, pa.int32()),
+            "feature": pa.array(feats, pa.list_(pa.float32())),
+        }
+        if self.keep_payload:
+            cols["payload"] = batch["payload"]
+        return pa.table(cols)
 
 
 class MediaResize:

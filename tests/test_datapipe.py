@@ -482,3 +482,28 @@ def test_embedding_cosine_pairs_lsh_subset_and_recall(ray_session):
     for k, v in g.items():
         assert v == e[k]  # same exact cosine on survivors
     assert len(g) / len(e) >= 0.2, (len(g), len(e))  # useful recall
+
+
+def test_media_pipeline_end_to_end(ray_session):
+    """decode → resize → frame-sample as one streaming pipeline: only
+    video rows emit frames, stride respected, deterministic."""
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+    from informationretrieval_en_people_cn_ray.stages.multimodal import (
+        fake_decode,
+        synthesize_media_table,
+    )
+
+    t = dp._to_table(dp.media_pipeline("", n=90))
+    src = synthesize_media_table(90, seed=7)
+    kinds = src["kind"].to_pylist()
+    expected = 0
+    for i, k in enumerate(kinds):
+        if k == "video":
+            nf = fake_decode(src["payload"][i].as_py(), k)["n_frames"]
+            expected += len(range(0, nf, 8))
+    assert t.num_rows == expected
+    frames = t["frame"].to_pylist()
+    assert all(f % 8 == 0 for f in frames)
+    t2 = dp._to_table(dp.media_pipeline("", n=90))
+    assert t.sort_by([("media_id","ascending"),("frame","ascending")]).equals(
+        t2.sort_by([("media_id","ascending"),("frame","ascending")]))
