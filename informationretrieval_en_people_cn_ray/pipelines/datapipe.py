@@ -89,12 +89,18 @@ def _batch_token_codes(batch: pa.Table):
 
 
 def token_count(sf_dir: str):
-    """(doc_id, n_tokens) — doc length over the SQL-parity tokenizer."""
+    """(doc_id, n_tokens) — doc length over the SQL-parity tokenizer
+    (Arrow-vectorized batch tokenize; the per-doc lengths come straight
+    from the split offsets, no Python loop)."""
+    from ..text import tokenize_batch
 
     def f(batch: pa.Table) -> pa.Table:
-        n = [len(tokenize(t)) for t in batch["text"].to_pylist()]
+        lens, _ = tokenize_batch(batch["text"].to_pylist())
         return pa.table(
-            {"doc_id": batch["doc_id"], "n_tokens": pa.array(n, pa.int64())}
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(lens, pa.int64()),
+            }
         )
 
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
