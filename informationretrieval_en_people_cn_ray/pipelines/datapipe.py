@@ -23,7 +23,6 @@ import ray
 import ray.data
 
 from ..functions.hashing import (
-    rolling_fingerprint,
     sha256_hex,
     shingles,
 )
@@ -223,11 +222,43 @@ def lang_id(sf_dir: str):
 def fingerprint(sf_dir: str):
     """(doc_id, fp) — order-sensitive rolling document fingerprint
     (functions/hashing.rolling_fingerprint; SQL-parity via positional
-    md5 sum mod 2^61-1)."""
+    md5 sum mod 2^61-1). Vectorized: each DISTINCT (position, token)
+    pair in the batch is md5-hashed once (positions and tokens repeat
+    heavily across docs), per-doc sums run as two exact float64
+    bincounts over the 31-bit halves, and only the final mod happens in
+    Python-int per doc."""
+    from ..functions.hashing import MERSENNE61, md5_i63
 
     def f(batch: pa.Table) -> pa.Table:
+        lens, doc_idx, codes, uniq = _batch_token_codes(batch)
+        nd = batch.num_rows
+        if len(codes) == 0:
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "fp": pa.array([0] * nd, pa.int64()),
+                }
+            )
+        starts = np.zeros(nd, np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        pos = np.arange(len(codes), dtype=np.int64) - starts[doc_idx] + 1
+        U = len(uniq)
+        pair = pos * U + codes
+        upair, pair_idx = np.unique(pair, return_inverse=True)
+        hv = np.fromiter(
+            (md5_i63(f"{int(p) // U}:{uniq[int(p) % U]}") for p in upair),
+            np.int64,
+            count=len(upair),
+        )
+        # exact 63-bit sums: accumulate the 31-bit halves in float64
+        # (each half-sum stays < 2^53 for docs up to ~2^21 tokens)
+        lo = (hv & ((1 << 31) - 1)).astype(np.float64)
+        hi = (hv >> 31).astype(np.float64)
+        slo = np.bincount(doc_idx, weights=lo[pair_idx], minlength=nd)
+        shi = np.bincount(doc_idx, weights=hi[pair_idx], minlength=nd)
         fps = [
-            rolling_fingerprint(tokenize(t)) for t in batch["text"].to_pylist()
+            ((int(h) << 31) + int(l)) % MERSENNE61
+            for h, l in zip(shi, slo)
         ]
         return pa.table(
             {"doc_id": batch["doc_id"], "fp": pa.array(fps, pa.int64())}
