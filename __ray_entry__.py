@@ -212,6 +212,25 @@ def _q_token_count(sf_dir: str):
     return dp.token_count(sf_dir)
 
 
+def _q_sink_roundtrip(sf_dir: str):
+    """term_stats streamed through the resumable partitioned sink and
+    read back — the north_rule checkpointed-output path as a
+    value-gated driver entry (same oracle as term_stats; a re-run with
+    the same corpus fingerprint skips the write)."""
+    from informationretrieval_en_people_cn_ray.state.sink import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    f = os.path.join(sf_dir, "documents.parquet")
+    fp = f"{os.path.abspath(f)}|{os.path.getmtime(f)}|term_stats"
+    out = os.path.join(
+        CACHE_ROOT, "sink_" + hashlib.sha256(fp.encode()).hexdigest()[:16]
+    )
+    write_partitioned(dp.term_stats(sf_dir), out, fp)
+    return read_partitioned(out)
+
+
 def _q_doc_lengths_from_index(sf_dir: str) -> pa.Table:
     """(doc_id, doc_len) read back from the index's docstat partitions —
     checks the docstat artifacts themselves against SQL."""
@@ -286,6 +305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # index build + query engine (SURVEY.md §2)
         "term_stats": _q_term_stats,
         "token_count": _q_token_count,
+        "sink_roundtrip": _q_sink_roundtrip,
         "doc_lengths_index": _q_doc_lengths_from_index,
         "postings_sample": _q_postings,
         "bm25_topk": _q_bm25,
@@ -570,6 +590,11 @@ def oracle_sql() -> dict[str, str]:
     pw, pp = PHRASE_PREFIX.split()
     return {
         "term_stats": f"""
+with {_TOK_CTE}
+select term, count(distinct doc_id) as df, count(*) as ctf
+from tok group by term
+""",
+        "sink_roundtrip": f"""
 with {_TOK_CTE}
 select term, count(distinct doc_id) as df, count(*) as ctf
 from tok group by term
