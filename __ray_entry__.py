@@ -177,6 +177,35 @@ def _q_postings(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_positions(sf_dir: str) -> pa.Table:
+    """(term, doc_id, pos) for the sample terms, decoded from the
+    POSITION stream of the built segments (the varint position blobs the
+    skip header normally lets ranked queries bypass) — value-gates the
+    positional codec path itself against SQL. Engine positions are
+    0-based over the full token stream; +1 matches SQL's 1-based
+    generate_subscripts."""
+    eng = _engine(sf_dir)
+    pmap = eng._postings_map(SAMPLE_TERMS, with_positions=True)
+    terms_out, docs_out, pos_out = [], [], []
+    for t in SAMPLE_TERMS:
+        p = pmap[t]
+        if p is None:
+            continue
+        for k in range(len(p.doc_ids)):
+            s = int(p.pos_starts[k])
+            for q in p.positions[s : s + int(p.tfs[k])]:
+                terms_out.append(t)
+                docs_out.append(int(p.doc_ids[k]))
+                pos_out.append(int(q) + 1)
+    return pa.table(
+        {
+            "term": pa.array(terms_out, pa.string()),
+            "doc_id": pa.array(docs_out, pa.int64()),
+            "pos": pa.array(pos_out, pa.int64()),
+        }
+    )
+
+
 REPLYTO_CUSTKEY = 7
 
 
@@ -308,6 +337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sink_roundtrip": _q_sink_roundtrip,
         "doc_lengths_index": _q_doc_lengths_from_index,
         "postings_sample": _q_postings,
+        "positions_sample": _q_positions,
         "bm25_topk": _q_bm25,
         "bm25_topk_by_range": _q_bm25_by_range,
         "dirichlet_topk": _q_dirichlet,
@@ -610,6 +640,11 @@ with {_TOK_CTE}
 select term, doc_id, count(*) as tf
 from tok where term in ({sample})
 group by term, doc_id
+""",
+        "positions_sample": f"""
+with {_TOK_CTE}
+select term, doc_id, pos
+from tok where term in ({sample})
 """,
         "bm25_topk": _bm25_sql(),
         "bm25_topk_by_range": _bm25_sql(),
