@@ -507,3 +507,40 @@ def test_media_pipeline_end_to_end(ray_session):
     t2 = dp._to_table(dp.media_pipeline("", n=90))
     assert t.sort_by([("media_id","ascending"),("frame","ascending")]).equals(
         t2.sort_by([("media_id","ascending"),("frame","ascending")]))
+
+
+@pytest.mark.parametrize("wh,hh", [(3, 1), (4, 2), (6, 3)])
+def test_sliding_window_generalized_params(ray_session, wh, hh):
+    """Non-default window/hop combos against a pure-Python reference
+    over the real events table (the SQL oracle only covers 2h/1h)."""
+    from collections import defaultdict
+
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    t = dp._to_table(dp.events_sliding_window(SF001, wh, hh))
+    got = {
+        (e, w): (n, s)
+        for e, w, n, s in zip(
+            t["event_type"].to_pylist(),
+            t["window_start"].to_pylist(),
+            t["n_events"].to_pylist(),
+            t["sum_value_milli"].to_pylist(),
+        )
+    }
+    ev = pq.read_table(f"{SF001}/events.parquet", columns=["ts", "event_type", "value"])
+    hop_us = hh * 3600 * 1_000_000
+    exp = defaultdict(lambda: [0, 0])
+    import datetime as dtm
+
+    for ts, et, v in zip(
+        ev["ts"].cast(pa.int64()).to_pylist(),
+        ev["event_type"].to_pylist(),
+        ev["value"].to_pylist(),
+    ):
+        mv = int(np.floor(v * 1000.0))
+        for off in range(wh // hh):
+            w_us = (ts // hop_us - off) * hop_us
+            w = dtm.datetime.utcfromtimestamp(w_us / 1e6)
+            exp[(et, w)][0] += 1
+            exp[(et, w)][1] += mv
+    assert got == {k: tuple(v) for k, v in exp.items()}

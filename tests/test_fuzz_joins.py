@@ -103,20 +103,22 @@ def test_fuzz_asof_join_matches_duckdb(ray_session, tmp_path, seed):
     assert got == exp
 
 
-@pytest.mark.parametrize("seed", [44, 55, 66])
-def test_fuzz_range_join_matches_duckdb(ray_session, tmp_path, seed):
+@pytest.mark.parametrize("seed,width", [(44, 5000.0), (55, 1000.0), (66, 3172.5)])
+def test_fuzz_range_join_matches_duckdb(ray_session, tmp_path, seed, width):
+    """Including non-default band widths — bucket-boundary math must be
+    exact for any width, not just the driver entry's 5000."""
     from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
 
     d = str(tmp_path)
     _write_tables(d, seed, n_events=250, n_orders=300, n_keys=10)
-    t = dp._to_table(dp.range_join_count(d))
+    t = dp._to_table(dp.range_join_count(d, width=width))
     got = dict(zip(t["event_id"].to_pylist(), t["n_orders"].to_pylist()))
     con = _con(d)
     exp = dict(
         con.sql(
-            """select e.event_id, count(*) from events e join orders o
+            f"""select e.event_id, count(*) from events e join orders o
                on o.o_totalprice >= e.value*1000
-              and o.o_totalprice < e.value*1000 + 5000
+              and o.o_totalprice < e.value*1000 + {width}
               group by e.event_id"""
         )
         .fetchall()
