@@ -45,17 +45,16 @@ def _allocator_env() -> None:
 
 
 def _fault_probe_mbps() -> float:
-    """First-touch page-fault service rate (MB/s): times the first fill
-    of a fresh 64 MB buffer. Healthy hosts measure GB/s; this sandbox
-    has measured as low as 5 MB/s after a snapshot restore. Recorded in
-    the bench line so throughput numbers can be read against host
-    health."""
-    import numpy as np
+    """First-touch 4 KiB page-fault service rate (MB/s) — the engine's
+    fault path once THP is disabled (hostmem.py). Uses raw mmap so every
+    call measures FRESH pages (a malloc-based probe reads warm heap
+    reuse after the first call — the round-2 defect: a healthy-looking
+    3455 MB/s probe next to a 6x-degraded build)."""
+    from informationretrieval_en_people_cn_ray.hostmem import (
+        fault_probe_4k_mbps,
+    )
 
-    t0 = time.monotonic()
-    a = np.empty(64_000_000 // 8)
-    a.fill(1.0)
-    return round(64.0 / (time.monotonic() - t0), 1)
+    return fault_probe_4k_mbps()
 
 
 def _headline(cpus: int, n_docs: int) -> dict:
@@ -67,6 +66,13 @@ def _headline(cpus: int, n_docs: int) -> dict:
         "RAY_DATA_DEFAULT_SHUFFLE_STRATEGY", "sort_shuffle_push_based"
     )
     _allocator_env()
+    # THP off BEFORE ray.init: prctl(PR_SET_THP_DISABLE) is inherited by
+    # raylet and every worker — this host's huge-page fault path has
+    # measured ~7 MB/s while the 4 KiB path ran at GB/s (hostmem.py;
+    # the root cause of BENCH_r02's 6x build inflation)
+    from informationretrieval_en_people_cn_ray.hostmem import disable_thp
+
+    disable_thp()
     import ray
 
     if not ray.is_initialized():
@@ -121,9 +127,15 @@ def _headline(cpus: int, n_docs: int) -> dict:
         tokenize_num_cpus=max(1.0, cpus / 10),
         reduce_num_cpus=max(1.0, cpus / 12),
     )
+    # probes IMMEDIATELY bracket the timed build: a run is only
+    # adjudicable against the baseline band when BOTH read healthy
+    # (>= 500 MB/s) — round 2's single start-of-process probe could not
+    # distinguish host degradation from an engine regression
+    probe_pre = _fault_probe_mbps()
     t0 = time.monotonic()
     manifest = build_index(corpus_dir, out_dir, cfg)
     build_s = time.monotonic() - t0
+    probe_post = _fault_probe_mbps()
 
     # ranked-query batch through the actor-pool path
     queries = [
@@ -150,6 +162,8 @@ def _headline(cpus: int, n_docs: int) -> dict:
         "query_batch_s": round(query_s, 3),
         "queries_per_sec": round(len(queries) / query_s, 1),
         "query_hits": int(n_hits),
+        "fault_probe_pre_mbps": probe_pre,
+        "fault_probe_post_mbps": probe_post,
     }
 
 
@@ -220,10 +234,14 @@ def _scaling(n_docs: int) -> None:
                 "scaling_efficiency": round(eff, 3),
                 "gate": 0.8,
                 "pass": eff >= 0.8,
-                # host health of the winning leg runs (see BENCH/BASELINE.md:
-                # < 500 MB/s means the run measured the host, not the engine)
+                # host health of the winning leg runs, probes bracketing
+                # each leg's timed build (see BENCH/BASELINE.md: < 500
+                # MB/s means the run measured the host, not the engine)
                 "fault_probe_mbps": {
-                    str(c): results[c].get("fault_probe_mbps")
+                    str(c): [
+                        results[c].get("fault_probe_pre_mbps"),
+                        results[c].get("fault_probe_post_mbps"),
+                    ]
                     for c in (lo, hi)
                 },
             }
@@ -242,11 +260,19 @@ def main() -> None:
         return
 
     fault_mbps = _fault_probe_mbps()
+    # diagnostic: the huge-page fault path the mitigation routes around
+    # (measured in a subprocess WITHOUT PR_SET_THP_DISABLE)
+    from informationretrieval_en_people_cn_ray.hostmem import (
+        fault_probe_thp_mbps,
+    )
+
+    thp_mbps = fault_probe_thp_mbps()
 
     import ray
 
     head = _headline(cpus, n_docs)
     head["fault_probe_mbps"] = fault_mbps
+    head["thp_probe_mbps"] = thp_mbps
     q = (
         {}
         if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY")

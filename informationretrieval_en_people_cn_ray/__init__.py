@@ -24,3 +24,10 @@ language-ID, quality scoring, token counting and document fingerprinting.
 """
 
 __version__ = "0.1.0"
+
+# Host mitigation: this sandbox's THP fault path can degrade to MB/s
+# (hostmem.py docstring); importing the library in any process — driver
+# or Ray worker — turns THP off for that process. Opt out: IRPC_KEEP_THP=1.
+from .hostmem import disable_thp as _disable_thp
+
+THP_DISABLED = _disable_thp()

@@ -16,6 +16,13 @@ os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
 os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
 os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
 
+# THP off before ray.init (inherited by raylet + workers): this host's
+# huge-page fault path can degrade to MB/s while 4 KiB faults stay
+# healthy — see informationretrieval_en_people_cn_ray/hostmem.py
+from informationretrieval_en_people_cn_ray.hostmem import disable_thp
+
+disable_thp()
+
 
 @pytest.fixture(scope="session")
 def ray_session():
