@@ -1,16 +1,27 @@
 """Resumable partitioned-parquet sink for operator outputs.
 
-The build pipeline already writes per-partition artifacts with
-idempotent manifests (stages/segments.py); this is the same contract
-for generic Dataset outputs: never one giant file, commit-marker last,
-a finished output with a matching fingerprint is skipped on re-run —
-so a failed 100-TB job re-runs only what it didn't finish.
+The build pipeline writes per-partition artifacts with idempotent
+manifests (stages/segments.py); this is the same contract for generic
+Dataset outputs — and resume is genuinely PER PARTITION: rows are routed
+to a fixed set of partitions by a deterministic key hash (independent of
+input blocking), each partition task writes its file write-then-rename
+and commits its own manifest LAST, so a crash mid-job loses only the
+uncommitted partitions and a re-run writes only those. Never one giant
+file; a finished partition with a matching fingerprint is skipped.
 
 Layout::
 
     out_dir/
-      data/part-*.parquet     (one file per block — Ray's writer)
-      manifest.json           (fingerprint + row/file counts; commit marker)
+      parts/part-NNNN/data.parquet    (one file per partition)
+      parts/part-NNNN/manifest.json   (per-partition commit marker)
+      manifest.json                   (global commit marker, written last)
+
+Scale shape: the partition routing is one ``groupby`` shuffle keyed on
+the hash — the same rows land in the same partition at any block count
+or cluster size, which is what makes the skip decision sound. Size
+``num_partitions`` so one partition fits a task (the stages/segments.py
+constraint); integer keys hash vectorized (splitmix64), string keys fall
+back to per-row md5.
 """
 
 from __future__ import annotations
@@ -18,39 +29,179 @@ from __future__ import annotations
 import glob
 import os
 import shutil
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 import ray.data
 
-from .manifest import load_json, write_json_atomic
+from ..functions.hashing import md5_u64
+from .manifest import load_json, partition_complete, write_json_atomic
+
+_PART_COL = "__sink_part"
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(
+        0xFFFFFFFFFFFFFFFF
+    )
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(
+        0xFFFFFFFFFFFFFFFF
+    )
+    return x ^ (x >> np.uint64(31))
+
+
+def _row_part_ids(
+    batch: pa.Table, key_cols: list[str], num_partitions: int
+) -> np.ndarray:
+    """Deterministic partition id per row from the key columns —
+    identical for a given row at any parallelism, so resume can trust a
+    committed partition."""
+    with np.errstate(over="ignore"):
+        acc = np.zeros(batch.num_rows, np.uint64)
+        for c in key_cols:
+            col = batch[c]
+            if pa.types.is_integer(col.type):
+                h = col.cast(pa.int64()).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.uint64)
+            else:
+                vals = col.cast(pa.string()).to_pylist()
+                h = np.fromiter(
+                    (md5_u64(v if v is not None else "\0null") for v in vals),
+                    np.uint64,
+                    count=len(vals),
+                )
+            acc = _splitmix64(acc ^ h)
+    return (acc % np.uint64(num_partitions)).astype(np.int64)
+
+
+def _part_dir(out_dir: str, part: int) -> str:
+    # non-hive dir name: "part=" would make read_parquet infer a
+    # partition column that is not part of the written schema
+    return os.path.join(out_dir, "parts", f"part-{part:04d}")
 
 
 def write_partitioned(
-    ds: "ray.data.Dataset", out_dir: str, fingerprint: str
+    ds: "ray.data.Dataset",
+    out_dir: str,
+    fingerprint: str,
+    num_partitions: int = 8,
+    key_cols: list[str] | None = None,
 ) -> dict:
-    """Write ``ds`` as partitioned parquet under ``out_dir`` unless a
-    manifest with the same ``fingerprint`` already committed; returns the
-    manifest. Write goes to a tmp dir and is renamed before the manifest
-    is written, so a crashed writer can never be mistaken for output."""
+    """Write ``ds`` as hash-partitioned parquet under ``out_dir``;
+    returns the global manifest. Skips entirely when the global manifest
+    already committed with the same ``fingerprint``; otherwise re-runs
+    ONLY partitions without a committed per-partition manifest matching
+    ``fingerprint`` (a crashed writer leaves its partition uncommitted —
+    it can never be mistaken for output)."""
     man_path = os.path.join(out_dir, "manifest.json")
     existing = load_json(man_path)
-    if existing and existing.get("fingerprint") == fingerprint:
+    if (
+        existing
+        and existing.get("fingerprint") == fingerprint
+        # a manifest without a partition count is the pre-partitioned
+        # layout (whole-output tmp-rename) — rewrite it
+        and existing.get("partitions")
+    ):
         existing["skipped"] = True
         return existing
-    data_dir = os.path.join(out_dir, "data")
-    tmp_dir = os.path.join(out_dir, "data.tmp")
-    shutil.rmtree(tmp_dir, ignore_errors=True)
-    shutil.rmtree(data_dir, ignore_errors=True)
-    os.makedirs(tmp_dir, exist_ok=True)
-    ds.write_parquet(tmp_dir)
-    os.replace(tmp_dir, data_dir)
-    files = sorted(glob.glob(os.path.join(data_dir, "*.parquet")))
-    import pyarrow.parquet as pq
 
-    rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    schema = ds.schema()  # ray.data Schema: .names + Arrow .types
+    cols = list(schema.names)
+    col_types = list(schema.types)
+    keys = key_cols or cols
+    done = [
+        p
+        for p in range(num_partitions)
+        if partition_complete(_part_dir(out_dir, p), fingerprint)
+    ]
+    todo = sorted(set(range(num_partitions)) - set(done))
+
+    if todo:
+        done_arr = np.zeros(num_partitions, bool)
+        done_arr[done] = True
+
+        def route(batch: pa.Table) -> pa.Table:
+            parts = _row_part_ids(batch, keys, num_partitions)
+            batch = batch.append_column(
+                _PART_COL, pa.array(parts, pa.int64())
+            )
+            # committed partitions don't travel through the shuffle
+            return batch.filter(pa.array(~done_arr[parts]))
+
+        def write_part(group: pa.Table) -> pa.Table:
+            part = int(group[_PART_COL][0].as_py())
+            d = _part_dir(out_dir, part)
+            os.makedirs(d, exist_ok=True)
+            tbl = group.drop_columns([_PART_COL])
+            fd, tmp = tempfile.mkstemp(dir=d, suffix=".parquet.tmp")
+            os.close(fd)
+            try:
+                pq.write_table(tbl, tmp)
+                os.replace(tmp, os.path.join(d, "data.parquet"))
+            except BaseException:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+                raise
+            write_json_atomic(
+                os.path.join(d, "manifest.json"),
+                {
+                    "part": part,
+                    "rows": tbl.num_rows,
+                    "bytes": tbl.nbytes,
+                    "build_fingerprint": fingerprint,
+                },
+            )
+            return pa.table({"part": pa.array([part], pa.int64())})
+
+        routed = ds.map_batches(route, batch_format="pyarrow")
+        # the summary is #partitions rows — driver-small by construction
+        routed.groupby(_PART_COL).map_groups(
+            write_part, batch_format="pyarrow"
+        ).materialize()
+
+    # partitions with no rows never reach write_part: commit them empty
+    # so a re-run doesn't reshuffle the input just to find that out
+    empty = pa.table(
+        {n: pa.array([], t) for n, t in zip(cols, col_types)}
+    )
+    for p in range(num_partitions):
+        d = _part_dir(out_dir, p)
+        if not partition_complete(d, fingerprint):
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(empty, os.path.join(d, "data.parquet"))
+            write_json_atomic(
+                os.path.join(d, "manifest.json"),
+                {
+                    "part": p,
+                    "rows": 0,
+                    "bytes": 0,
+                    "build_fingerprint": fingerprint,
+                },
+            )
+
+    # stale partitions from an older fingerprint layout (e.g. larger
+    # num_partitions before) must not survive into the committed output
+    for d in glob.glob(os.path.join(out_dir, "parts", "part-*")):
+        if int(d.rsplit("-", 1)[1]) >= num_partitions:
+            shutil.rmtree(d, ignore_errors=True)
+
+    rows = 0
+    files = 0
+    for p in range(num_partitions):
+        m = load_json(os.path.join(_part_dir(out_dir, p), "manifest.json"))
+        rows += m["rows"]
+        files += 1
     manifest = {
         "fingerprint": fingerprint,
         "rows": rows,
-        "files": len(files),
+        "files": files,
+        "partitions": num_partitions,
+        "resumed_partitions": len(done),
         "skipped": False,
     }
     write_json_atomic(man_path, manifest)
@@ -58,8 +209,13 @@ def write_partitioned(
 
 
 def read_partitioned(out_dir: str) -> "ray.data.Dataset":
-    """Stream a committed sink back as a Dataset (raises if no
+    """Stream a committed sink back as a Dataset (raises if no global
     manifest — a half-written output is not readable)."""
     if not load_json(os.path.join(out_dir, "manifest.json")):
         raise FileNotFoundError(f"no committed manifest under {out_dir}")
-    return ray.data.read_parquet(os.path.join(out_dir, "data"))
+    files = sorted(
+        glob.glob(os.path.join(out_dir, "parts", "part-*", "data.parquet"))
+    )
+    if not files:
+        raise FileNotFoundError(f"no partition files under {out_dir}")
+    return ray.data.read_parquet(files)

@@ -237,6 +237,45 @@ def test_partitioned_sink_resume(ray_session, tmp_path):
         read_partitioned(out)
 
 
+def test_partitioned_sink_partial_resume(ray_session, tmp_path):
+    """Kill-mid-write resume granularity: a job that committed only some
+    partitions re-runs ONLY the missing ones — committed partition files
+    are not rewritten, and the resumed output is complete and exact."""
+    import os
+    import time
+
+    import ray.data
+
+    from informationretrieval_en_people_cn_ray.state.sink import (
+        _part_dir,
+        read_partitioned,
+        write_partitioned,
+    )
+
+    out = str(tmp_path / "sink")
+    write_partitioned(ray.data.range(1000), out, "fp1", num_partitions=4)
+    # simulate a crash after 3 of 4 partitions committed: global manifest
+    # never written, partition 2's commit marker missing
+    os.remove(os.path.join(out, "manifest.json"))
+    os.remove(os.path.join(_part_dir(out, 2), "manifest.json"))
+    survivors = {
+        p: os.path.getmtime(os.path.join(_part_dir(out, p), "data.parquet"))
+        for p in (0, 1, 3)
+    }
+    time.sleep(0.05)
+    m = write_partitioned(ray.data.range(1000), out, "fp1", num_partitions=4)
+    assert m["resumed_partitions"] == 3 and m["rows"] == 1000
+    for p, t in survivors.items():
+        assert (
+            os.path.getmtime(os.path.join(_part_dir(out, p), "data.parquet"))
+            == t
+        ), f"committed partition {p} was rewritten on resume"
+    ids = sorted(
+        r["id"] for r in read_partitioned(out).take_all()
+    )
+    assert ids == list(range(1000))
+
+
 # ---------------------------------------------------------------------------
 # round-2 additions: cosine near-dup, sliding window, as-of join, IVF ANN
 
