@@ -99,6 +99,14 @@ class LocalSegments:
             return z, z.copy()
         return r.postings_for_docs(*rng, docs)
 
+    def postings_blocks_bounded(self, term: str, min_tf: int):
+        r = self.reader(term_seg(term, self.num_segments))
+        rng = r.term_range(term)
+        if rng is None:
+            z = np.empty(0, np.int64)
+            return z, z.copy(), 0, 0
+        return r.postings_blocks_bounded(*rng, min_tf)
+
 
 @ray.remote
 class SegmentSearcher:
@@ -149,6 +157,16 @@ class SegmentSearcher:
             else:
                 out[t] = r.postings_for_docs(*rng, docs)
         return out
+
+    def postings_blocks_bounded(self, term: str, seg: int, min_tf: int):
+        """(doc_ids, tfs, blocks_decoded, blocks_total) of the blocks
+        whose block max_tf can still reach the caller's threshold."""
+        r = self.readers[seg]
+        rng = r.term_range(term)
+        if rng is None:
+            z = np.empty(0, np.int64)
+            return z, z.copy(), 0, 0
+        return r.postings_blocks_bounded(*rng, min_tf)
 
 
 @ray.remote
@@ -246,6 +264,37 @@ class DocStats:
         return self.doc_lens[idx]
 
 
+def min_tf_for_bound(
+    need: float,
+    df: int,
+    N: int,
+    avgdl: float,
+    mult: int,
+    k1: float,
+    b: float,
+) -> int | None:
+    """Smallest integer tf whose BM25 upper bound reaches ``need`` —
+    the translation from a MaxScore score threshold to a per-block
+    ``max_tf`` skip threshold (the bound is monotone increasing in tf,
+    so a block with ``max_tf < min_tf`` provably cannot reach ``need``).
+    Returns None when NO tf can (the bound's asymptote is below
+    ``need``): every block of the term is skippable."""
+    if need <= 0:
+        return 1
+    idf = float(np.log(1.0 + (N - df + 0.5) / (df + 0.5)))
+    A = idf * (k1 + 1.0) * mult
+    Bc = 1.0 + k1 * b / avgdl
+    Cc = k1 * (1.0 - b)
+    if A <= need * Bc:
+        return None
+    m = max(1, int(np.ceil(need * Cc / (A - need * Bc))))
+    # defensive against float fuzz in the inversion: decode MORE, never
+    # less, than the exact threshold
+    while m > 1 and A * (m - 1) / (Bc * (m - 1) + Cc) >= need:
+        m -= 1
+    return m
+
+
 class SearchEngine:
     """Driver-facing engine over one built index."""
 
@@ -269,6 +318,9 @@ class SearchEngine:
         self.mode = mode
         self.actors = []
         self._shards: list | None = None  # DocStatsShard actors, lazy
+        # block-max pruning instrumentation (ranked_pruned): skip blocks
+        # decoded vs total across this engine's bounded-decode calls
+        self.prune_counters = {"blocks_decoded": 0, "blocks_total": 0}
         if mode == "actors":
             segs = list(range(self.local.num_segments))
             chunks = [segs[i::num_actors] for i in range(num_actors)]
@@ -332,6 +384,25 @@ class SearchEngine:
         for r in ray.get(futs):
             out.update(r)
         return out
+
+    def _postings_bounded(
+        self, term: str, min_tf: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids, tfs) of ``term`` restricted to skip blocks whose
+        block max_tf ≥ ``min_tf``; updates the per-engine block-decode
+        counters (``prune_counters``)."""
+        if self.mode != "actors":
+            d, t, dec, tot = self.local.postings_blocks_bounded(term, min_tf)
+        else:
+            seg = term_seg(term, self.local.num_segments)
+            d, t, dec, tot = ray.get(
+                self._actor_of_seg[seg].postings_blocks_bounded.remote(
+                    term, seg, min_tf
+                )
+            )
+        self.prune_counters["blocks_decoded"] += dec
+        self.prune_counters["blocks_total"] += tot
+        return d, t
 
     def _postings_for_docs(
         self, terms: list[str], docs: np.ndarray
@@ -632,8 +703,26 @@ class SearchEngine:
             if n_scored >= k and suffix[rank_i] + noncand_ub < theta:
                 break
             t = cand_terms[int(oi)]
-            p_t = self._postings_map([t])[t]  # lazy full decode, driver term
-            new = np.setdiff1d(p_t.doc_ids, seen, assume_unique=True)
+            # block-max refinement (v4 per-block max_tf directory): once
+            # the heap is full, a block of THIS term whose best-possible
+            # contribution plus the remaining terms' bounds stays below
+            # theta cannot produce a top-k candidate — translate the
+            # score threshold into a min block max_tf and decode only
+            # blocks at or above it (min_tf=1 == decode everything). A
+            # doc skipped here was bounded below the theta of ITS skip
+            # moment, which only grows — sound even though a later term
+            # may re-surface it as a candidate and score it exactly.
+            rest = suffix[rank_i + 1] + noncand_ub
+            min_tf = 1
+            if n_scored >= k and np.isfinite(theta):
+                min_tf = min_tf_for_bound(
+                    theta - rest - 1e-9,
+                    meta[t][0], self.N, self.avgdl, mult[t], k1, b,
+                )
+                if min_tf is None:
+                    continue  # no block of t can reach theta
+            d_t, _ = self._postings_bounded(t, min_tf)
+            new = np.setdiff1d(d_t, seen, assume_unique=True)
             if new.size == 0:
                 continue
             scores = np.zeros(len(new))

@@ -435,6 +435,50 @@ class SegmentReader:
             return out_d[0], out_t[0]
         return np.concatenate(out_d), np.concatenate(out_t)
 
+    def postings_blocks_bounded(
+        self, lo: int, hi: int, min_tf: int
+    ) -> tuple[np.ndarray, np.ndarray, int, int]:
+        """(doc_ids, tfs, blocks_decoded, blocks_total) decoding ONLY the
+        skip blocks whose per-block ``max_tf`` ≥ ``min_tf`` — the
+        block-max WAND lever: a driving term's candidate generation skips
+        every block whose best-possible BM25 contribution cannot reach
+        the current top-k threshold (the caller translates its score
+        threshold into ``min_tf``; tf→score is monotone). An
+        already-cached full decode is reused as-is (no new decode
+        cost)."""
+        from ..codec import decode_posting_blocks
+
+        out_d, out_t = [], []
+        dec = tot = 0
+        for idx in range(lo, hi):
+            m = self.blob_meta(idx)
+            nb = len(m["last_docs"])
+            tot += nb
+            hit = self._decoded.get(idx)
+            if hit is not None:
+                out_d.append(hit[0])
+                out_t.append(hit[1])
+                dec += nb
+                continue
+            sel = np.nonzero(m["max_tfs"] >= min_tf)[0]
+            dec += int(sel.size)
+            if sel.size == 0:
+                continue
+            if sel.size == nb:
+                h = self.postings_decoded(idx)
+                out_d.append(h[0])
+                out_t.append(h[1])
+                continue
+            d, t = decode_posting_blocks(self.blob(idx), sel, m)
+            out_d.append(d)
+            out_t.append(t)
+        if not out_d:
+            z = np.empty(0, np.int64)
+            return z, z.copy(), dec, tot
+        if len(out_d) == 1:
+            return out_d[0], out_t[0], dec, tot
+        return np.concatenate(out_d), np.concatenate(out_t), dec, tot
+
     def find(self, term: str) -> int | None:
         """First chunk row of the term (None if absent)."""
         r = self.term_range(term)

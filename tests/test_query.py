@@ -266,6 +266,64 @@ def test_block_selective_decode(ray_session, tmp_path_factory):
     assert tf2.tolist() == p.tfs.tolist()
 
 
+def test_blockmax_bounded_decode(ray_session, tmp_path_factory):
+    """Block-max skip lever: ``postings_blocks_bounded`` decodes only
+    blocks whose max_tf reaches the threshold, loses no posting at or
+    above it, and the pruned ranked path decodes measurably fewer blocks
+    than the query terms hold while staying rank-identical."""
+    from informationretrieval_en_people_cn_ray.pipelines.search import (
+        SearchEngine,
+    )
+    from informationretrieval_en_people_cn_ray.stages.postings import (
+        term_seg,
+    )
+
+    cd = str(tmp_path_factory.mktemp("bmxcorpus"))
+    write_corpus(cd, 800, seed=5, num_parquet_files=2)
+    d_idx = str(tmp_path_factory.mktemp("bmxindex"))
+    build_index(cd, d_idx, BuildConfig(num_segments=3, docstat_partitions=2))
+
+    eng = SearchEngine(d_idx)
+    p = eng._postings_map(["the"])["the"]
+    fresh = SearchEngine(d_idx)  # no decode cache
+    r = fresh.local.reader(term_seg("the", fresh.local.num_segments))
+    lo, hi = r.term_range("the")
+    mtfs = np.concatenate(
+        [r.blob_meta(i)["max_tfs"] for i in range(lo, hi)]
+    )
+    assert len(mtfs) >= 5
+    thr = int(np.median(mtfs)) + 1
+    d, tf, dec, tot = fresh.local.postings_blocks_bounded("the", thr)
+    assert tot == len(mtfs)
+    assert dec == int((mtfs >= thr).sum()) and dec < tot
+    # decoded (doc, tf) pairs agree with the full decode...
+    full = dict(zip(p.doc_ids.tolist(), p.tfs.tolist()))
+    assert all(full[int(x)] == int(t) for x, t in zip(d, tf))
+    # ...and no posting with tf >= thr was lost (the soundness direction)
+    kept = set(int(x) for x in d)
+    for doc, t in zip(p.doc_ids.tolist(), p.tfs.tolist()):
+        if t >= thr:
+            assert doc in kept
+
+    # end-to-end: pruned == unpruned on a rare+hot query, with fewer
+    # blocks decoded than the query terms hold in total
+    a_ids, a_sc = SearchEngine(d_idx).search("quoted the", k=3)
+    pruned = SearchEngine(d_idx)
+    b_ids, b_sc = pruned.search("quoted the", k=3, prune=True)
+    assert [int(x) for x in a_ids] == [int(x) for x in b_ids]
+    assert np.allclose(a_sc, b_sc, atol=0)
+    total_blocks = 0
+    for t in ("quot", "the"):
+        rr = pruned.local.reader(term_seg(t, pruned.local.num_segments))
+        rng = rr.term_range(t)
+        if rng:
+            total_blocks += sum(
+                len(rr.blob_meta(i)["max_tfs"]) for i in range(*rng)
+            )
+    c = pruned.prune_counters
+    assert c["blocks_decoded"] < total_blocks, c
+
+
 def test_maxscore_prunes_hot_terms(engine):
     """With a rare term dominating, the hot term's unique docs are never
     scored (observable via fewer scored docs than the candidate union)."""
