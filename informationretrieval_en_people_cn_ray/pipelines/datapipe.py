@@ -245,10 +245,20 @@ def fingerprint(sf_dir: str):
         U = len(uniq)
         pair = pos * U + codes
         upair, pair_idx = np.unique(pair, return_inverse=True)
+        cache = _POSTOK_HASH_CACHE
+        if len(cache) >= _HASH_CACHE_MAX:
+            cache.clear()
+
+        def pt_hash(p: int) -> int:
+            key = (p // U, uniq[p % U])
+            h = cache.get(key)
+            if h is None:
+                h = md5_i63(f"{key[0]}:{key[1]}")
+                cache[key] = h
+            return h
+
         hv = np.fromiter(
-            (md5_i63(f"{int(p) // U}:{uniq[int(p) % U]}") for p in upair),
-            np.int64,
-            count=len(upair),
+            (pt_hash(int(p)) for p in upair), np.int64, count=len(upair)
         )
         # exact 63-bit sums: accumulate the 31-bit halves in float64
         # (each half-sum stays < 2^53 for docs up to ~2^21 tokens)
@@ -260,6 +270,12 @@ def fingerprint(sf_dir: str):
             ((int(h) << 31) + int(l)) % MERSENNE61
             for h, l in zip(shi, slo)
         ]
+        # the float64 half-sum trick is exact only while a doc's 31-bit
+        # half-sum stays < 2^53 — i.e. docs under 2^21 tokens; longer
+        # docs fall back to exact Python-int accumulation
+        for i in np.nonzero(lens >= (1 << 21))[0]:
+            seg = pair_idx[starts[i] : starts[i] + lens[i]]
+            fps[int(i)] = int(hv[seg].astype(object).sum()) % MERSENNE61
         return pa.table(
             {"doc_id": batch["doc_id"], "fp": pa.array(fps, pa.int64())}
         )
@@ -306,19 +322,50 @@ def exact_dedup_keepers(sf_dir: str):
 NUM_MINHASHES = 8
 LSH_BANDS = 4  # 2 hashes per band
 
+# Per-worker-process hash caches (ST1-style per-process state, like the
+# tokenizer cache in stages/tokenize.py): shingles/terms/(pos, token)
+# pairs repeat heavily ACROSS batches and across queries in a session,
+# and md5 in a Python loop is the signature stages' dominant cost —
+# DuckDB-parity pins the hash function, so caching is the lever. Plain
+# dicts with a clear-on-full cap: the working sets are vocabulary-sized.
+_SHINGLE_HASH_CACHE: dict[str, np.ndarray] = {}
+_TERM_U64_CACHE: dict[str, int] = {}
+_POSTOK_HASH_CACHE: dict[tuple[int, str], int] = {}
+_HASH_CACHE_MAX = 1 << 20
+
+
+def _shingle_hash_rows(uniq: list[str]) -> np.ndarray:
+    """(U, 1+NUM_MINHASHES) int64 — [set_hash, sig-hash_0..7] per
+    distinct shingle, cached per worker process."""
+    from ..functions.hashing import md5_i63
+
+    out = np.empty((len(uniq), 1 + NUM_MINHASHES), np.int64)
+    cache = _SHINGLE_HASH_CACHE
+    for i, u in enumerate(uniq):
+        row = cache.get(u)
+        if row is None:
+            row = np.empty(1 + NUM_MINHASHES, np.int64)
+            row[0] = md5_i63(u)
+            for k in range(NUM_MINHASHES):
+                row[k + 1] = md5_i63(f"{k}:{u}")
+            if len(cache) >= _HASH_CACHE_MAX:
+                cache.clear()
+            cache[u] = row
+        out[i] = row
+    return out
+
 
 def _shingle_hashes_and_sigs(batch: pa.Table):
     """Vectorized per-batch shingle analysis shared by minhash / near-dup:
     dictionary-encode the batch's shingle stream so each DISTINCT shingle
-    is md5-hashed once (synthetic and real corpora alike repeat shingles
-    heavily), then derive per-doc minhash signatures with segmented
-    ``np.minimum.reduceat`` and per-doc distinct shingle-hash sets.
+    is md5-hashed at most once (and usually zero times — the per-process
+    ``_SHINGLE_HASH_CACHE`` carries hashes across batches), then derive
+    per-doc minhash signatures with segmented ``np.minimum.reduceat``
+    and per-doc distinct shingle-hash sets.
 
     Returns (doc_lens, doc_starts, codes, shingle_hash_of_code[U],
     sigs[NUM_MINHASHES][n_docs])."""
     from itertools import chain
-
-    from ..functions.hashing import md5_i63
 
     texts = batch["text"].to_pylist()
     sh_lists = [shingles(tokenize(t)) for t in texts]
@@ -329,12 +376,9 @@ def _shingle_hashes_and_sigs(batch: pa.Table):
     enc = flat.dictionary_encode()
     codes = enc.indices.to_numpy().astype(np.int64)
     uniq = enc.dictionary.to_pylist()
-    H = np.empty((NUM_MINHASHES, len(uniq)), np.int64)
-    S = np.empty(len(uniq), np.int64)
-    for u_i, u in enumerate(uniq):
-        S[u_i] = md5_i63(u)
-        for k in range(NUM_MINHASHES):
-            H[k, u_i] = md5_i63(f"{k}:{u}")
+    rows = _shingle_hash_rows(uniq)
+    S = np.ascontiguousarray(rows[:, 0])
+    H = np.ascontiguousarray(rows[:, 1:].T)
     starts = np.zeros(len(lens), np.int64)
     if len(lens) > 1:
         np.cumsum(lens[:-1], out=starts[1:])
@@ -473,8 +517,18 @@ def simhash_codes(sf_dir: str):
         U = len(uniq)
         bit_idx = np.arange(63, dtype=np.uint64)
         if U:
+            cache = _TERM_U64_CACHE
+            if len(cache) >= _HASH_CACHE_MAX:
+                cache.clear()
             hv = np.fromiter(
-                (md5_u64(u) for u in uniq), np.uint64, count=U
+                (
+                    cache[u]
+                    if u in cache
+                    else cache.setdefault(u, md5_u64(u))
+                    for u in uniq
+                ),
+                np.uint64,
+                count=U,
             )
             # (U, 63) ±1 sign matrix, one row per distinct term
             bits = (
@@ -510,6 +564,19 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5):
 # similarity search over embeddings
 
 
+def _embedding_matrix(col) -> np.ndarray:
+    """(n, dim) float64 from a ``list<double>`` column via the
+    offsets-safe ``flatten().reshape`` recipe — no per-row Python
+    decode."""
+    if hasattr(col, "combine_chunks"):
+        col = col.combine_chunks()
+    n = len(col)
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(
+        np.float64, copy=False
+    )
+    return flat.reshape(n, -1)
+
+
 def _query_vector(sf_dir: str) -> np.ndarray:
     import pyarrow.parquet as pq
 
@@ -533,9 +600,7 @@ def embedding_topk(sf_dir: str, k: int = 20):
     def f(batch: pa.Table) -> pa.Table:
         qv = ray.get(q_ref)
         qn = np.sqrt(np.dot(qv, qv))
-        emb = np.stack(
-            [np.asarray(e, dtype=np.float64) for e in batch["embedding"].to_pylist()]
-        )
+        emb = _embedding_matrix(batch["embedding"])
         norms = np.sqrt((emb * emb).sum(axis=1))
         denom = norms * qn
         cos = (emb @ qv) / np.where(denom == 0, 1.0, denom)
@@ -694,6 +759,16 @@ def embedding_cosine_pairs_lsh(
     exact op is pytest-gated. Every emitted pair is
     exact-cosine-verified, so precision is 1 (a strict subset of
     ``embedding_cosine_pairs``)."""
+    import pyarrow.parquet as pq
+
+    # hoist the hyperplane generation out of the batch fn (per-batch
+    # RandomState setup is exactly the per-batch state the brief bans):
+    # same seed → same draw sequence as the previous per-batch derivation
+    f0 = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    dim = len(f0.read_row_group(0, columns=["embedding"])["embedding"][0])
+    rng = np.random.RandomState(seed)
+    planes_stack = np.stack([rng.randn(nplanes, dim) for _ in range(ntables)])
+    planes_ref = ray.put(planes_stack)
 
     def bucket(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -717,10 +792,10 @@ def embedding_cosine_pairs_lsh(
             ),
             pa.array(flat, pa.float64()),
         )
-        rng = np.random.RandomState(seed)
+        all_planes = ray.get(planes_ref)
         parts = []
         for t in range(ntables):
-            planes = rng.randn(nplanes, emb.shape[1])
+            planes = all_planes[t]
             keys = ((emb @ planes.T) > 0).dot(1 << np.arange(nplanes))
             parts.append(
                 pa.table(
@@ -799,9 +874,7 @@ def embedding_lsh_topk(sf_dir: str, k: int = 10, seed: int = 42):
     def f(batch: pa.Table) -> pa.Table:
         P = ray.get(planes_ref)
         qv = ray.get(q_ref)
-        emb = np.stack(
-            [np.asarray(e, dtype=np.float64) for e in batch["embedding"].to_pylist()]
-        )
+        emb = _embedding_matrix(batch["embedding"])
         keys = ((emb @ P.T) > 0).dot(1 << np.arange(NUM_HYPERPLANES)).astype(np.int64)
         mask = keys == qkey
         emb = emb[mask]
