@@ -370,6 +370,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": lambda sf: dp.events_tumbling_window(sf),
         "events_sliding_window": lambda sf: dp.events_sliding_window(sf),
         "asof_join": lambda sf: dp.asof_join_events_orders(sf),
+        # skew-safe variant (time-range partition + boundary replication)
+        # — same rows by construction, value-gated by the same oracle
+        "asof_join_by_time": lambda sf: dp.asof_join_events_orders(
+            sf, mode="by_time"
+        ),
         "range_join": lambda sf: dp.range_join_count(sf),
         "distinct_users": lambda sf: dp.distinct_users(sf),
         "hll_distinct_users": lambda sf: dp.hll_distinct_users(sf),
@@ -750,6 +755,18 @@ select event_type, count(distinct user_id) as n_users
 from events group by event_type
 """,
         "asof_join": """
+with pairs as (
+  select e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+         row_number() over (
+           partition by e.event_id
+           order by o.o_orderdate desc, o.o_orderkey desc
+         ) as rn
+  from events e
+  join orders o on o.o_custkey = e.user_id and o.o_orderdate <= e.ts
+)
+select event_id, user_id, o_orderkey, o_totalprice from pairs where rn = 1
+""",
+        "asof_join_by_time": """
 with pairs as (
   select e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
          row_number() over (

@@ -1510,22 +1510,143 @@ def hll_distinct_users(sf_dir: str):
     )
 
 
-def asof_join_events_orders(sf_dir: str):
+def _asof_ev_rows(batch: pa.Table) -> pa.Table:
+    n = batch.num_rows
+    return pa.table(
+        {
+            "key": batch["user_id"].cast(pa.int64()),
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "ts_us": batch["ts"].cast(pa.int64()),
+            "o_orderkey": pa.nulls(n, pa.int64()),
+            "date_us": pa.nulls(n, pa.int64()),
+            "o_totalprice": pa.nulls(n, pa.float64()),
+        }
+    )
+
+
+def _asof_ord_rows(batch: pa.Table) -> pa.Table:
+    n = batch.num_rows
+    return pa.table(
+        {
+            "key": batch["o_custkey"].cast(pa.int64()),
+            "event_id": pa.nulls(n, pa.int64()),
+            "ts_us": pa.nulls(n, pa.int64()),
+            "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+            "date_us": batch["o_orderdate"].cast(pa.int64()),
+            "o_totalprice": batch["o_totalprice"].cast(pa.float64()),
+        }
+    )
+
+
+_ASOF_EMPTY = pa.table(
+    {
+        "event_id": pa.array([], pa.int64()),
+        "user_id": pa.array([], pa.int64()),
+        "o_orderkey": pa.array([], pa.int64()),
+        "o_totalprice": pa.array([], pa.float64()),
+    }
+)
+
+
+def _asof_group(group: pa.Table) -> pa.Table:
+    """Vectorized sorted-merge as-of inside one group (all rows share the
+    join key; by_time groups additionally share a time range)."""
+    import pyarrow.compute as pc
+
+    group = group.combine_chunks()
+    # split Arrow-side BEFORE to_numpy: a nullable int64 column would
+    # otherwise round-trip through float64 (lossy past 2^53)
+    is_ev = pc.is_valid(group["event_id"])
+    g_ev = group.filter(is_ev)
+    g_or = group.filter(pc.invert(is_ev))
+    eid = g_ev["event_id"].to_numpy(zero_copy_only=False)
+    ets = g_ev["ts_us"].to_numpy(zero_copy_only=False)
+    okey = g_or["o_orderkey"].to_numpy(zero_copy_only=False)
+    odate = g_or["date_us"].to_numpy(zero_copy_only=False)
+    oprice = g_or["o_totalprice"].to_numpy(zero_copy_only=False)
+    if len(eid) == 0 or len(okey) == 0:
+        return _ASOF_EMPTY
+    # sort orders by (date, orderkey): searchsorted 'right' - 1 then
+    # lands on the max orderkey among equal dates — the tie-break
+    order = np.lexsort((okey, odate))
+    odate, okey, oprice = odate[order], okey[order], oprice[order]
+    pos = np.searchsorted(odate, ets, side="right") - 1
+    hit = pos >= 0
+    if not hit.any():
+        return _ASOF_EMPTY
+    key = int(group["key"][0].as_py())
+    return pa.table(
+        {
+            "event_id": pa.array(eid[hit].astype(np.int64), pa.int64()),
+            "user_id": pa.array(
+                np.full(int(hit.sum()), key, np.int64), pa.int64()
+            ),
+            "o_orderkey": pa.array(
+                okey[pos[hit]].astype(np.int64), pa.int64()
+            ),
+            "o_totalprice": pa.array(oprice[pos[hit]], pa.float64()),
+        }
+    )
+
+
+def _events_ts_bounds(path: str) -> tuple[int, int] | None:
+    """(min, max) event timestamp in µs from parquet ROW-GROUP STATISTICS
+    — no data scan (the scale-shaped way to size the time ranges; at
+    100 TB an extra aggregate pass over events just to pick partition
+    boundaries would double the read)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(path)
+    lo = hi = None
+    for rg in range(f.metadata.num_row_groups):
+        g = f.metadata.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            if col.path_in_schema != "ts":
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                return None
+            mn = pd.Timestamp(st.min).value // 1000
+            mx = pd.Timestamp(st.max).value // 1000
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+    if lo is None:
+        return None
+    return int(lo), int(hi)
+
+
+def asof_join_events_orders(
+    sf_dir: str, mode: str = "by_key", time_ranges: int = 16
+):
     """(event_id, user_id, o_orderkey, o_totalprice) — AS-OF JOIN: for
     each event, the latest order of the same key at-or-before the event
     time (ties on o_orderdate broken by max o_orderkey — fully
     deterministic, so the op has an exact SQL oracle; inner-join
     semantics: events with no prior order are dropped).
 
-    Ray Data has no as-of join; the distributed shape is the standard
-    one: key-partition BOTH sides (union with per-side null columns →
-    one ``groupby(key)`` shuffle), then inside each group a vectorized
-    sorted-merge (``np.searchsorted`` of event times into the key's
-    date-sorted orders). Partitioning assumption: keys are plentiful
-    relative to cores and no single key's history exceeds one task's
-    memory — for time-skewed single-key streams, range-partition by time
-    with boundary replication instead (each partition also receives the
-    last right-side row before its range)."""
+    Ray Data has no as-of join; two distributed shapes, selected by
+    ``mode``, produce identical rows:
+
+    - ``by_key`` (default): key-partition BOTH sides (union with
+      per-side null columns → one ``groupby(key)`` shuffle), vectorized
+      sorted-merge per group. Partitioning assumption: keys are
+      plentiful relative to cores and no single key's history exceeds
+      one task's memory.
+    - ``by_time`` (skew-safe): for time-skewed streams where one key
+      owns most of the history — partition the EVENT TIME AXIS into
+      ``time_ranges`` equal-width ranges (bounds from parquet row-group
+      statistics, no extra scan) and group by (key, range), so a hot
+      key's history splits across ranges. Boundary replication keeps it
+      exact: a per-(key, range) lexmax + per-key forward scan injects
+      into every range the key's latest order BEFORE the range start,
+      so events early in a range still see their carry-in match. Costs
+      one extra (small) shuffle of per-(key, range) maxima.
+    - ``auto``: sniff the first events row group; distinct keys < 32
+      (fewer keys than typical cores → by_key would serialize) picks
+      ``by_time``.
+    """
     ev = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
@@ -1533,81 +1654,121 @@ def asof_join_events_orders(sf_dir: str):
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
     )
+    if mode == "auto":
+        import pyarrow.parquet as pq
 
-    def ev_rows(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        return pa.table(
-            {
-                "key": batch["user_id"].cast(pa.int64()),
-                "event_id": batch["event_id"].cast(pa.int64()),
-                "ts_us": batch["ts"].cast(pa.int64()),
-                "o_orderkey": pa.nulls(n, pa.int64()),
-                "date_us": pa.nulls(n, pa.int64()),
-                "o_totalprice": pa.nulls(n, pa.float64()),
-            }
+        g0 = pq.ParquetFile(f"{sf_dir}/events.parquet").read_row_group(
+            0, columns=["user_id"]
         )
-
-    def ord_rows(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        return pa.table(
-            {
-                "key": batch["o_custkey"].cast(pa.int64()),
-                "event_id": pa.nulls(n, pa.int64()),
-                "ts_us": pa.nulls(n, pa.int64()),
-                "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
-                "date_us": batch["o_orderdate"].cast(pa.int64()),
-                "o_totalprice": batch["o_totalprice"].cast(pa.float64()),
-            }
-        )
-
-    both = ev.map_batches(ev_rows, batch_format="pyarrow").union(
-        orders.map_batches(ord_rows, batch_format="pyarrow")
-    )
-
-    def asof(group: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        group = group.combine_chunks()
-        # split Arrow-side BEFORE to_numpy: a nullable int64 column would
-        # otherwise round-trip through float64 (lossy past 2^53)
-        is_ev = pc.is_valid(group["event_id"])
-        g_ev = group.filter(is_ev)
-        g_or = group.filter(pc.invert(is_ev))
-        eid = g_ev["event_id"].to_numpy(zero_copy_only=False)
-        ets = g_ev["ts_us"].to_numpy(zero_copy_only=False)
-        okey = g_or["o_orderkey"].to_numpy(zero_copy_only=False)
-        odate = g_or["date_us"].to_numpy(zero_copy_only=False)
-        oprice = g_or["o_totalprice"].to_numpy(zero_copy_only=False)
-        empty = pa.table(
-            {
-                "event_id": pa.array([], pa.int64()),
-                "user_id": pa.array([], pa.int64()),
-                "o_orderkey": pa.array([], pa.int64()),
-                "o_totalprice": pa.array([], pa.float64()),
-            }
+        mode = (
+            "by_time" if len(pc.unique(g0["user_id"])) < 32 else "by_key"
         )
-        if len(eid) == 0 or len(okey) == 0:
-            return empty
-        # sort orders by (date, orderkey): searchsorted 'right' - 1 then
-        # lands on the max orderkey among equal dates — the tie-break
-        order = np.lexsort((okey, odate))
-        odate, okey, oprice = odate[order], okey[order], oprice[order]
-        pos = np.searchsorted(odate, ets, side="right") - 1
-        hit = pos >= 0
-        if not hit.any():
-            return empty
+    evn = ev.map_batches(_asof_ev_rows, batch_format="pyarrow")
+    orn = orders.map_batches(_asof_ord_rows, batch_format="pyarrow")
+    if mode == "by_key":
+        return evn.union(orn).groupby("key").map_groups(
+            _asof_group, batch_format="pyarrow"
+        )
+    if mode != "by_time":
+        raise ValueError(f"unknown asof mode {mode!r}")
+    return _asof_by_time(sf_dir, evn, orn, time_ranges)
+
+
+def _asof_by_time(sf_dir: str, evn, orn, time_ranges: int):
+    bounds = _events_ts_bounds(f"{sf_dir}/events.parquet")
+    if bounds is None:  # no stats → one aggregate pass (fallback)
+        from ray.data.aggregate import Max, Min
+
+        mm = evn.aggregate(Min("ts_us"), Max("ts_us"))
+        if mm["min(ts_us)"] is None:
+            return ray.data.from_arrow(_ASOF_EMPTY)
+        bounds = (int(mm["min(ts_us)"]), int(mm["max(ts_us)"]))
+    t0, t1 = bounds
+    R = int(time_ranges)
+    w = max(1, (t1 - t0) // R + 1)
+
+    def tag_ev(batch: pa.Table) -> pa.Table:
+        ts = batch["ts_us"].to_numpy(zero_copy_only=False)
+        rng = np.clip((ts - t0) // w, 0, R - 1).astype(np.int64)
+        return batch.append_column("rng", pa.array(rng, pa.int64()))
+
+    def tag_ord(batch: pa.Table) -> pa.Table:
+        d = batch["date_us"].to_numpy(zero_copy_only=False)
+        rng = np.clip((d - t0) // w, 0, R - 1).astype(np.int64)
+        return batch.append_column("rng", pa.array(rng, pa.int64()))
+
+    orn_tagged = orn.map_batches(tag_ord, batch_format="pyarrow")
+
+    def lexmax(group: pa.Table) -> pa.Table:
+        """One row: the (date, orderkey)-max order of this (key, range)."""
+        group = group.combine_chunks()
+        okey = group["o_orderkey"].to_numpy(zero_copy_only=False)
+        odate = group["date_us"].to_numpy(zero_copy_only=False)
+        i = int(np.lexsort((okey, odate))[-1])
+        return group.take(pa.array([i]))
+
+    # per-(key, range) maxima: a SMALL second shuffle (≤ keys x ranges
+    # rows), then a per-key forward scan emits each range's carry-in
+    maxima = orn_tagged.groupby(["key", "rng"]).map_groups(
+        lexmax, batch_format="pyarrow"
+    )
+
+    def carries(group: pa.Table) -> pa.Table:
+        group = group.combine_chunks()
+        rngs = group["rng"].to_numpy(zero_copy_only=False)
+        okey = group["o_orderkey"].to_numpy(zero_copy_only=False)
+        odate = group["date_us"].to_numpy(zero_copy_only=False)
+        price = group["o_totalprice"].to_numpy(zero_copy_only=False)
+        order = np.argsort(rngs, kind="stable")
+        out_rng: list[int] = []
+        out_i: list[int] = []
+        best = -1  # index of running (date, orderkey)-lexmax
+        j = 0
+        for rr in range(int(rngs[order[0]]) + 1, R):
+            while j < len(order) and rngs[order[j]] < rr:
+                i = int(order[j])
+                if best < 0 or (odate[i], okey[i]) > (odate[best], okey[best]):
+                    best = i
+                j += 1
+            if best >= 0:
+                out_rng.append(rr)
+                out_i.append(best)
+        n = len(out_i)
+        if n == 0:
+            return pa.table(
+                {
+                    "key": pa.array([], pa.int64()),
+                    "event_id": pa.array([], pa.int64()),
+                    "ts_us": pa.array([], pa.int64()),
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "date_us": pa.array([], pa.int64()),
+                    "o_totalprice": pa.array([], pa.float64()),
+                    "rng": pa.array([], pa.int64()),
+                }
+            )
         key = int(group["key"][0].as_py())
         return pa.table(
             {
-                "event_id": pa.array(eid[hit].astype(np.int64), pa.int64()),
-                "user_id": pa.array(
-                    np.full(int(hit.sum()), key, np.int64), pa.int64()
-                ),
-                "o_orderkey": pa.array(
-                    okey[pos[hit]].astype(np.int64), pa.int64()
-                ),
-                "o_totalprice": pa.array(oprice[pos[hit]], pa.float64()),
+                "key": pa.array(np.full(n, key, np.int64), pa.int64()),
+                "event_id": pa.nulls(n, pa.int64()),
+                "ts_us": pa.nulls(n, pa.int64()),
+                "o_orderkey": pa.array(okey[out_i], pa.int64()),
+                "date_us": pa.array(odate[out_i], pa.int64()),
+                "o_totalprice": pa.array(price[out_i], pa.float64()),
+                "rng": pa.array(out_rng, pa.int64()),
             }
         )
 
-    return both.groupby("key").map_groups(asof, batch_format="pyarrow")
+    carry = maxima.groupby("key").map_groups(
+        carries, batch_format="pyarrow"
+    )
+    both = (
+        evn.map_batches(tag_ev, batch_format="pyarrow")
+        .union(orn_tagged)
+        .union(carry)
+    )
+    return both.groupby(["key", "rng"]).map_groups(
+        _asof_group, batch_format="pyarrow"
+    )

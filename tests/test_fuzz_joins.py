@@ -12,19 +12,29 @@ import pyarrow.parquet as pq
 import pytest
 
 
-def _write_tables(d: str, seed: int, n_events: int, n_orders: int, n_keys: int):
+def _write_tables(
+    d: str,
+    seed: int,
+    n_events: int,
+    n_orders: int,
+    n_keys: int,
+    skew_frac: float = 0.0,
+):
     rng = np.random.RandomState(seed)
     base = np.datetime64("2024-01-01", "us").astype(np.int64)
     day = 86_400_000_000
     ev_ts = base + rng.randint(-40 * day, 40 * day, n_events)
+    ev_keys = rng.randint(0, n_keys, n_events)
+    ord_keys = rng.randint(0, n_keys + 2, n_orders)
+    if skew_frac:  # one key owns most of both histories
+        ev_keys[rng.rand(n_events) < skew_frac] = 0
+        ord_keys[rng.rand(n_orders) < skew_frac] = 0
     pq.write_table(
         pa.table(
             {
                 "event_id": pa.array(np.arange(n_events), pa.int64()),
                 "ts": pa.array(ev_ts, pa.int64()).cast(pa.timestamp("us")),
-                "user_id": pa.array(
-                    rng.randint(0, n_keys, n_events), pa.int64()
-                ),
+                "user_id": pa.array(ev_keys, pa.int64()),
                 "event_type": pa.array(["t"] * n_events, pa.string()),
                 # values chosen so bands land on bucket boundaries often
                 "value": pa.array(
@@ -43,9 +53,7 @@ def _write_tables(d: str, seed: int, n_events: int, n_orders: int, n_keys: int):
                 "o_orderkey": pa.array(
                     rng.permutation(n_orders).astype(np.int64), pa.int64()
                 ),
-                "o_custkey": pa.array(
-                    rng.randint(0, n_keys + 2, n_orders), pa.int64()
-                ),
+                "o_custkey": pa.array(ord_keys, pa.int64()),
                 "o_orderstatus": pa.array(["O"] * n_orders, pa.string()),
                 "o_totalprice": pa.array(
                     np.round(rng.uniform(0, 31_000, n_orders), 2), pa.float64()
@@ -101,6 +109,52 @@ def test_fuzz_asof_join_matches_duckdb(ray_session, tmp_path, seed):
         .fetchall()
     }
     assert got == exp
+
+
+_ASOF_ORACLE = """with pairs as (
+     select e.event_id, o.o_orderkey, o.o_totalprice,
+            row_number() over (
+              partition by e.event_id
+              order by o.o_orderdate desc, o.o_orderkey desc
+            ) as rn
+     from events e
+     join orders o
+       on o.o_custkey = e.user_id and o.o_orderdate <= e.ts)
+   select event_id, o_orderkey, o_totalprice
+   from pairs where rn = 1"""
+
+
+@pytest.mark.parametrize("seed,ranges", [(77, 16), (88, 5), (99, 3)])
+def test_fuzz_asof_by_time_skewed_matches_duckdb(
+    ray_session, tmp_path, seed, ranges
+):
+    """Skew-safe as-of variant: ONE key owns ~90% of both histories —
+    the time-range partition + boundary-replication path must be exact
+    vs DuckDB (and therefore vs the by_key path) at several range
+    counts, including ranges so coarse most carries collapse."""
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    d = str(tmp_path)
+    _write_tables(
+        d, seed, n_events=400, n_orders=250, n_keys=10, skew_frac=0.9
+    )
+    t = dp._to_table(
+        dp.asof_join_events_orders(d, mode="by_time", time_ranges=ranges)
+    )
+    got = {
+        e: (k, p)
+        for e, k, p in zip(
+            t["event_id"].to_pylist(),
+            t["o_orderkey"].to_pylist(),
+            t["o_totalprice"].to_pylist(),
+        )
+    }
+    con = _con(d)
+    exp = {e: (k, p) for e, k, p in con.sql(_ASOF_ORACLE).fetchall()}
+    assert got == exp
+    # auto mode picks by_time for this key-starved stream
+    t2 = dp._to_table(dp.asof_join_events_orders(d, mode="auto"))
+    assert len(t2) == len(t)
 
 
 @pytest.mark.parametrize("seed,width", [(44, 5000.0), (55, 1000.0), (66, 3172.5)])
