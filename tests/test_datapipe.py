@@ -306,7 +306,9 @@ def test_embedding_cosine_pairs_matches_bruteforce(ray_session):
     for i in range(len(ids)):
         for j in range(len(ids)):
             if ids[i] < ids[j] and C[i, j] >= 0.4:
-                exp[(int(ids[i]), int(ids[j]))] = round(float(C[i, j]), 4)
+                # dp.round4 (half-away-from-zero), not python round()
+                # (half-even): an exact .xxxx5 tie must not flake
+                exp[(int(ids[i]), int(ids[j]))] = dp.round4(float(C[i, j]))
     assert got == exp and len(exp) > 0
 
 
