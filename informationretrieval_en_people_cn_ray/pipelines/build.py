@@ -152,6 +152,47 @@ def build_index(
         return existing
 
     t0 = time.monotonic()
+    # Un-starve the hot stage: Ray Data's per-op resource reservation
+    # (ResourceManager.DEFAULT, ratio 0.5) splits the CPU budget evenly
+    # across ALL ops of this plan — tokenize, the Sort barrier, and the
+    # segment reduce. The barrier ops cannot run a single task until
+    # tokenize finishes, yet they hold ~2/3 of the budget, capping the
+    # tokenize stage at ~40% of the cluster (measured: 4 concurrent
+    # 3.2-cpu tasks = 12.8 of 32 CPUs, `[backpressured:tasks]` in the
+    # executor log, the machine 70-80% idle). Disabling reservation for
+    # THIS pipeline lets tokenize fill the cluster at its configured
+    # num_cpus granularity; memory safety still holds — the global
+    # object-store cap falls back to the no-reservation fraction (25% of
+    # the store) with streaming-output backpressure, and the build's
+    # shuffle payload is compressed posting partials, orders of magnitude
+    # below that cap at any scale because volume per term is O(#batches),
+    # not O(corpus).
+    from ray.data import DataContext
+
+    _ctx = DataContext.get_current()
+    _prev_reservation = _ctx.op_resource_reservation_enabled
+    _ctx.op_resource_reservation_enabled = False
+
+    try:
+        return _build_index_inner(
+            corpus_path, out_dir, config, plan, total_docs, build_fp,
+            coll_path, t0,
+        )
+    finally:
+        _ctx.op_resource_reservation_enabled = _prev_reservation
+
+
+def _build_index_inner(
+    corpus_path: str,
+    out_dir: str,
+    config: BuildConfig,
+    plan: list,
+    total_docs: int,
+    build_fp: str,
+    coll_path: str,
+    t0: float,
+) -> dict:
+    files = corpus_files(corpus_path)
     columns = [config.content_column]
     # only fetch the sha column if we'll verify it
     import pyarrow.parquet as pq
