@@ -39,6 +39,7 @@ import pyarrow as pa
 
 import ray.data
 
+from ..datactx import unreserved
 from ..sources.corpus_source import corpus_files, fragment_plan
 from ..state.manifest import fingerprint, load_json, write_json_atomic
 from ..stages.postings import merge_runs
@@ -152,36 +153,21 @@ def build_index(
         return existing
 
     t0 = time.monotonic()
-    # Un-starve the hot stage: Ray Data's per-op resource reservation
-    # (ResourceManager.DEFAULT, ratio 0.5) splits the CPU budget evenly
-    # across ALL ops of this plan — tokenize, the Sort barrier, and the
-    # segment reduce. The barrier ops cannot run a single task until
-    # tokenize finishes, yet they hold ~2/3 of the budget, capping the
-    # tokenize stage at ~40% of the cluster (measured: 4 concurrent
-    # 3.2-cpu tasks = 12.8 of 32 CPUs, `[backpressured:tasks]` in the
-    # executor log, the machine 70-80% idle). Disabling reservation for
-    # THIS pipeline lets tokenize fill the cluster at its configured
-    # num_cpus granularity; memory safety still holds — the global
-    # object-store cap falls back to the no-reservation fraction (25% of
-    # the store) with streaming-output backpressure, and the build's
-    # shuffle payload is compressed posting partials, orders of magnitude
-    # below that cap at any scale because volume per term is O(#batches),
-    # not O(corpus).
-    from ray.data import DataContext
-
-    _ctx = DataContext.get_current()
-    _prev_reservation = _ctx.op_resource_reservation_enabled
-    _ctx.op_resource_reservation_enabled = False
-
-    try:
-        return _build_index_inner(
-            corpus_path, out_dir, config, plan, total_docs, build_fp,
-            coll_path, t0,
-        )
-    finally:
-        _ctx.op_resource_reservation_enabled = _prev_reservation
+    return _build_index_inner(
+        corpus_path, out_dir, config, plan, total_docs, build_fp,
+        coll_path, t0,
+    )
 
 
+# Un-starve the hot stage: Ray Data's per-op resource reservation splits
+# the CPU budget evenly across ALL ops of this plan — tokenize, the Sort
+# barrier, and the segment reduce. The barrier ops cannot run a single
+# task until tokenize finishes, yet they hold ~2/3 of the budget, capping
+# tokenize at ~40% of the cluster (measured: 4 concurrent 3.2-cpu tasks =
+# 12.8 of 32 CPUs, `[backpressured:tasks]`, the machine 70-80% idle;
+# 347 s → 59-112 s on the 200k-doc 32-cpu build). See datactx.unreserved
+# for the memory-safety argument.
+@unreserved
 def _build_index_inner(
     corpus_path: str,
     out_dir: str,

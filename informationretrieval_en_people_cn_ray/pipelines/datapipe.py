@@ -22,6 +22,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..datactx import unreserved
 from ..functions.hashing import (
     sha256_hex,
     shingles,
@@ -87,6 +88,7 @@ def _batch_token_codes(batch: pa.Table):
     return batch_token_codes(batch["text"].to_pylist())
 
 
+@unreserved
 def token_count(sf_dir: str):
     """(doc_id, n_tokens) — doc length over the SQL-parity tokenizer
     (Arrow-vectorized batch tokenize; the per-doc lengths come straight
@@ -107,6 +109,7 @@ def token_count(sf_dir: str):
     )
 
 
+@unreserved
 def term_stats(sf_dir: str):
     """(term, df, ctf) — global term statistics with per-batch partial
     combine before the term shuffle (SURVEY.md §2.5 A1/A3 as a standalone
@@ -138,6 +141,7 @@ def term_stats(sf_dir: str):
     )
 
 
+@unreserved
 def quality_score(sf_dir: str):
     """(doc_id, n_tokens, avg_token_len, stop_ratio, alnum_ratio, score)
     — length/stopword/punctuation quality heuristics (all SQL-parity);
@@ -185,6 +189,7 @@ def quality_score(sf_dir: str):
     )
 
 
+@unreserved
 def lang_id(sf_dir: str):
     """(doc_id, pred_lang) — marker-word language heuristic with the
     deterministic LANG_ORDER tie-break (SQL-parity via CASE chain);
@@ -219,6 +224,7 @@ def lang_id(sf_dir: str):
     )
 
 
+@unreserved
 def fingerprint(sf_dir: str):
     """(doc_id, fp) — order-sensitive rolling document fingerprint
     (functions/hashing.rolling_fingerprint; SQL-parity via positional
@@ -289,6 +295,7 @@ def fingerprint(sf_dir: str):
 # deduplication
 
 
+@unreserved
 def exact_dedup_keepers(sf_dir: str):
     """(doc_id) — exact dedup by content hash: hash-partitioned groupby,
     keep min doc_id per group (SURVEY.md §2.5 A6; hashing first keeps the
@@ -393,6 +400,7 @@ def _shingle_hashes_and_sigs(batch: pa.Table):
     return lens, starts, codes, S, sigs
 
 
+@unreserved
 def minhash_signatures(sf_dir: str):
     """(doc_id, sig_0..sig_7) — MinHash over 3-token shingles with
     DuckDB-replicable hashes (SQL-parity)."""
@@ -412,6 +420,7 @@ def minhash_signatures(sf_dir: str):
     )
 
 
+@unreserved
 def near_dup_pairs(sf_dir: str, jaccard_threshold: float = 0.8):
     """(doc_a, doc_b, jaccard) — MinHash-LSH candidate generation
     (band groupby) + exact shingle-set Jaccard verification, fully
@@ -504,6 +513,7 @@ def near_dup_pairs(sf_dir: str, jaccard_threshold: float = 0.8):
     )
 
 
+@unreserved
 def simhash_codes(sf_dir: str):
     """(doc_id, simhash) — 63-bit weighted simhash per doc (SQL-parity via
     generated per-bit CASE sums). Each DISTINCT term in the batch is
@@ -554,6 +564,7 @@ def simhash_codes(sf_dir: str):
     )
 
 
+@unreserved
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5):
     """(doc_a, doc_b, jaccard) — LSH-candidate near-dup with a lower
     threshold (n-gram Jaccard variant of near_dup_pairs)."""
@@ -585,6 +596,7 @@ def _query_vector(sf_dir: str) -> np.ndarray:
     return np.asarray(t["embedding"][idx].as_py(), dtype=np.float64)
 
 
+@unreserved
 def embedding_topk(sf_dir: str, k: int = 20):
     """(vec_id, cos) — brute-force cosine top-k vs the vec_id=0 query
     vector, broadcast once via ray.put and matmul'd per batch (the
@@ -631,6 +643,7 @@ def embedding_topk(sf_dir: str, k: int = 20):
     )
 
 
+@unreserved
 def embedding_cosine_pairs(sf_dir: str, threshold: float = 0.4):
     """(vec_a, vec_b, cos) — embedding-cosine near-duplicate pairs:
     every pair of vectors with cosine >= threshold (SQL-parity via
@@ -740,6 +753,7 @@ def embedding_cosine_pairs(sf_dir: str, threshold: float = 0.4):
     )
 
 
+@unreserved
 def embedding_cosine_pairs_lsh(
     sf_dir: str,
     threshold: float = 0.4,
@@ -859,6 +873,7 @@ def embedding_cosine_pairs_lsh(
 NUM_HYPERPLANES = 6
 
 
+@unreserved
 def embedding_lsh_topk(sf_dir: str, k: int = 10, seed: int = 42):
     """(vec_id, cos) — LSH-bucketed approximate variant: seeded random
     hyperplanes → sign-bit bucket key; only the query's bucket is scanned
@@ -909,6 +924,7 @@ def embedding_lsh_topk(sf_dir: str, k: int = 10, seed: int = 42):
     )
 
 
+@unreserved
 def embedding_ivf_topk(
     sf_dir: str,
     k: int = 10,
@@ -1053,6 +1069,7 @@ def embedding_ivf_topk(
     )
 
 
+@unreserved
 def embed_documents(
     sf_dir: str, dim: int = 32, concurrency: int = 2, batch_size: int = 512
 ):
@@ -1071,6 +1088,7 @@ def embed_documents(
     )
 
 
+@unreserved
 def embed_then_topk(sf_dir: str, k: int = 20, dim: int = 32):
     """(doc_id, cos) — full corpus→embeddings→similarity pipeline: embed
     every document with the actor-pool stage, then brute-force cosine
@@ -1202,6 +1220,7 @@ def _windowed_events(sf_dir: str, hop_us: int, n_windows: int):
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+@unreserved
 def events_tumbling_window(sf_dir: str, hours: int = 1):
     """(event_type, window_start, n_events, sum_value_milli) — tumbling
     window per event type; Arrow-native partial combine per batch before
@@ -1209,6 +1228,7 @@ def events_tumbling_window(sf_dir: str, hours: int = 1):
     return _windowed_events(sf_dir, hours * 3600 * 1_000_000, 1)
 
 
+@unreserved
 def events_sliding_window(sf_dir: str, window_hours: int = 2, hop_hours: int = 1):
     """(event_type, window_start, n_events, sum_value_milli) — SLIDING
     (hopping) window: each event contributes to window_hours/hop_hours
@@ -1222,6 +1242,7 @@ def events_sliding_window(sf_dir: str, window_hours: int = 2, hop_hours: int = 1
     )
 
 
+@unreserved
 def media_decode(sf_dir: str, n: int = 200):
     """(media_id, kind, width, height, n_frames, feature) — multimodal
     decode through the actor-pool stage over a deterministic synthetic
@@ -1237,6 +1258,7 @@ def media_decode(sf_dir: str, n: int = 200):
     )
 
 
+@unreserved
 def media_pipeline(sf_dir: str, n: int = 200):
     """(media_id, frame) — the full multimodal chain as ONE streaming
     Dataset pipeline: decode (payload kept) → aspect-preserving resize →
@@ -1279,6 +1301,7 @@ def media_pipeline(sf_dir: str, n: int = 200):
 # join-index / adjacency (the reference's reply_to_index as a generic op)
 
 
+@unreserved
 def group_adjacency(sf_dir: str):
     """(o_custkey, orderkeys) — groupby(parent).collect-list lookup table,
     the generic form of the reference's ``reply_to_index``
@@ -1302,6 +1325,7 @@ def group_adjacency(sf_dir: str):
     return ds.groupby("o_custkey").map_groups(agg, batch_format="pyarrow")
 
 
+@unreserved
 def range_join_count(sf_dir: str, scale: float = 1000.0, width: float = 5000.0):
     """(event_id, n_orders) — banded RANGE JOIN: for each event, the
     number of orders whose o_totalprice falls in the half-open band
@@ -1403,6 +1427,7 @@ def range_join_count(sf_dir: str, scale: float = 1000.0, width: float = 5000.0):
     return agg.filter(lambda row: row["n_orders"] > 0)
 
 
+@unreserved
 def distinct_users(sf_dir: str):
     """(event_type, n_users) — exact distributed COUNT DISTINCT: each
     batch emits its unique (event_type, user_id) pairs (the partial
@@ -1439,6 +1464,7 @@ def distinct_users(sf_dir: str):
 HLL_P = 12  # 4096 registers; ~1.04/sqrt(m) ≈ 1.6% standard error
 
 
+@unreserved
 def hll_distinct_users(sf_dir: str):
     """(event_type, n_users_est) — HyperLogLog distinct-user sketch per
     event type (Flajolet et al. 2007, with the standard small-range
@@ -1617,6 +1643,7 @@ def _events_ts_bounds(path: str) -> tuple[int, int] | None:
     return int(lo), int(hi)
 
 
+@unreserved
 def asof_join_events_orders(
     sf_dir: str, mode: str = "by_key", time_ranges: int = 16
 ):
