@@ -267,12 +267,21 @@ def main() -> None:
     )
 
     thp_mbps = fault_probe_thp_mbps()
+    # aggregate parallel fault service — catches the host mode where the
+    # single-threaded probe reads healthy but parallel fault service is
+    # globally serialized (the build's stages fault in parallel)
+    from informationretrieval_en_people_cn_ray.hostmem import (
+        fault_probe_concurrent_mbps,
+    )
+
+    conc_mbps = fault_probe_concurrent_mbps()
 
     import ray
 
     head = _headline(cpus, n_docs)
     head["fault_probe_mbps"] = fault_mbps
     head["thp_probe_mbps"] = thp_mbps
+    head["fault_probe_concurrent_mbps"] = conc_mbps
     q = (
         {}
         if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY")

@@ -70,6 +70,53 @@ def fault_probe_4k_mbps(size_mb: int = 32, repeats: int = 3) -> float:
     return round(best, 1)
 
 
+_CONCURRENT_PROBE_SRC = r"""
+import ctypes, mmap, time
+ctypes.CDLL(None).prctl(41, 1, 0, 0, 0)  # THP off, like the engine
+size_mb = %d
+n = size_mb << 20
+mm = mmap.mmap(-1, n)
+if hasattr(mmap, "MADV_NOHUGEPAGE"):
+    mm.madvise(mmap.MADV_NOHUGEPAGE)
+t0 = time.monotonic()
+for off in range(0, n, 4096):
+    mm[off] = 1
+print(round(size_mb / (time.monotonic() - t0), 1))
+mm.close()
+"""
+
+
+def fault_probe_concurrent_mbps(nproc: int = 8, size_mb: int = 64) -> float:
+    """AGGREGATE first-touch 4 KiB fault service rate across ``nproc``
+    concurrent processes (MB/s) — the fault path the engine's parallel
+    stages actually experience. A host can service single-threaded
+    faults at GB/s while SERIALIZING parallel fault service at a global
+    cap (measured on this sandbox 2026-08-17 post-restart: 1.6 GB/s
+    single vs ~2-5 GB/s aggregate at 24-32 procs where a healthy host
+    scales per-core); a single-threaded probe alone cannot see that
+    mode. Read the pair: single healthy + aggregate ≈ nproc x single →
+    healthy; single healthy + aggregate ≈ single → host-serialized."""
+    import subprocess
+    import sys
+    import time as _time
+
+    try:
+        t0 = _time.monotonic()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-c", _CONCURRENT_PROBE_SRC % size_mb],
+                stdout=subprocess.PIPE,
+            )
+            for _ in range(nproc)
+        ]
+        for p in procs:
+            p.communicate(timeout=120)
+        wall = _time.monotonic() - t0
+        return round(nproc * size_mb / wall, 1)
+    except Exception:
+        return -1.0
+
+
 _THP_PROBE_SRC = r"""
 import ctypes, mmap, time
 # the parent may have PR_SET_THP_DISABLE set (it is preserved across
