@@ -367,6 +367,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_cosine_pairs_lsh": lambda sf: dp.embedding_cosine_pairs_lsh(sf),
         "embed_then_topk": lambda sf: dp.embed_then_topk(sf),
         "group_adjacency": lambda sf: dp.group_adjacency(sf),
+        "broadcast_join": lambda sf: dp.broadcast_join_events_customers(sf),
+        "hash_sample": lambda sf: dp.hash_sample_documents(sf),
         "events_window": lambda sf: dp.events_tumbling_window(sf),
         "events_sliding_window": lambda sf: dp.events_sliding_window(sf),
         "asof_join": lambda sf: dp.asof_join_events_orders(sf),
@@ -782,6 +784,15 @@ select event_id, user_id, o_orderkey, o_totalprice from pairs where rn = 1
 select o_custkey,
        string_agg(o_orderkey::varchar, ',' order by o_orderkey) as orderkeys
 from orders group by o_custkey
+""",
+        "broadcast_join": """
+select e.event_id, e.user_id, c.c_mktsegment,
+       round(c.c_acctbal * 100)::bigint as acctbal_cents
+from events e join customer c on c.c_custkey = e.user_id
+""",
+        "hash_sample": """
+select doc_id from documents
+where (md5_number_lower(doc_id::varchar) & 9223372036854775807) % 10 = 0
 """,
         # rows-only (approximate / stateful / stemmer-dependent):
         # bm25_topk_stemmed, reference_queryset_stemmed,

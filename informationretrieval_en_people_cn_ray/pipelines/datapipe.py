@@ -1326,6 +1326,79 @@ def group_adjacency(sf_dir: str):
 
 
 @unreserved
+def broadcast_join_events_customers(sf_dir: str):
+    """(event_id, user_id, c_mktsegment, acctbal_cents) — dimension
+    enrichment as a BROADCAST hash join: the small side (customer) is
+    loaded once on the driver into sorted-key numpy arrays and
+    ``ray.put`` ONCE; every events batch resolves its user_ids with two
+    ``np.searchsorted`` lookups against the shared object — zero
+    shuffle, the fact table streams. This is the canonical small-side
+    join shape at 100 TB (a shuffle join would move every event row for
+    a dimension that fits in one object); inner semantics, exact SQL
+    oracle (acctbal carried as exact cents, not float)."""
+    cust = (
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_mktsegment", "c_acctbal"],
+        )
+        .to_arrow_refs()
+    )
+    small = pa.concat_tables([ray.get(r) for r in cust]).combine_chunks()
+    keys = small["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(keys, kind="stable")
+    keys = keys[order]
+    segs = small["c_mktsegment"].to_numpy(zero_copy_only=False)[order]
+    cents = np.round(
+        small["c_acctbal"].to_numpy(zero_copy_only=False).astype(np.float64)
+        * 100.0
+    ).astype(np.int64)[order]
+    side = ray.put((keys, segs, cents))
+
+    def lookup(batch: pa.Table) -> pa.Table:
+        k, s, c = ray.get(side)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(k, uid)
+        idx_c = np.clip(idx, 0, len(k) - 1)
+        hit = k[idx_c] == uid
+        return pa.table(
+            {
+                "event_id": batch["event_id"].filter(pa.array(hit)),
+                "user_id": pa.array(uid[hit], pa.int64()),
+                "c_mktsegment": pa.array(s[idx_c][hit], pa.string()),
+                "acctbal_cents": pa.array(c[idx_c][hit], pa.int64()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    ).map_batches(lookup, batch_format="pyarrow")
+
+
+@unreserved
+def hash_sample_documents(sf_dir: str, k: int = 10):
+    """(doc_id) — DETERMINISTIC 1-in-k sample: keep documents where
+    ``md5_i63(str(doc_id)) % k == 0``. Hash-based sampling is the
+    training-data sampling primitive that stays stable across runs,
+    partitionings and cluster sizes (unlike random_shuffle + limit,
+    which is neither reproducible nor cheap — it shuffles everything);
+    embarrassingly parallel, zero shuffle, exact SQL oracle."""
+    from ..functions.hashing import md5_i63
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.fromiter(
+            (md5_i63(str(i)) % k == 0 for i in ids),
+            dtype=bool,
+            count=len(ids),
+        )
+        return pa.table({"doc_id": pa.array(ids[keep], pa.int64())})
+
+    return read_documents(sf_dir, ["doc_id"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+@unreserved
 def range_join_count(sf_dir: str, scale: float = 1000.0, width: float = 5000.0):
     """(event_id, n_orders) — banded RANGE JOIN: for each event, the
     number of orders whose o_totalprice falls in the half-open band
