@@ -378,6 +378,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, mode="by_time"
         ),
         "range_join": lambda sf: dp.range_join_count(sf),
+        "topk_per_group": lambda sf: dp.topk_per_group(sf),
+        "semi_join": lambda sf: dp.semi_anti_join_customers(sf, anti=False),
+        "anti_join": lambda sf: dp.semi_anti_join_customers(sf, anti=True),
+        "doclen_quantiles": lambda sf: dp.doclen_quantiles(sf),
+        "top_bigram_frac": lambda sf: dp.top_bigram_frac(sf),
         "distinct_users": lambda sf: dp.distinct_users(sf),
         "hll_distinct_users": lambda sf: dp.hll_distinct_users(sf),
         "media_decode": lambda sf: dp.media_decode(sf),
@@ -793,6 +798,56 @@ from events e join customer c on c.c_custkey = e.user_id
         "hash_sample": """
 select doc_id from documents
 where (md5_number_lower(doc_id::varchar) & 9223372036854775807) % 10 = 0
+""",
+        "topk_per_group": """
+select lang, doc_id, n_chars, rnk from (
+  select lang, doc_id, n_chars,
+         row_number() over (
+           partition by lang order by n_chars desc, doc_id asc
+         ) as rnk
+  from documents
+) t where rnk <= 3
+""",
+        "semi_join": """
+select c_custkey, round(c_acctbal * 100)::bigint as acctbal_cents
+from customer c
+where exists (select 1 from events e where e.user_id = c.c_custkey)
+""",
+        "anti_join": """
+select c_custkey, round(c_acctbal * 100)::bigint as acctbal_cents
+from customer c
+where not exists (select 1 from events e where e.user_id = c.c_custkey)
+""",
+        "doclen_quantiles": """
+with ranked as (
+  select lang, n_chars,
+         row_number() over (partition by lang order by n_chars) as rn,
+         count(*) over (partition by lang) as n
+  from documents
+)
+select lang,
+  max(case when rn = (50 * n + 99) // 100 then n_chars end) as p50,
+  max(case when rn = (90 * n + 99) // 100 then n_chars end) as p90,
+  max(case when rn = (99 * n + 99) // 100 then n_chars end) as p99
+from ranked group by lang
+""",
+        "top_bigram_frac": f"""
+with {_TOK_CTE},
+big as (
+  select a.doc_id, a.term || ' ' || b.term as bg
+  from tok a join tok b on b.doc_id = a.doc_id and b.pos = a.pos + 1
+),
+cnt as (select doc_id, bg, count(*) as c from big group by doc_id, bg),
+mx as (select doc_id, max(c) as topc from cnt group by doc_id),
+nb as (
+  select doc_id, greatest(len({_TOK}) - 1, 0) as n_bigrams from documents
+)
+select nb.doc_id, nb.n_bigrams,
+       coalesce(mx.topc, 0)::bigint as top_bigram_count,
+       case when nb.n_bigrams > 0
+            then coalesce(mx.topc, 0)::double / nb.n_bigrams
+            else 0.0 end as top_bigram_frac
+from nb left join mx on nb.doc_id = mx.doc_id
 """,
         # rows-only (approximate / stateful / stemmer-dependent):
         # bm25_topk_stemmed, reference_queryset_stemmed,

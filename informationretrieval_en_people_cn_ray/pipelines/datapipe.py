@@ -1872,3 +1872,240 @@ def _asof_by_time(sf_dir: str, evn, orn, time_ranges: int):
     return both.groupby(["key", "rng"]).map_groups(
         _asof_group, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# relational extras: per-group top-k, semi/anti join, exact group quantiles,
+# repetition scoring (the remaining everyday shapes of a curation pipeline)
+
+
+@unreserved
+def topk_per_group(sf_dir: str, k: int = 3):
+    """(lang, doc_id, n_chars, rnk) — top-k rows PER GROUP (largest docs
+    per language; ties broken doc_id asc). The distributed shape is the
+    partial-top-k combiner: every input batch keeps at most k rows per
+    group it saw, so the ``groupby(lang)`` shuffle moves ≤ k·groups·blocks
+    rows — never the table — and the per-group final pass re-ranks a
+    ≤ k·blocks sliver. This is the window-function ``row_number() ≤ k``
+    without a global sort."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        lang = batch["lang"].to_numpy(zero_copy_only=False)
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((did, -nch, lang))
+        lang_s = lang[order]
+        boundary = np.r_[True, lang_s[1:] != lang_s[:-1]] if len(order) else \
+            np.empty(0, bool)
+        run_start = np.flatnonzero(boundary)
+        run_id = np.cumsum(boundary) - 1
+        pos_in_run = np.arange(len(order)) - run_start[run_id] if len(order) \
+            else np.empty(0, np.int64)
+        sel = order[pos_in_run < k]
+        return pa.table(
+            {
+                "lang": pa.array(lang[sel], pa.string()),
+                "doc_id": pa.array(did[sel], pa.int64()),
+                "n_chars": pa.array(nch[sel], pa.int64()),
+            }
+        )
+
+    def _final(group: pa.Table) -> pa.Table:
+        group = group.combine_chunks()
+        nch = group["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        did = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = np.lexsort((did, -nch))[:k]
+        out = group.take(pa.array(sel))
+        return out.append_column(
+            "rnk", pa.array(np.arange(1, len(sel) + 1, dtype=np.int64))
+        )
+
+    return (
+        read_documents(sf_dir, ["lang", "doc_id", "n_chars"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(_final, batch_format="pyarrow")
+    )
+
+
+def _event_user_set(sf_dir: str) -> np.ndarray:
+    """Sorted distinct events.user_id array: per-batch distinct pre-dedup
+    (the stream's payload is key-domain-bounded, not row-bounded), then a
+    driver-side union — the same dimension-sized budget as the broadcast
+    join's small side. At 10^12 fact rows this ships ≤ |key domain| ints
+    per block, never the fact table."""
+
+    def _uniq(batch: pa.Table) -> pa.Table:
+        ks = np.unique(
+            batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        return pa.table({"k": pa.array(ks, pa.int64())})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    ).map_batches(_uniq, batch_format="pyarrow")
+    parts = [
+        t["k"].to_numpy(zero_copy_only=False)
+        for t in ray.get(ds.to_arrow_refs())
+        if t.num_columns > 0 and t.num_rows > 0
+    ]
+    if not parts:
+        return np.empty(0, np.int64)
+    return np.unique(np.concatenate(parts))
+
+
+@unreserved
+def semi_anti_join_customers(sf_dir: str, anti: bool = False):
+    """(c_custkey, acctbal_cents) — customers WITH (semi) / WITHOUT (anti)
+    at least one event: EXISTS / NOT EXISTS as a broadcast membership
+    filter. The fact side's (events) distinct keys are pre-deduped per
+    batch and broadcast ONCE (``ray.put``); the probe side streams
+    through a ``np.searchsorted`` membership test — zero shuffle, no pair
+    materialization (a shuffle semi-join would move every fact row to
+    answer a dimension-sized question). acctbal carried as exact cents
+    for the SQL oracle."""
+    keys = _event_user_set(sf_dir)
+    side = ray.put(keys)
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        k = ray.get(side)
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(k):
+            idx = np.clip(np.searchsorted(k, ck), 0, len(k) - 1)
+            hit = k[idx] == ck
+        else:
+            hit = np.zeros(len(ck), bool)
+        keep = ~hit if anti else hit
+        cents = np.round(
+            batch["c_acctbal"].to_numpy(zero_copy_only=False).astype(np.float64)
+            * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "c_custkey": pa.array(ck[keep], pa.int64()),
+                "acctbal_cents": pa.array(cents[keep], pa.int64()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    ).map_batches(_filter, batch_format="pyarrow")
+
+
+@unreserved
+def doclen_quantiles(sf_dir: str, ps: tuple[int, ...] = (50, 90, 99)):
+    """(lang, p50, p90, p99) — EXACT per-group percentiles of n_chars by
+    the value-histogram method: per-batch (lang, n_chars) counts →
+    ``groupby(["lang","n_chars"]).Sum`` (the shuffle payload is the
+    histogram, bounded by |groups|·|value domain|, not the row count) →
+    a tiny driver-side cumulative scan. Rank rule is integer-exact both
+    sides: the p-th percentile is sorted value #``(p·n + 99) // 100``
+    (1-indexed, pure int arithmetic — no float q·n that DECIMAL SQL and
+    IEEE Python would round differently). This is how exact quantiles
+    stay one histogram-sized shuffle at 100 TB; for unbounded real-valued
+    domains the same pipe takes a fixed-width binned key instead."""
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        lang_col = batch["lang"]
+        if isinstance(lang_col, pa.ChunkedArray):
+            lang_col = lang_col.combine_chunks()
+        enc = lang_col.dictionary_encode()
+        codes = enc.indices.to_numpy().astype(np.int64)
+        uniq = enc.dictionary.to_pylist() if len(batch) else []
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = codes * (1 << 40) + nch  # n_chars < 2^40 by schema
+        uk, cnt = np.unique(key, return_counts=True)
+        kc = (uk >> 40).astype(np.int64)
+        return pa.table(
+            {
+                "lang": pa.array([uniq[i] for i in kc], pa.string()),
+                "n_chars": pa.array(uk & ((1 << 40) - 1), pa.int64()),
+                "cnt": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    hist = (
+        read_documents(sf_dir, ["lang", "n_chars"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    t = _to_table(hist)
+    if t.num_rows == 0:
+        return pa.table(
+            {"lang": pa.array([], pa.string())}
+            | {f"p{p}": pa.array([], pa.int64()) for p in ps}
+        )
+    lang = np.asarray(t["lang"].to_pylist())
+    nch = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((nch, lang))
+    lang, nch, cnt = lang[order], nch[order], cnt[order]
+    out: dict[str, list] = {"lang": []}
+    for p in ps:
+        out[f"p{p}"] = []
+    start = 0
+    for end in (
+        list(np.flatnonzero(lang[1:] != lang[:-1]) + 1) + [len(lang)]
+    ):
+        cum = np.cumsum(cnt[start:end])
+        n = int(cum[-1])
+        out["lang"].append(str(lang[start]))
+        for p in ps:
+            rank = (p * n + 99) // 100
+            out[f"p{p}"].append(int(nch[start:end][np.searchsorted(cum, rank)]))
+        start = end
+    return pa.table(
+        {"lang": pa.array(out["lang"], pa.string())}
+        | {f"p{p}": pa.array(out[f"p{p}"], pa.int64()) for p in ps}
+    )
+
+
+@unreserved
+def top_bigram_frac(sf_dir: str):
+    """(doc_id, n_bigrams, top_bigram_count, top_bigram_frac) — the
+    Gopher-style repetition signal: the fraction of a document's bigrams
+    taken by its single most frequent bigram (high ⇒ boilerplate /
+    degenerate repetition; the standard filter keeps frac below ~0.2).
+    Embarrassingly parallel: per-batch dictionary-coded token stream,
+    bigrams as integer code pairs, one ``np.unique`` per batch — no
+    shuffle, no Python per-row loop. frac is an IEEE-exact int/int
+    division shared with the SQL oracle."""
+
+    def _f(batch: pa.Table) -> pa.Table:
+        lens, doc_idx, codes, uniq = _batch_token_codes(batch)
+        n = len(lens)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nbig = np.maximum(lens - 1, 0).astype(np.int64)
+        top = np.zeros(n, np.int64)
+        if len(codes) > 1:
+            valid = doc_idx[:-1] == doc_idx[1:]
+            U = max(len(uniq), 1)
+            a, b = codes[:-1][valid], codes[1:][valid]
+            bd = doc_idx[:-1][valid]
+            if n * U * U < (1 << 62):  # packed (doc, bigram) int key
+                uk, counts = np.unique(bd * (U * U) + a * U + b,
+                                       return_counts=True)
+                docs_of = (uk // (U * U)).astype(np.int64)
+            else:  # giant-vocab batch: pairwise unique without packing
+                _, first, counts = np.unique(
+                    np.stack([bd, a, b]), axis=1,
+                    return_index=True, return_counts=True,
+                )
+                docs_of = bd[first]
+            np.maximum.at(top, docs_of, counts)
+        frac = np.where(nbig > 0, top / np.maximum(nbig, 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "n_bigrams": pa.array(nbig, pa.int64()),
+                "top_bigram_count": pa.array(top, pa.int64()),
+                "top_bigram_frac": pa.array(frac, pa.float64()),
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        _f, batch_format="pyarrow"
+    )

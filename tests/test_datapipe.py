@@ -585,3 +585,122 @@ def test_sliding_window_generalized_params(ray_session, wh, hh):
             exp[(et, w)][0] += 1
             exp[(et, w)][1] += mv
     assert got == {k: tuple(v) for k, v in exp.items()}
+
+
+# ---------------------------------------------------------------------------
+# round-3 relational extras
+
+
+@pytest.fixture(scope="module")
+def rel_dir(tmp_path_factory):
+    """Tiny planted relational fixture: 2 langs, known length order, a
+    doc that is one bigram repeated, customers with/without events."""
+    d = str(tmp_path_factory.mktemp("rel"))
+    texts = [
+        "a b a b a b a b",        # top bigram 'a b' x4 of 7 bigrams
+        "one two three four",     # all bigrams distinct
+        "solo",                   # 0 bigrams
+        "x y z",
+        "m n o p q r",
+    ]
+    langs = ["en", "en", "en", "de", "de"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(5), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+                "source": pa.array(["s"] * 5, pa.string()),
+                "n_chars": pa.array([15, 18, 18, 5, 11], pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+                "c_name": pa.array(["a", "b", "c", "d"], pa.string()),
+                "c_nationkey": pa.array([0] * 4, pa.int64()),
+                "c_acctbal": pa.array([10.005, -3.21, 0.0, 99.99], pa.float64()),
+                "c_mktsegment": pa.array(["M"] * 4, pa.string()),
+            }
+        ),
+        os.path.join(d, "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([100, 101, 102], pa.int64()),
+                "ts": pa.array([1, 2, 3], pa.timestamp("us")),
+                "user_id": pa.array([2, 2, 4], pa.int64()),
+                "event_type": pa.array(["t"] * 3, pa.string()),
+                "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+                "props": pa.array(["{}"] * 3, pa.string()),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    return d
+
+
+def test_topk_per_group_tiebreak(ray_session, rel_dir):
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    t = dp._to_table(dp.topk_per_group(rel_dir, k=2))
+    rows = sorted(
+        zip(
+            t["lang"].to_pylist(),
+            t["rnk"].to_pylist(),
+            t["doc_id"].to_pylist(),
+            t["n_chars"].to_pylist(),
+        )
+    )
+    # en: n_chars 15,18,18 → top2 = (18, doc 1 wins tie by doc_id), (18, doc 2)
+    # de: 5, 11 → top2 = doc 4 (11), doc 3 (5)
+    assert rows == [
+        ("de", 1, 4, 11),
+        ("de", 2, 3, 5),
+        ("en", 1, 1, 18),
+        ("en", 2, 2, 18),
+    ]
+
+
+def test_semi_anti_join_partition(ray_session, rel_dir):
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    semi = dp._to_table(dp.semi_anti_join_customers(rel_dir, anti=False))
+    anti = dp._to_table(dp.semi_anti_join_customers(rel_dir, anti=True))
+    assert sorted(semi["c_custkey"].to_pylist()) == [2, 4]
+    assert sorted(anti["c_custkey"].to_pylist()) == [1, 3]
+    # semi + anti partition the dimension exactly
+    assert semi.num_rows + anti.num_rows == 4
+    cents = dict(
+        zip(anti["c_custkey"].to_pylist(), anti["acctbal_cents"].to_pylist())
+    )
+    assert cents[1] == 1001 and cents[3] == 0  # round-half-away exact cents
+
+
+def test_doclen_quantiles_rank_rule(ray_session, rel_dir):
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    t = dp.doclen_quantiles(rel_dir)
+    got = {
+        r["lang"]: (r["p50"], r["p90"], r["p99"])
+        for r in t.to_pylist()
+    }
+    # en sorted: [15, 18, 18], n=3 → rank p50=(150+99)//100=2 → 18;
+    # p90=(270+99)//100=3 → 18; p99 → 3 → 18
+    # de sorted: [5, 11], n=2 → p50 rank (100+99)//100=1 → 5; p90/p99 → 2 → 11
+    assert got == {"en": (18, 18, 18), "de": (5, 11, 11)}
+
+
+def test_top_bigram_frac_planted(ray_session, rel_dir):
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    t = dp._to_table(dp.top_bigram_frac(rel_dir))
+    by = {r["doc_id"]: r for r in t.to_pylist()}
+    assert by[0]["n_bigrams"] == 7 and by[0]["top_bigram_count"] == 4
+    assert by[0]["top_bigram_frac"] == 4 / 7
+    assert by[1]["top_bigram_count"] == 1 and by[1]["top_bigram_frac"] == 1 / 3
+    assert by[2]["n_bigrams"] == 0 and by[2]["top_bigram_frac"] == 0.0
