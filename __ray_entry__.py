@@ -383,6 +383,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join": lambda sf: dp.semi_anti_join_customers(sf, anti=True),
         "doclen_quantiles": lambda sf: dp.doclen_quantiles(sf),
         "top_bigram_frac": lambda sf: dp.top_bigram_frac(sf),
+        "dedup_clusters": lambda sf: dp.dedup_clusters(sf),
+        "sessionize": lambda sf: dp.sessionize_events(sf),
+        "decontaminate": lambda sf: dp.decontaminate(sf),
+        "tfidf_topk_terms": lambda sf: dp.tfidf_topk_terms(sf),
         "distinct_users": lambda sf: dp.distinct_users(sf),
         "hll_distinct_users": lambda sf: dp.hll_distinct_users(sf),
         "media_decode": lambda sf: dp.media_decode(sf),
@@ -514,7 +518,9 @@ from sh
 """
 
 
-def _near_dup_sql(threshold: float = 0.8) -> str:
+def _near_dup_ctes() -> str:
+    """Shared CTE chain (base … j) of the MinHash-LSH oracle, reused by
+    near_dup_pairs / ngram_jaccard / dedup_clusters."""
     sig_cols = ",\n  ".join(
         "list_min([(md5_number_lower('%d:' || s) & 9223372036854775807)::bigint"
         " for s in shingles]) as sig_%d" % (k, k)
@@ -524,8 +530,7 @@ def _near_dup_sql(threshold: float = 0.8) -> str:
         f"(a.sig_{2 * b} = b.sig_{2 * b} and a.sig_{2 * b + 1} = b.sig_{2 * b + 1})"
         for b in range(dp.LSH_BANDS)
     )
-    return f"""
-with base as (
+    return f"""base as (
   select doc_id, {_TOK} as toks from documents
 ),
 sh as (
@@ -561,8 +566,55 @@ j as (
   from cand c
   join hs ha on ha.doc_id = c.doc_a
   join hs hb on hb.doc_id = c.doc_b
-)
+)"""
+
+
+def _near_dup_sql(threshold: float = 0.8) -> str:
+    return f"""
+with {_near_dup_ctes()}
 select doc_a, doc_b, jaccard from j where jaccard >= {threshold}
+"""
+
+
+def _dedup_clusters_sql(threshold: float = 0.8) -> str:
+    return f"""
+with recursive {_near_dup_ctes()},
+pr as (select doc_a, doc_b from j where jaccard >= {threshold}),
+e as (
+  select doc_a as a, doc_b as b from pr
+  union
+  select doc_b, doc_a from pr
+),
+reach(s, d) as (
+  select a, b from e
+  union
+  select r.s, e2.b from reach r join e e2 on e2.a = r.d
+),
+rep as (
+  select s as doc_id, least(s, min(d)) as rep_id from reach group by s
+)
+select d.doc_id,
+       coalesce(rep.rep_id, d.doc_id) as rep_id,
+       (coalesce(rep.rep_id, d.doc_id) = d.doc_id)::bigint as keep
+from documents d left join rep on rep.doc_id = d.doc_id
+"""
+
+
+def _decontaminate_sql(benchmark_mod: int = 100) -> str:
+    return f"""
+with {_near_dup_ctes()},
+banned as (
+  select distinct unnest(hset) as h from hs where doc_id % {benchmark_mod} = 0
+),
+sel as (select doc_id, unnest(hset) as h from hs),
+hits as (
+  select s.doc_id, count(*) as n_overlap
+  from sel s join banned b on b.h = s.h group by s.doc_id
+)
+select hs.doc_id,
+       coalesce(hits.n_overlap, 0)::bigint as n_overlap,
+       (coalesce(hits.n_overlap, 0) > 0)::bigint as contaminated
+from hs left join hits on hits.doc_id = hs.doc_id
 """
 
 
@@ -848,6 +900,42 @@ select nb.doc_id, nb.n_bigrams,
             then coalesce(mx.topc, 0)::double / nb.n_bigrams
             else 0.0 end as top_bigram_frac
 from nb left join mx on nb.doc_id = mx.doc_id
+""",
+        "dedup_clusters": _dedup_clusters_sql(),
+        "decontaminate": _decontaminate_sql(),
+        "sessionize": """
+with o as (
+  select user_id, event_id, epoch_us(ts) as tu,
+         lag(epoch_us(ts)) over (
+           partition by user_id order by ts, event_id
+         ) as prev
+  from events
+)
+select user_id, event_id,
+  (sum(case when prev is null or tu - prev > 43200000000
+            then 1 else 0 end)
+     over (partition by user_id order by tu, event_id
+           rows between unbounded preceding and current row)
+   - 1)::bigint as session_idx
+from o
+""",
+        "tfidf_topk_terms": f"""
+with {_TOK_CTE},
+tf as (select doc_id, term, count(*)::bigint as tf from tok
+       group by doc_id, term),
+df as (select term, count(distinct doc_id)::bigint as df from tok
+       group by term),
+nn as (select count(*)::double as n from documents),
+sc as (select tf.doc_id, tf.term, tf.tf,
+              tf.tf * ln((select n from nn) / df.df) as score
+       from tf join df on df.term = tf.term),
+rk as (select doc_id, term, tf, score,
+              row_number() over (
+                partition by doc_id order by score desc, term asc
+              ) as rnk
+       from sc)
+select doc_id, term, tf, round(score, 4) as score, rnk
+from rk where rnk <= 5
 """,
         # rows-only (approximate / stateful / stemmer-dependent):
         # bm25_topk_stemmed, reference_queryset_stemmed,

@@ -2109,3 +2109,505 @@ def top_bigram_frac(sf_dir: str):
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         _f, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup clustering (connected components over the near-dup pair graph),
+# sessionization, benchmark decontamination, TF-IDF keyword extraction
+
+
+def _cc_labels_driver(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized connected-component labels over an edge list that fits
+    the driver: min-label propagation + pointer jumping (O(log n)
+    rounds, all numpy — no Python union-find loop). Returns
+    (nodes sorted, rep label per node)."""
+    nodes = np.unique(np.concatenate([a, b]))
+    ia = np.searchsorted(nodes, a)
+    ib = np.searchsorted(nodes, b)
+    lab = nodes.copy()
+    while True:
+        m = np.minimum(lab[ia], lab[ib])
+        new = lab.copy()
+        np.minimum.at(new, ia, m)
+        np.minimum.at(new, ib, m)
+        # pointer jumping: follow the label's own label (labels are
+        # always node ids, so the searchsorted lookup is total)
+        new = np.minimum(new, new[np.searchsorted(nodes, new)])
+        if np.array_equal(new, lab):
+            return nodes, lab
+        lab = new
+
+
+def _cc_labels_distributed(pairs_ds, max_rounds: int = 64):
+    """Connected components over an edge Dataset via the alternating
+    large-star/small-star algorithm (Kiveris et al., 'Connected
+    Components in MapReduce and Beyond', SoCC'14): each round is two
+    ``groupby(node)`` shuffles over the EDGE list only — no driver
+    state, no joins — and converges in O(log^2 n) rounds to a star
+    forest where every node points at its component minimum. The edge
+    set is duplicate-dimension-sized (LSH pairs), never corpus-sized."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    def canon(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        return pa.table(
+            {
+                "a": pa.array(np.maximum(a, b), pa.int64()),
+                "b": pa.array(np.minimum(a, b), pa.int64()),
+            }
+        )
+
+    def large_star(group: pa.Table) -> pa.Table:
+        # incoming rows (u, v) for one node u over BOTH directions
+        group = group.combine_chunks()
+        u = int(group["u"][0].as_py())
+        nb = group["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = min(u, int(nb.min()))
+        big = nb[nb > u]
+        return pa.table(
+            {
+                "a": pa.array(big, pa.int64()),
+                "b": pa.array(np.full(len(big), m, np.int64)),
+            }
+        )
+
+    def small_star(group: pa.Table) -> pa.Table:
+        # incoming rows (u, v) with v <= u (edges oriented to smaller)
+        group = group.combine_chunks()
+        u = int(group["u"][0].as_py())
+        nb = group["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = min(u, int(nb.min()))
+        vs = np.unique(np.concatenate([nb, [u]]))
+        vs = vs[vs != m]
+        return pa.table(
+            {
+                "a": pa.array(vs, pa.int64()),
+                "b": pa.array(np.full(len(vs), m, np.int64)),
+            }
+        )
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([a, b]), pa.int64()),
+                "v": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    def to_smaller(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "u": pa.array(np.maximum(a, b), pa.int64()),
+                "v": pa.array(np.minimum(a, b), pa.int64()),
+            }
+        )
+
+    def distinct(ds):
+        return (
+            ds.map_batches(canon, batch_format="pyarrow")
+            .groupby(["a", "b"])
+            .aggregate(Count(alias_name="c"))
+            .select_columns(["a", "b"])
+        )
+
+    def checksum(ds) -> tuple[int, int, int]:
+        t = _to_table(
+            ds.map_batches(
+                lambda b: pa.table(
+                    {
+                        "n": pa.array([b.num_rows], pa.int64()),
+                        "s": pa.array(
+                            [
+                                int(
+                                    (
+                                        b["a"].to_numpy(zero_copy_only=False)
+                                        * np.int64(1000003)
+                                        + b["b"].to_numpy(zero_copy_only=False)
+                                    ).sum(dtype=np.int64)
+                                )
+                                if b.num_rows
+                                else 0
+                            ],
+                            pa.int64(),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        if t.num_rows == 0:
+            return (0, 0, 0)
+        return (
+            int(np.sum(t["n"].to_numpy())),
+            int(np.sum(t["s"].to_numpy())),
+            0,
+        )
+
+    edges = distinct(pairs_ds).materialize()
+    prev = checksum(edges)
+    for _ in range(max_rounds):
+        after_large = distinct(
+            edges.map_batches(both_dirs, batch_format="pyarrow")
+            .groupby("u")
+            .map_groups(large_star, batch_format="pyarrow")
+            .union(edges)
+        )
+        edges = distinct(
+            after_large.map_batches(to_smaller, batch_format="pyarrow")
+            .groupby("u")
+            .map_groups(small_star, batch_format="pyarrow")
+        ).materialize()
+        cur = checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    # converged star forest: rows are (node, rep)
+    t = _to_table(edges)
+    if t.num_rows == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    node = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    rep = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # reps themselves label to themselves
+    extra = np.setdiff1d(np.unique(rep), node)
+    node = np.concatenate([node, extra])
+    rep = np.concatenate([rep, extra])
+    order = np.argsort(node)
+    return node[order], rep[order]
+
+
+@unreserved
+def dedup_clusters(
+    sf_dir: str,
+    jaccard_threshold: float = 0.8,
+    mode: str = "auto",
+    driver_edge_limit: int = 5_000_000,
+):
+    """(doc_id, rep_id, keep) over ALL documents — near-duplicate
+    CLUSTER assignment: connected components of the MinHash-LSH pair
+    graph (``near_dup_pairs``), representative = component min doc_id,
+    keep = 1 iff the doc is its own representative. This is the step
+    that turns pairwise near-dup mining into an actual dedup decision
+    (keep one doc per duplicate cluster).
+
+    Scale shape: the pair graph is duplicate-dimension-sized, orders of
+    magnitude below the corpus. ``mode='driver'`` runs a vectorized
+    numpy min-propagation fixpoint (for edge lists under
+    ``driver_edge_limit``); ``mode='distributed'`` runs the alternating
+    large-star/small-star groupby algorithm with zero driver state
+    (the 100 TB path); ``'auto'`` picks by edge count. Both are exact
+    and tested identical. The final corpus pass is a broadcast lookup
+    (``ray.put`` of the node→rep map — duplicate-dimension-sized),
+    never a shuffle of the corpus."""
+    pairs = near_dup_pairs(sf_dir, jaccard_threshold).select_columns(
+        ["doc_a", "doc_b"]
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"a": batch["doc_a"], "b": batch["doc_b"]})
+
+    edge_ds = pairs.map_batches(rename, batch_format="pyarrow").materialize()
+    n_edges = edge_ds.count()
+    use_driver = mode == "driver" or (
+        mode == "auto" and n_edges <= driver_edge_limit
+    )
+    if use_driver:
+        t = _to_table(edge_ds)
+        if t.num_rows:
+            nodes, lab = _cc_labels_driver(
+                t["a"].to_numpy(zero_copy_only=False).astype(np.int64),
+                t["b"].to_numpy(zero_copy_only=False).astype(np.int64),
+            )
+        else:
+            nodes = lab = np.empty(0, np.int64)
+    else:
+        nodes, lab = _cc_labels_distributed(edge_ds)
+    nodes_ref = ray.put(nodes)
+    lab_ref = ray.put(lab)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ns, ls = ray.get(nodes_ref), ray.get(lab_ref)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rep = did.copy()
+        if len(ns):
+            idx = np.clip(np.searchsorted(ns, did), 0, len(ns) - 1)
+            hit = ns[idx] == did
+            rep[hit] = ls[idx[hit]]
+        return pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "rep_id": pa.array(rep, pa.int64()),
+                "keep": pa.array((rep == did).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id"]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+
+
+@unreserved
+def sessionize_events(sf_dir: str, gap_hours: int = 12):
+    """(user_id, event_id, session_idx) — gap-based sessionization: a
+    user's events ordered by (ts, event_id) start a new session whenever
+    the gap to the previous event exceeds ``gap_hours``; session_idx is
+    0-based per user. One ``groupby(user_id)`` shuffle; the per-group
+    pass is a vectorized lexsort + diff + cumsum (no Python row loop).
+    Skew note: one user's whole history lands on one task — for a
+    hot-key stream the as-of join's time-range + boundary-replication
+    variant (datapipe._asof_by_time) applies verbatim, carrying one
+    boundary event per range instead of a group barrier."""
+    gap_us = int(gap_hours) * 3_600_000_000
+
+    def rows(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        tu = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "tu": pa.array(tu, pa.int64()),
+            }
+        )
+
+    def per_user(group: pa.Table) -> pa.Table:
+        group = group.combine_chunks()
+        uid = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = group["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tu = group["tu"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, tu))
+        eid_s, tu_s = eid[order], tu[order]
+        newsess = np.ones(len(order), np.int64)
+        if len(order) > 1:
+            newsess[1:] = (tu_s[1:] - tu_s[:-1] > gap_us).astype(np.int64)
+        sidx = np.cumsum(newsess) - 1
+        return pa.table(
+            {
+                "user_id": pa.array(uid[order], pa.int64()),
+                "event_id": pa.array(eid_s, pa.int64()),
+                "session_idx": pa.array(sidx, pa.int64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_id", "ts"],
+        )
+        .map_batches(rows, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+    )
+
+
+_MD5_SET_CACHE: dict[str, int] = {}
+
+
+def _doc_shingle_sets(batch: pa.Table):
+    """Per-doc DISTINCT shingle-hash sets (DuckDB-md5-parity), sharing
+    semantics with the near-dup ops: 3-gram shingles with the
+    whole-text singleton fallback for short docs. Returns
+    (doc_ids int64[n], list-of-sorted-unique-hash-arrays)."""
+    from ..functions.hashing import md5_i63
+
+    texts = batch["text"].to_pylist()
+    did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    from itertools import chain
+
+    sh_lists = [shingles(tokenize(t)) for t in texts]
+    lens = np.fromiter((len(x) for x in sh_lists), np.int64, len(sh_lists))
+    flat = pa.array(list(chain.from_iterable(sh_lists)), pa.string())
+    if len(flat):
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy().astype(np.int64)
+        uniq = enc.dictionary.to_pylist()
+    else:
+        codes, uniq = np.empty(0, np.int64), []
+    cache = _MD5_SET_CACHE
+    H = np.empty(len(uniq), np.int64)
+    for i, u in enumerate(uniq):
+        h = cache.get(u)
+        if h is None:
+            h = md5_i63(u)
+            if len(cache) >= _HASH_CACHE_MAX:
+                cache.clear()
+            cache[u] = h
+        H[i] = h
+    hh = H[codes] if len(codes) else np.empty(0, np.int64)
+    starts = np.zeros(len(lens) + 1, np.int64)
+    np.cumsum(lens, out=starts[1:])
+    sets = [
+        np.unique(hh[starts[i] : starts[i + 1]]) for i in range(len(lens))
+    ]
+    return did, sets
+
+
+@unreserved
+def decontaminate(sf_dir: str, benchmark_mod: int = 100):
+    """(doc_id, n_overlap, contaminated) — benchmark decontamination:
+    flag every document whose 3-gram shingle set overlaps a held-out
+    benchmark's shingle set (here the deterministic synthetic benchmark
+    ``doc_id % benchmark_mod == 0``; in production, the eval suites).
+    n_overlap = |distinct doc shingles ∩ banned set|.
+
+    Scale shape: pass 1 streams ONLY the benchmark slice and unions its
+    distinct shingle hashes driver-side (benchmark-dimension-sized — a
+    test set is MBs, never corpus-scale), broadcast once via
+    ``ray.put``; pass 2 streams the corpus through a vectorized
+    ``searchsorted`` membership count. No shuffle at all."""
+
+    def bench_hashes(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = did % benchmark_mod == 0
+        if not sel.any():
+            return pa.table({"h": pa.array([], pa.int64())})
+        _, sets = _doc_shingle_sets(batch.filter(pa.array(sel)))
+        hs = np.unique(np.concatenate(sets)) if sets else np.empty(0, np.int64)
+        return pa.table({"h": pa.array(hs, pa.int64())})
+
+    parts = [
+        t["h"].to_numpy(zero_copy_only=False)
+        for t in ray.get(
+            read_documents(sf_dir, ["doc_id", "text"])
+            .map_batches(bench_hashes, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_columns > 0 and t.num_rows > 0
+    ]
+    banned = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+    banned_ref = ray.put(banned)
+
+    def score(batch: pa.Table) -> pa.Table:
+        bn = ray.get(banned_ref)
+        did, sets = _doc_shingle_sets(batch)
+        n = np.zeros(len(did), np.int64)
+        if len(bn):
+            for i, s in enumerate(sets):
+                idx = np.clip(np.searchsorted(bn, s), 0, len(bn) - 1)
+                n[i] = int(np.count_nonzero(bn[idx] == s))
+        return pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "n_overlap": pa.array(n, pa.int64()),
+                "contaminated": pa.array((n > 0).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+@unreserved
+def tfidf_topk_terms(sf_dir: str, k: int = 5):
+    """(doc_id, term, tf, score, rnk) — TF-IDF keyword extraction: each
+    document's top-k terms by ``tf · ln(N/df)`` (ties broken term asc),
+    score reported rounded to 4 decimals AFTER ranking (rank uses full
+    precision; both sides compute the identical IEEE expression).
+
+    Scale shape: document frequency is a per-batch distinct-(doc,term)
+    partial followed by one vocabulary-sized ``groupby(term)`` — the
+    shuffle payload is the vocabulary, not the token stream. The df
+    table is broadcast once (``ray.put``; vocabulary-sized — the same
+    budget as every index dictionary in this repo); the scoring pass is
+    then embarrassingly parallel with a per-batch vectorized
+    top-k-per-doc (lexsort + run-position trick, no Python row loop)."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    n_docs = float(
+        pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    )
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        lens, doc_idx, codes, uniq = _batch_token_codes(batch)
+        if not len(codes):
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64()),
+                }
+            )
+        U = max(len(uniq), 1)
+        dt = np.unique(doc_idx * U + codes)
+        cs, cnt = np.unique(dt % U, return_counts=True)
+        return pa.table(
+            {
+                "term": pa.array([uniq[int(c)] for c in cs], pa.string()),
+                "df": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    df_t = _to_table(
+        read_documents(sf_dir, ["text"])
+        .map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+    terms_sorted = np.array(df_t["term"].to_pylist())
+    order = np.argsort(terms_sorted)
+    terms_sorted = terms_sorted[order]
+    df_sorted = (
+        df_t["df"].to_numpy(zero_copy_only=False).astype(np.float64)[order]
+        if df_t.num_rows
+        else np.empty(0, np.float64)
+    )
+    terms_ref = ray.put(terms_sorted)
+    df_ref = ray.put(df_sorted)
+
+    def topk(batch: pa.Table) -> pa.Table:
+        ts, dfs = ray.get(terms_ref), ray.get(df_ref)
+        lens, doc_idx, codes, uniq = _batch_token_codes(batch)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(codes):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                    "rnk": pa.array([], pa.int64()),
+                }
+            )
+        U = max(len(uniq), 1)
+        dt, tf = np.unique(doc_idx * U + codes, return_counts=True)
+        d_of = dt // U
+        c_of = dt % U
+        uniq_arr = np.array(uniq)
+        term_of = uniq_arr[c_of]
+        dfv = dfs[np.searchsorted(ts, term_of)]
+        score = tf.astype(np.float64) * np.log(n_docs / dfv)
+        ord2 = np.lexsort((term_of, -score, d_of))
+        d_s = d_of[ord2]
+        boundary = np.r_[True, d_s[1:] != d_s[:-1]]
+        run_start = np.flatnonzero(boundary)
+        run_id = np.cumsum(boundary) - 1
+        pos = np.arange(len(ord2)) - run_start[run_id]
+        keep = pos < k
+        sel = ord2[keep]
+        rnk = pos[keep] + 1
+        sc = score[sel]
+        sc_round = np.copysign(
+            np.floor(np.abs(sc) * 10000.0 + 0.5) / 10000.0, sc
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(did[d_of[sel]], pa.int64()),
+                "term": pa.array(term_of[sel], pa.string()),
+                "tf": pa.array(tf[sel], pa.int64()),
+                "score": pa.array(sc_round, pa.float64()),
+                "rnk": pa.array(rnk, pa.int64()),
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        topk, batch_format="pyarrow"
+    )

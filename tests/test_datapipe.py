@@ -704,3 +704,171 @@ def test_top_bigram_frac_planted(ray_session, rel_dir):
     assert by[0]["top_bigram_frac"] == 4 / 7
     assert by[1]["top_bigram_count"] == 1 and by[1]["top_bigram_frac"] == 1 / 3
     assert by[2]["n_bigrams"] == 0 and by[2]["top_bigram_frac"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# round-3: dedup clustering, sessionization, decontamination, TF-IDF
+
+
+def test_cc_driver_vs_distributed(ray_session):
+    """Both connected-component algorithms produce identical labels on a
+    graph with a chain, a triangle, an isolated edge, and a star."""
+    import ray as _ray
+
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    edges = [
+        (1, 2), (2, 3), (3, 4),          # chain → rep 1
+        (10, 11), (11, 12), (10, 12),    # triangle → rep 10
+        (20, 21),                        # isolated edge → rep 20
+        (30, 31), (30, 32), (30, 33),    # star → rep 30
+        (4, 1),                          # cycle back into the chain
+    ]
+    a = np.array([e[0] for e in edges], np.int64)
+    b = np.array([e[1] for e in edges], np.int64)
+    n1, l1 = dp._cc_labels_driver(a, b)
+    ds = _ray.data.from_arrow(
+        pa.table({"a": pa.array(a), "b": pa.array(b)})
+    )
+    n2, l2 = dp._cc_labels_distributed(ds)
+    assert np.array_equal(n1, n2)
+    assert np.array_equal(l1, l2)
+    got = dict(zip(n1.tolist(), l1.tolist()))
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+        30: 30, 31: 30, 32: 30, 33: 30,
+    }
+
+
+def test_dedup_clusters_modes_agree_sf0001(ray_session):
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    sf = "/root/testdata/sf0.001"
+
+    def as_map(mode):
+        t = dp._to_table(dp.dedup_clusters(sf, mode=mode))
+        return dict(
+            zip(t["doc_id"].to_pylist(),
+                zip(t["rep_id"].to_pylist(), t["keep"].to_pylist()))
+        )
+
+    drv = as_map("driver")
+    dist = as_map("distributed")
+    assert drv == dist
+    # every rep is itself kept, every cluster member points at the min
+    for doc, (rep, keep) in drv.items():
+        assert rep <= doc
+        assert keep == (1 if rep == doc else 0)
+        assert drv[rep][0] == rep and drv[rep][1] == 1
+
+
+@pytest.fixture(scope="module")
+def sess_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sess"))
+    h = 3_600_000_000  # 1h in µs
+    rows = [
+        # user 7: 3 events close together, then a 13h gap, then 1 more
+        (1, 0 * h, 7), (2, 1 * h, 7), (3, 2 * h, 7), (4, 15 * h, 7),
+        # user 8: single event
+        (5, 5 * h, 8),
+        # user 9: two events exactly 12h apart (== gap → SAME session),
+        # then 12h + 1µs (> gap → new session)
+        (6, 0 * h, 9), (7, 12 * h, 9), (8, 24 * h + 1, 9),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [r[1] for r in rows], pa.timestamp("us")
+                ),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["t"] * len(rows), pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    return d
+
+
+def test_sessionize_gap_semantics(ray_session, sess_dir):
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    t = dp._to_table(dp.sessionize_events(sess_dir, gap_hours=12))
+    got = {
+        r["event_id"]: (r["user_id"], r["session_idx"])
+        for r in t.to_pylist()
+    }
+    assert got == {
+        1: (7, 0), 2: (7, 0), 3: (7, 0), 4: (7, 1),
+        5: (8, 0),
+        6: (9, 0), 7: (9, 0), 8: (9, 1),
+    }
+
+
+@pytest.fixture(scope="module")
+def decon_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("decon"))
+    texts = [
+        "alpha beta gamma delta",   # doc 0: the benchmark doc
+        "x alpha beta gamma y",     # doc 1: shares trigram 'alpha beta gamma'
+        "one two three four five",  # doc 2: clean
+        "alpha beta",               # doc 3: <3 tokens, fallback 'alpha beta'
+        "beta gamma delta omega",   # doc 4: shares 'beta gamma delta'
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(5), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * 5, pa.string()),
+                "source": pa.array(["s"] * 5, pa.string()),
+                "n_chars": pa.array(
+                    [len(t) for t in texts], pa.int64()
+                ),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    return d
+
+
+def test_decontaminate_planted(ray_session, decon_dir):
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    t = dp._to_table(dp.decontaminate(decon_dir, benchmark_mod=100))
+    got = {
+        r["doc_id"]: (r["n_overlap"], r["contaminated"])
+        for r in t.to_pylist()
+    }
+    # doc 0 is the benchmark: full self-overlap (2 trigrams)
+    assert got[0] == (2, 1)
+    assert got[1] == (1, 1)   # 'alpha beta gamma'
+    assert got[2] == (0, 0)
+    assert got[3] == (0, 0)   # whole-text fallback 'alpha beta' not banned
+    assert got[4] == (1, 1)   # 'beta gamma delta'
+
+
+def test_tfidf_topk_planted(ray_session, decon_dir):
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    t = dp._to_table(dp.tfidf_topk_terms(decon_dir, k=2))
+    rows = {
+        (r["doc_id"], r["rnk"]): (r["term"], r["tf"], r["score"])
+        for r in t.to_pylist()
+    }
+    # doc 2's terms are all unique to it (df=1): score = 1·ln(5) for all
+    # five, top-2 by term asc tie-break = 'five', 'four'
+    assert rows[(2, 1)][0] == "five" and rows[(2, 2)][0] == "four"
+    ln5 = np.log(5.0)
+    r4 = dp.round4(ln5)
+    assert rows[(2, 1)][2] == r4 and rows[(2, 1)][1] == 1
+    # doc 0: df(alpha)=3, df(beta)=4, df(gamma)=3, df(delta)=2 →
+    # top term is 'delta' (ln(5/2)), then 'alpha'/'gamma' tie → 'alpha'
+    assert rows[(0, 1)][0] == "delta"
+    assert rows[(0, 2)][0] == "alpha"
+    assert rows[(0, 1)][2] == dp.round4(np.log(5.0 / 2.0))
