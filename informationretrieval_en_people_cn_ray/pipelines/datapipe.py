@@ -54,6 +54,36 @@ def round4(x: float) -> float:
     return math.copysign(math.floor(abs(x) * 10000.0 + 0.5) / 10000.0, x)
 
 
+def _arrow_blocks(ds) -> list[pa.Table]:
+    """Execute a Dataset ONCE and return its blocks as Arrow tables.
+
+    Works around a Ray 2.49 ``Dataset.to_arrow_refs`` double execution:
+    it consumes ``iter_internal_ref_bundles()`` (a full run) and then
+    calls ``schema(fetch_if_missing=True)``, which — for plans ending in
+    an all-to-all whose streamed results left no cached snapshot —
+    RE-EXECUTES the whole plan with a Limit[1] suffix (measured at
+    sf0.1: the doclen histogram paid 2.6 s run + 6.2 s re-run). Pulling
+    the block refs straight off the bundle iterator executes exactly
+    once; blocks are Arrow already on every path in this library."""
+    from ray.data.block import BlockAccessor
+
+    return [
+        BlockAccessor.for_block(b).to_arrow()
+        for b in ray.get(_arrow_block_refs(ds))
+    ]
+
+
+def _arrow_block_refs(ds) -> list:
+    """Single-execution replacement for ``Dataset.to_arrow_refs`` (same
+    double-execution workaround as ``_arrow_blocks``): the blocks stay
+    in the object store; only the refs come back."""
+    return [
+        r
+        for bundle in ds.iter_internal_ref_bundles()
+        for r in bundle.block_refs
+    ]
+
+
 def _to_table(ds) -> pa.Table:
     """Materialize a SMALL Dataset result to one Arrow table.
 
@@ -62,7 +92,7 @@ def _to_table(ds) -> pa.Table:
     those must be dropped before concat or Arrow rejects the schema mix."""
     if isinstance(ds, pa.Table):
         return ds
-    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_columns > 0]
+    tables = [t for t in _arrow_blocks(ds) if t.num_columns > 0]
     if not tables:
         return pa.table({})
     typed = [t for t in tables if t.num_rows > 0]
@@ -689,10 +719,10 @@ def embedding_cosine_pairs(sf_dir: str, threshold: float = 0.4):
             }
         )
 
-    refs = (
-        read_embeddings(sf_dir, ["vec_id", "embedding"])
-        .map_batches(decode, batch_format="pyarrow")
-        .to_arrow_refs()
+    refs = _arrow_block_refs(
+        read_embeddings(sf_dir, ["vec_id", "embedding"]).map_batches(
+            decode, batch_format="pyarrow"
+        )
     )
 
     def _block(tbl: pa.Table):
@@ -1336,14 +1366,13 @@ def broadcast_join_events_customers(sf_dir: str):
     join shape at 100 TB (a shuffle join would move every event row for
     a dimension that fits in one object); inner semantics, exact SQL
     oracle (acctbal carried as exact cents, not float)."""
-    cust = (
+    cust = _arrow_blocks(
         ray.data.read_parquet(
             f"{sf_dir}/customer.parquet",
             columns=["c_custkey", "c_mktsegment", "c_acctbal"],
         )
-        .to_arrow_refs()
     )
-    small = pa.concat_tables([ray.get(r) for r in cust]).combine_chunks()
+    small = pa.concat_tables(cust).combine_chunks()
     keys = small["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.argsort(keys, kind="stable")
     keys = keys[order]
@@ -1924,6 +1953,10 @@ def topk_per_group(sf_dir: str, k: int = 3):
     return (
         read_documents(sf_dir, ["lang", "doc_id", "n_chars"])
         .map_batches(_partial, batch_format="pyarrow")
+        # partials are <= k rows per group per block: coalesce the tiny
+        # blocks so the sort shuffle schedules a handful of reduce tasks
+        # instead of one per input block
+        .repartition(4)
         .groupby("lang")
         .map_groups(_final, batch_format="pyarrow")
     )
@@ -1947,7 +1980,7 @@ def _event_user_set(sf_dir: str) -> np.ndarray:
     ).map_batches(_uniq, batch_format="pyarrow")
     parts = [
         t["k"].to_numpy(zero_copy_only=False)
-        for t in ray.get(ds.to_arrow_refs())
+        for t in _arrow_blocks(ds)
         if t.num_columns > 0 and t.num_rows > 0
     ]
     if not parts:
@@ -2029,6 +2062,10 @@ def doclen_quantiles(sf_dir: str, ps: tuple[int, ...] = (50, 90, 99)):
     hist = (
         read_documents(sf_dir, ["lang", "n_chars"])
         .map_batches(_partial, batch_format="pyarrow")
+        # histogram partials are |groups|x|values| per block — coalesce
+        # before the aggregate so its reduce side isn't one tiny task
+        # per input block
+        .repartition(4)
         .groupby(["lang", "n_chars"])
         .aggregate(Sum("cnt", alias_name="cnt"))
     )
@@ -2475,10 +2512,10 @@ def decontaminate(sf_dir: str, benchmark_mod: int = 100):
 
     parts = [
         t["h"].to_numpy(zero_copy_only=False)
-        for t in ray.get(
-            read_documents(sf_dir, ["doc_id", "text"])
-            .map_batches(bench_hashes, batch_format="pyarrow")
-            .to_arrow_refs()
+        for t in _arrow_blocks(
+            read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+                bench_hashes, batch_format="pyarrow"
+            )
         )
         if t.num_columns > 0 and t.num_rows > 0
     ]
@@ -2549,6 +2586,9 @@ def tfidf_topk_terms(sf_dir: str, k: int = 5):
     df_t = _to_table(
         read_documents(sf_dir, ["text"])
         .map_batches(df_partial, batch_format="pyarrow")
+        # vocabulary-sized partials per block: coalesce before the df
+        # aggregate (same shape as the term_stats tuning)
+        .repartition(8)
         .groupby("term")
         .aggregate(Sum("df", alias_name="df"))
     )

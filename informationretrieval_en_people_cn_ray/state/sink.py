@@ -110,10 +110,12 @@ def write_partitioned(
         existing["skipped"] = True
         return existing
 
-    schema = ds.schema()  # ray.data Schema: .names + Arrow .types
-    cols = list(schema.names)
-    col_types = list(schema.types)
-    keys = key_cols or cols
+    # NOTE: no ds.schema() here — on Ray 2.49 a schema fetch before the
+    # write executes the whole upstream plan once with a Limit[1] suffix
+    # and the write then executes it AGAIN (measured 2x on aggregate-fed
+    # sinks). Keys resolve per batch; the empty-partition placeholder
+    # schema comes from a written partition file (or, only when the
+    # whole dataset produced no rows, from the then-cheap ds.schema()).
     done = [
         p
         for p in range(num_partitions)
@@ -126,6 +128,7 @@ def write_partitioned(
         done_arr[done] = True
 
         def route(batch: pa.Table) -> pa.Table:
+            keys = key_cols or batch.column_names
             parts = _row_part_ids(batch, keys, num_partitions)
             batch = batch.append_column(
                 _PART_COL, pa.array(parts, pa.int64())
@@ -166,9 +169,21 @@ def write_partitioned(
 
     # partitions with no rows never reach write_part: commit them empty
     # so a re-run doesn't reshuffle the input just to find that out
-    empty = pa.table(
-        {n: pa.array([], t) for n, t in zip(cols, col_types)}
-    )
+    arrow_schema = None
+    for p in range(num_partitions):
+        d = _part_dir(out_dir, p)
+        f = os.path.join(d, "data.parquet")
+        # only trust files committed for THIS fingerprint (a stale file
+        # from an older layout could carry an outdated schema)
+        if partition_complete(d, fingerprint) and os.path.exists(f):
+            arrow_schema = pq.read_schema(f)
+            break
+    if arrow_schema is None:
+        # nothing was written at all — the dataset is empty, so the
+        # schema fetch's limit-1 execution is cheap by construction
+        s = ds.schema()
+        arrow_schema = pa.schema(list(zip(s.names, s.types)))
+    empty = arrow_schema.empty_table()
     for p in range(num_partitions):
         d = _part_dir(out_dir, p)
         if not partition_complete(d, fingerprint):
