@@ -1838,10 +1838,30 @@ def _asof_by_time(sf_dir: str, evn, orn, time_ranges: int):
         i = int(np.lexsort((okey, odate))[-1])
         return group.take(pa.array([i]))
 
+    def lexmax_partial(batch: pa.Table) -> pa.Table:
+        """Per-batch (key, range) lexmax pre-combine: the maxima shuffle
+        then moves ≤ keys·ranges rows PER BLOCK instead of every order
+        row — the same partial-before-shuffle shape as every aggregate
+        in this file."""
+        batch = batch.combine_chunks()
+        if batch.num_rows == 0:
+            return batch
+        key = batch["key"].to_numpy(zero_copy_only=False)
+        rng = batch["rng"].to_numpy(zero_copy_only=False)
+        okey = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        odate = batch["date_us"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((okey, odate, rng, key))
+        k_s, r_s = key[order], rng[order]
+        last = np.r_[(k_s[1:] != k_s[:-1]) | (r_s[1:] != r_s[:-1]), True]
+        return batch.take(pa.array(order[last]))
+
     # per-(key, range) maxima: a SMALL second shuffle (≤ keys x ranges
-    # rows), then a per-key forward scan emits each range's carry-in
-    maxima = orn_tagged.groupby(["key", "rng"]).map_groups(
-        lexmax, batch_format="pyarrow"
+    # rows per block after the partial), then a per-key forward scan
+    # emits each range's carry-in; partials coalesce before the shuffle
+    maxima = (
+        orn_tagged.map_batches(lexmax_partial, batch_format="pyarrow")
+        .groupby(["key", "rng"])
+        .map_groups(lexmax, batch_format="pyarrow")
     )
 
     def carries(group: pa.Table) -> pa.Table:
@@ -1890,7 +1910,7 @@ def _asof_by_time(sf_dir: str, evn, orn, time_ranges: int):
             }
         )
 
-    carry = maxima.groupby("key").map_groups(
+    carry = maxima.repartition(2).groupby("key").map_groups(
         carries, batch_format="pyarrow"
     )
     both = (
