@@ -387,6 +387,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": lambda sf: dp.sessionize_events(sf),
         "decontaminate": lambda sf: dp.decontaminate(sf),
         "tfidf_topk_terms": lambda sf: dp.tfidf_topk_terms(sf),
+        "split_assign": lambda sf: dp.split_assign(sf),
+        "stratified_sample": lambda sf: dp.stratified_sample(sf),
+        "top_ngrams": lambda sf: dp.top_ngrams(sf),
+        "gopher_filter": lambda sf: dp.gopher_filter(sf),
         "distinct_users": lambda sf: dp.distinct_users(sf),
         "hll_distinct_users": lambda sf: dp.hll_distinct_users(sf),
         "media_decode": lambda sf: dp.media_decode(sf),
@@ -936,6 +940,80 @@ rk as (select doc_id, term, tf, score,
        from sc)
 select doc_id, term, tf, round(score, 4) as score, rnk
 from rk where rnk <= 5
+""",
+        "split_assign": """
+with b as (
+  select doc_id,
+    ((md5_number_lower(doc_id::varchar) & 9223372036854775807) % 100)::bigint
+      as bucket
+  from documents
+)
+select doc_id, bucket,
+  case when bucket < 5 then 'test'
+       when bucket < 10 then 'val'
+       else 'train' end as split
+from b
+""",
+        "stratified_sample": """
+with b as (
+  select doc_id, lang,
+    ((md5_number_lower('strat:' || doc_id::varchar)
+      & 9223372036854775807) % 100)::bigint as bucket
+  from documents
+)
+select doc_id, lang from b
+where bucket < case lang
+  when 'en' then 10 when 'de' then 50 when 'es' then 50
+  when 'fr' then 50 when 'zh' then 25 else 100 end
+""",
+        "top_ngrams": f"""
+with {_TOK_CTE},
+big as (
+  select a.term || ' ' || b.term as bg
+  from tok a join tok b on b.doc_id = a.doc_id and b.pos = a.pos + 1
+),
+c as (select bg as ngram, count(*)::bigint as cnt from big group by bg),
+r as (select ngram, cnt,
+             row_number() over (order by cnt desc, ngram asc) as rnk
+      from c)
+select ngram, cnt, rnk from r where rnk <= 20
+""",
+        "gopher_filter": f"""
+with {_TOK_CTE},
+st as (
+  select doc_id, count(*)::bigint as n,
+         sum(len(term))::double / count(*) as mlen,
+         sum(case when term in ('the','a','of','to','and','is','in')
+             then 1 else 0 end)::double / count(*) as swf
+  from tok group by doc_id
+),
+big as (
+  select a.doc_id, a.term || ' ' || b.term as bg
+  from tok a join tok b on b.doc_id = a.doc_id and b.pos = a.pos + 1
+),
+cnt as (select doc_id, bg, count(*) as c from big group by doc_id, bg),
+mx as (select doc_id, max(c) as topc from cnt group by doc_id),
+base as (
+  select d.doc_id,
+         coalesce(st.n, 0) as n,
+         coalesce(st.mlen, 0.0) as mlen,
+         coalesce(st.swf, 0.0) as swf,
+         case when coalesce(st.n, 0) - 1 > 0
+              then coalesce(mx.topc, 0)::double / (st.n - 1)
+              else 0.0 end as tbf
+  from documents d
+  left join st on st.doc_id = d.doc_id
+  left join mx on mx.doc_id = d.doc_id
+),
+r as (
+  select doc_id, n,
+    (case when n < 20 or n > 90 then 1 else 0 end
+     + case when mlen < 4.0 or mlen > 5.0 then 2 else 0 end
+     + case when swf < 0.02 then 4 else 0 end
+     + case when tbf > 0.10 then 8 else 0 end)::bigint as reasons
+  from base
+)
+select doc_id, n as n_tokens, reasons, (reasons = 0)::bigint as keep from r
 """,
         # rows-only (approximate / stateful / stemmer-dependent):
         # bm25_topk_stemmed, reference_queryset_stemmed,

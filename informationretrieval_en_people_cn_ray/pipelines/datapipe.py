@@ -2671,3 +2671,233 @@ def tfidf_topk_terms(sf_dir: str, k: int = 5):
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         topk, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus curation: deterministic splits, stratified sampling, global n-gram
+# frequency, composite Gopher-style quality filtering
+
+SPLIT_SALT = "strat:"
+STRAT_RATES: dict[str, int] = {"en": 10, "de": 50, "es": 50, "fr": 50, "zh": 25}
+
+
+@unreserved
+def split_assign(sf_dir: str, val_pct: int = 5, test_pct: int = 5):
+    """(doc_id, bucket, split) — deterministic train/val/test assignment
+    by content-stable hash bucket (``md5_i63(str(doc_id)) % 100``): the
+    split a document lands in never changes with run count, partitioning
+    or cluster size, which is what makes eval sets stable across a
+    pipeline's lifetime. Embarrassingly parallel, zero shuffle, exact
+    SQL oracle."""
+    from ..functions.hashing import md5_i63
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = np.fromiter(
+            (md5_i63(str(i)) % 100 for i in ids), np.int64, count=len(ids)
+        )
+        split = np.where(
+            bucket < test_pct,
+            "test",
+            np.where(bucket < test_pct + val_pct, "val", "train"),
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "bucket": pa.array(bucket, pa.int64()),
+                "split": pa.array(split, pa.string()),
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+@unreserved
+def stratified_sample(sf_dir: str, rates: dict[str, int] | None = None):
+    """(doc_id, lang) — per-group deterministic sampling: keep a doc iff
+    its salted hash bucket falls under its language's keep-rate (percent)
+    — the rebalancing primitive (downsample the over-represented
+    language, keep the rare ones). Salted so the sample decorrelates
+    from ``split_assign``'s buckets. Zero shuffle, exact SQL oracle."""
+    from ..functions.hashing import md5_i63
+
+    rates = STRAT_RATES if rates is None else rates
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        langs = batch["lang"].to_numpy(zero_copy_only=False)
+        bucket = np.fromiter(
+            (md5_i63(f"{SPLIT_SALT}{i}") % 100 for i in ids),
+            np.int64,
+            count=len(ids),
+        )
+        rate = np.fromiter(
+            (rates.get(l, 100) for l in langs), np.int64, count=len(langs)
+        )
+        keep = bucket < rate
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "lang": pa.array(langs[keep], pa.string()),
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "lang"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+@unreserved
+def top_ngrams(sf_dir: str, k: int = 20):
+    """(ngram, cnt, rnk) — the corpus's top-k bigrams by global count
+    (ties broken ngram asc): the vocabulary-health / boilerplate-
+    detection report every corpus audit starts with.
+
+    Scale shape: per-batch dictionary-coded bigram counts (one
+    ``np.unique`` per batch, no Python token loop) → one
+    vocabulary²-bounded ``groupby(ngram)`` — the shuffle moves counts,
+    never occurrences → per-block partial top-k (≤ k rows per block)
+    → a k·blocks-sized driver merge. The corpus stream is read once."""
+    from ray.data.aggregate import Sum
+
+    def counts(batch: pa.Table) -> pa.Table:
+        lens, doc_idx, codes, uniq = _batch_token_codes(batch)
+        if len(codes) < 2:
+            return pa.table(
+                {
+                    "ngram": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        valid = doc_idx[:-1] == doc_idx[1:]
+        U = max(len(uniq), 1)
+        a, b = codes[:-1][valid], codes[1:][valid]
+        uk, cnt = np.unique(a * U + b, return_counts=True)
+        ua = np.array(uniq)
+        grams = np.char.add(
+            np.char.add(ua[(uk // U).astype(np.int64)], " "),
+            ua[(uk % U).astype(np.int64)],
+        )
+        return pa.table(
+            {
+                "ngram": pa.array(grams, pa.string()),
+                "cnt": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        cnt = batch["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ng = batch["ngram"].to_numpy(zero_copy_only=False)
+        sel = np.lexsort((ng, -cnt))[:k]
+        return batch.take(pa.array(sel))
+
+    cand = _to_table(
+        read_documents(sf_dir, ["text"])
+        .map_batches(counts, batch_format="pyarrow")
+        .repartition(8)
+        .groupby("ngram")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .map_batches(block_topk, batch_format="pyarrow")
+    )
+    if cand.num_rows == 0:
+        return pa.table(
+            {
+                "ngram": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+                "rnk": pa.array([], pa.int64()),
+            }
+        )
+    cnt = cand["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ng = np.asarray(cand["ngram"].to_pylist())
+    sel = np.lexsort((ng, -cnt))[:k]
+    return pa.table(
+        {
+            "ngram": pa.array(ng[sel], pa.string()),
+            "cnt": pa.array(cnt[sel], pa.int64()),
+            "rnk": pa.array(np.arange(1, len(sel) + 1, dtype=np.int64)),
+        }
+    )
+
+
+GOPHER_MIN_TOKENS = 20
+GOPHER_MAX_TOKENS = 90
+GOPHER_MIN_MEAN_LEN = 4.0
+GOPHER_MAX_MEAN_LEN = 5.0
+GOPHER_MIN_STOPWORD_FRAC = 0.02
+GOPHER_MAX_TOP_BIGRAM_FRAC = 0.10
+
+
+@unreserved
+def gopher_filter(sf_dir: str):
+    """(doc_id, n_tokens, reasons, keep) — composite Gopher-style
+    quality gate in ONE corpus pass: reasons is a bitmask of violated
+    rules (bit 0 token-count range, bit 1 mean-token-length range,
+    bit 2 stopword-fraction floor, bit 3 top-bigram repetition cap),
+    keep = 1 iff no rule fired. Thresholds are module constants tuned
+    to the synthetic corpus; production swaps the constants, the shape
+    stays. Fully vectorized per batch (token codes + reduceat), zero
+    shuffle, exact SQL oracle — every fraction is the identical IEEE
+    ``sum::double / n`` expression on both sides."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        lens, doc_idx, codes, uniq = _batch_token_codes(batch)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = lens.astype(np.int64)
+        nz = np.maximum(n, 1).astype(np.float64)
+        starts = np.zeros(len(lens), np.int64)
+        if len(lens) > 1:
+            np.cumsum(lens[:-1], out=starts[1:])
+        ua = np.array(uniq) if len(uniq) else np.empty(0, "U1")
+        ulen = (
+            np.char.str_len(ua).astype(np.float64)
+            if len(uniq)
+            else np.empty(0, np.float64)
+        )
+        ustop = (
+            np.isin(ua, np.array(STOPWORDS)).astype(np.float64)
+            if len(uniq)
+            else np.empty(0, np.float64)
+        )
+        if len(codes):
+            # reduceat segments: empty docs (lens==0) share a start with
+            # their successor — mask their sums to zero afterwards
+            sum_len = np.add.reduceat(ulen[codes], np.minimum(starts, len(codes) - 1))
+            sum_stop = np.add.reduceat(ustop[codes], np.minimum(starts, len(codes) - 1))
+            sum_len[n == 0] = 0.0
+            sum_stop[n == 0] = 0.0
+        else:
+            sum_len = np.zeros(len(n), np.float64)
+            sum_stop = np.zeros(len(n), np.float64)
+        mlen = sum_len / nz
+        swf = sum_stop / nz
+        nbig = np.maximum(n - 1, 0)
+        top = np.zeros(len(n), np.int64)
+        if len(codes) > 1:
+            valid = doc_idx[:-1] == doc_idx[1:]
+            U = max(len(uniq), 1)
+            a, b = codes[:-1][valid], codes[1:][valid]
+            bd = doc_idx[:-1][valid]
+            uk, counts = np.unique(bd * (U * U) + a * U + b, return_counts=True)
+            np.maximum.at(top, (uk // (U * U)).astype(np.int64), counts)
+        tbf = np.where(nbig > 0, top / np.maximum(nbig, 1), 0.0)
+        reasons = (
+            ((n < GOPHER_MIN_TOKENS) | (n > GOPHER_MAX_TOKENS)).astype(np.int64)
+            + 2 * ((mlen < GOPHER_MIN_MEAN_LEN) | (mlen > GOPHER_MAX_MEAN_LEN))
+            + 4 * (swf < GOPHER_MIN_STOPWORD_FRAC)
+            + 8 * (tbf > GOPHER_MAX_TOP_BIGRAM_FRAC)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "n_tokens": pa.array(n, pa.int64()),
+                "reasons": pa.array(reasons, pa.int64()),
+                "keep": pa.array((reasons == 0).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )

@@ -872,3 +872,70 @@ def test_tfidf_topk_planted(ray_session, decon_dir):
     assert rows[(0, 1)][0] == "delta"
     assert rows[(0, 2)][0] == "alpha"
     assert rows[(0, 1)][2] == dp.round4(np.log(5.0 / 2.0))
+
+
+# ---------------------------------------------------------------------------
+# round-3: splits, stratified sampling, global n-grams, gopher filter
+
+
+def test_split_assign_partition_and_determinism(ray_session, rel_dir):
+    from informationretrieval_en_people_cn_ray.functions.hashing import md5_i63
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    t = dp._to_table(dp.split_assign(rel_dir))
+    rows = {r["doc_id"]: r for r in t.to_pylist()}
+    assert set(rows) == set(range(5))
+    for d, r in rows.items():
+        b = md5_i63(str(d)) % 100
+        assert r["bucket"] == b
+        exp = "test" if b < 5 else "val" if b < 10 else "train"
+        assert r["split"] == exp
+    # same assignment on a second run (determinism is the whole point)
+    t2 = dp._to_table(dp.split_assign(rel_dir))
+    assert sorted(t.to_pylist(), key=lambda r: r["doc_id"]) == sorted(
+        t2.to_pylist(), key=lambda r: r["doc_id"]
+    )
+
+
+def test_stratified_sample_rates(ray_session, rel_dir):
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    all_en = dp._to_table(
+        dp.stratified_sample(rel_dir, rates={"en": 100, "de": 0})
+    )
+    assert sorted(all_en["doc_id"].to_pylist()) == [0, 1, 2]  # en docs only
+    none = dp._to_table(dp.stratified_sample(rel_dir, rates={"en": 0, "de": 0}))
+    assert none.num_rows == 0
+
+
+def test_top_ngrams_planted(ray_session, decon_dir):
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    t = dp.top_ngrams(decon_dir, k=3)
+    got = list(
+        zip(t["rnk"].to_pylist(), t["ngram"].to_pylist(), t["cnt"].to_pylist())
+    )
+    # alpha beta x3 (docs 0,1,3), beta gamma x3 (docs 0,1,4) — tie broken
+    # ngram asc — then gamma delta x2 (docs 0,4)
+    assert got == [
+        (1, "alpha beta", 3),
+        (2, "beta gamma", 3),
+        (3, "gamma delta", 2),
+    ]
+
+
+def test_gopher_filter_planted(ray_session, rel_dir):
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    t = dp._to_table(dp.gopher_filter(rel_dir))
+    got = {r["doc_id"]: (r["n_tokens"], r["reasons"], r["keep"]) for r in t.to_pylist()}
+    # doc 0 "a b a b a b a b": short(1) + mean len 1<4 (2) + tbf 4/7 (8);
+    # stopword 'a' gives swf 0.5 ≥ 0.02 so bit 2 does NOT fire
+    assert got[0] == (8, 11, 0)
+    # doc 1 "one two three four": short + mlen 3.75 + swf 0 + tbf 1/3
+    assert got[1] == (4, 15, 0)
+    # doc 2 "solo": short + swf floor; mean len exactly 4.0 passes
+    assert got[2] == (1, 5, 0)
+    # docs 3/4: short + mlen 1 + swf 0 + repeated-bigram cap
+    assert got[3] == (3, 15, 0)
+    assert got[4] == (6, 15, 0)
