@@ -391,6 +391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": lambda sf: dp.stratified_sample(sf),
         "top_ngrams": lambda sf: dp.top_ngrams(sf),
         "gopher_filter": lambda sf: dp.gopher_filter(sf),
+        "curated_corpus": lambda sf: dp.curated_corpus(sf),
         "distinct_users": lambda sf: dp.distinct_users(sf),
         "hll_distinct_users": lambda sf: dp.hll_distinct_users(sf),
         "media_decode": lambda sf: dp.media_decode(sf),
@@ -601,6 +602,86 @@ select d.doc_id,
        coalesce(rep.rep_id, d.doc_id) as rep_id,
        (coalesce(rep.rep_id, d.doc_id) = d.doc_id)::bigint as keep
 from documents d left join rep on rep.doc_id = d.doc_id
+"""
+
+
+def _gopher_ctes() -> str:
+    """Gopher-filter CTE chain ending in ``gr`` (doc_id, n, reasons);
+    CTE names are disjoint from _near_dup_ctes so the curated-corpus
+    oracle can splice both into one WITH list."""
+    return f"""{_TOK_CTE},
+gst as (
+  select doc_id, count(*)::bigint as n,
+         sum(len(term))::double / count(*) as mlen,
+         sum(case when term in ('the','a','of','to','and','is','in')
+             then 1 else 0 end)::double / count(*) as swf
+  from tok group by doc_id
+),
+gbig as (
+  select a.doc_id, a.term || ' ' || b.term as bg
+  from tok a join tok b on b.doc_id = a.doc_id and b.pos = a.pos + 1
+),
+gcnt as (select doc_id, bg, count(*) as c from gbig group by doc_id, bg),
+gmx as (select doc_id, max(c) as topc from gcnt group by doc_id),
+gbase as (
+  select d.doc_id,
+         coalesce(gst.n, 0) as n,
+         coalesce(gst.mlen, 0.0) as mlen,
+         coalesce(gst.swf, 0.0) as swf,
+         case when coalesce(gst.n, 0) - 1 > 0
+              then coalesce(gmx.topc, 0)::double / (gst.n - 1)
+              else 0.0 end as tbf
+  from documents d
+  left join gst on gst.doc_id = d.doc_id
+  left join gmx on gmx.doc_id = d.doc_id
+),
+gr as (
+  select doc_id, n,
+    (case when n < 20 or n > 90 then 1 else 0 end
+     + case when mlen < 4.0 or mlen > 5.0 then 2 else 0 end
+     + case when swf < 0.02 then 4 else 0 end
+     + case when tbf > 0.10 then 8 else 0 end)::bigint as reasons
+  from gbase
+)"""
+
+
+def _curated_corpus_sql(threshold: float = 0.8) -> str:
+    """Composition oracle: gopher reasons x dedup-cluster rep x hash
+    split, one row per document."""
+    return f"""
+with recursive {_near_dup_ctes()},
+pr as (select doc_a, doc_b from j where jaccard >= {threshold}),
+e as (
+  select doc_a as a, doc_b as b from pr
+  union
+  select doc_b, doc_a from pr
+),
+reach(s, d) as (
+  select a, b from e
+  union
+  select r2.s, e2.b from reach r2 join e e2 on e2.a = r2.d
+),
+rep as (
+  select s as doc_id, least(s, min(d)) as rep_id from reach group by s
+),
+{_gopher_ctes()},
+bk as (
+  select doc_id,
+    ((md5_number_lower(doc_id::varchar) & 9223372036854775807) % 100)::bigint
+      as bucket
+  from documents
+)
+select gr.doc_id,
+  coalesce(rep.rep_id, gr.doc_id) as rep_id,
+  gr.reasons,
+  case when bk.bucket < 5 then 'test'
+       when bk.bucket < 10 then 'val'
+       else 'train' end as split,
+  (gr.reasons = 0
+   and coalesce(rep.rep_id, gr.doc_id) = gr.doc_id)::bigint as keep
+from gr
+join bk on bk.doc_id = gr.doc_id
+left join rep on rep.doc_id = gr.doc_id
 """
 
 
@@ -979,42 +1060,11 @@ r as (select ngram, cnt,
 select ngram, cnt, rnk from r where rnk <= 20
 """,
         "gopher_filter": f"""
-with {_TOK_CTE},
-st as (
-  select doc_id, count(*)::bigint as n,
-         sum(len(term))::double / count(*) as mlen,
-         sum(case when term in ('the','a','of','to','and','is','in')
-             then 1 else 0 end)::double / count(*) as swf
-  from tok group by doc_id
-),
-big as (
-  select a.doc_id, a.term || ' ' || b.term as bg
-  from tok a join tok b on b.doc_id = a.doc_id and b.pos = a.pos + 1
-),
-cnt as (select doc_id, bg, count(*) as c from big group by doc_id, bg),
-mx as (select doc_id, max(c) as topc from cnt group by doc_id),
-base as (
-  select d.doc_id,
-         coalesce(st.n, 0) as n,
-         coalesce(st.mlen, 0.0) as mlen,
-         coalesce(st.swf, 0.0) as swf,
-         case when coalesce(st.n, 0) - 1 > 0
-              then coalesce(mx.topc, 0)::double / (st.n - 1)
-              else 0.0 end as tbf
-  from documents d
-  left join st on st.doc_id = d.doc_id
-  left join mx on mx.doc_id = d.doc_id
-),
-r as (
-  select doc_id, n,
-    (case when n < 20 or n > 90 then 1 else 0 end
-     + case when mlen < 4.0 or mlen > 5.0 then 2 else 0 end
-     + case when swf < 0.02 then 4 else 0 end
-     + case when tbf > 0.10 then 8 else 0 end)::bigint as reasons
-  from base
-)
-select doc_id, n as n_tokens, reasons, (reasons = 0)::bigint as keep from r
+with {_gopher_ctes()}
+select doc_id, n as n_tokens, reasons, (reasons = 0)::bigint as keep
+from gr
 """,
+        "curated_corpus": _curated_corpus_sql(),
         # rows-only (approximate / stateful / stemmer-dependent):
         # bm25_topk_stemmed, reference_queryset_stemmed,
         # index_segment_stats_stemmed, embedding_lsh_topk,

@@ -2274,38 +2274,40 @@ def _cc_labels_distributed(pairs_ds, max_rounds: int = 64):
             .select_columns(["a", "b"])
         )
 
-    def checksum(ds) -> tuple[int, int, int]:
-        t = _to_table(
-            ds.map_batches(
-                lambda b: pa.table(
-                    {
-                        "n": pa.array([b.num_rows], pa.int64()),
-                        "s": pa.array(
-                            [
-                                int(
-                                    (
-                                        b["a"].to_numpy(zero_copy_only=False)
-                                        * np.int64(1000003)
-                                        + b["b"].to_numpy(zero_copy_only=False)
-                                    ).sum(dtype=np.int64)
-                                )
-                                if b.num_rows
-                                else 0
-                            ],
-                            pa.int64(),
-                        ),
-                    }
-                ),
-                batch_format="pyarrow",
-            )
+    def _edge_mix(b: pa.Table) -> pa.Table:
+        """Order-independent edge-set checksum partial: sum of
+        splitmix64-mixed (a, b) keys — a linear sum of RAW keys could
+        collide across different edge sets and end the loop on a
+        non-converged forest; the mixed sum makes that negligible."""
+        if b.num_rows:
+            from ..state.sink import _splitmix64
+
+            with np.errstate(over="ignore"):
+                av = b["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                bv = b["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                mixed = _splitmix64(_splitmix64(av) ^ bv)
+                s = int(mixed.sum(dtype=np.uint64) & np.uint64((1 << 63) - 1))
+        else:
+            s = 0
+        return pa.table(
+            {
+                "n": pa.array([b.num_rows], pa.int64()),
+                "s": pa.array([s], pa.int64()),
+            }
         )
+
+    def checksum(ds) -> tuple[int, int]:
+        t = _to_table(ds.map_batches(_edge_mix, batch_format="pyarrow"))
         if t.num_rows == 0:
-            return (0, 0, 0)
-        return (
-            int(np.sum(t["n"].to_numpy())),
-            int(np.sum(t["s"].to_numpy())),
-            0,
-        )
+            return (0, 0)
+        with np.errstate(over="ignore"):
+            return (
+                int(np.sum(t["n"].to_numpy())),
+                int(
+                    np.sum(t["s"].to_numpy().astype(np.uint64))
+                    & np.uint64((1 << 63) - 1)
+                ),
+            )
 
     edges = distinct(pairs_ds).materialize()
     prev = checksum(edges)
@@ -2841,60 +2843,122 @@ def gopher_filter(sf_dir: str):
     stays. Fully vectorized per batch (token codes + reduceat), zero
     shuffle, exact SQL oracle — every fraction is the identical IEEE
     ``sum::double / n`` expression on both sides."""
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        _gopher_batch, batch_format="pyarrow"
+    )
+
+
+def _gopher_batch(batch: pa.Table) -> pa.Table:
+    lens, doc_idx, codes, uniq = _batch_token_codes(batch)
+    did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = lens.astype(np.int64)
+    nz = np.maximum(n, 1).astype(np.float64)
+    starts = np.zeros(len(lens), np.int64)
+    if len(lens) > 1:
+        np.cumsum(lens[:-1], out=starts[1:])
+    ua = np.array(uniq) if len(uniq) else np.empty(0, "U1")
+    ulen = (
+        np.char.str_len(ua).astype(np.float64)
+        if len(uniq)
+        else np.empty(0, np.float64)
+    )
+    ustop = (
+        np.isin(ua, np.array(STOPWORDS)).astype(np.float64)
+        if len(uniq)
+        else np.empty(0, np.float64)
+    )
+    if len(codes):
+        # reduceat segments: empty docs (lens==0) share a start with
+        # their successor — mask their sums to zero afterwards
+        sum_len = np.add.reduceat(ulen[codes], np.minimum(starts, len(codes) - 1))
+        sum_stop = np.add.reduceat(ustop[codes], np.minimum(starts, len(codes) - 1))
+        sum_len[n == 0] = 0.0
+        sum_stop[n == 0] = 0.0
+    else:
+        sum_len = np.zeros(len(n), np.float64)
+        sum_stop = np.zeros(len(n), np.float64)
+    mlen = sum_len / nz
+    swf = sum_stop / nz
+    nbig = np.maximum(n - 1, 0)
+    top = np.zeros(len(n), np.int64)
+    if len(codes) > 1:
+        valid = doc_idx[:-1] == doc_idx[1:]
+        U = max(len(uniq), 1)
+        a, b = codes[:-1][valid], codes[1:][valid]
+        bd = doc_idx[:-1][valid]
+        uk, counts = np.unique(bd * (U * U) + a * U + b, return_counts=True)
+        np.maximum.at(top, (uk // (U * U)).astype(np.int64), counts)
+    tbf = np.where(nbig > 0, top / np.maximum(nbig, 1), 0.0)
+    reasons = (
+        ((n < GOPHER_MIN_TOKENS) | (n > GOPHER_MAX_TOKENS)).astype(np.int64)
+        + 2 * ((mlen < GOPHER_MIN_MEAN_LEN) | (mlen > GOPHER_MAX_MEAN_LEN))
+        + 4 * (swf < GOPHER_MIN_STOPWORD_FRAC)
+        + 8 * (tbf > GOPHER_MAX_TOP_BIGRAM_FRAC)
+    ).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(did, pa.int64()),
+            "n_tokens": pa.array(n, pa.int64()),
+            "reasons": pa.array(reasons, pa.int64()),
+            "keep": pa.array((reasons == 0).astype(np.int64), pa.int64()),
+        }
+    )
+
+
+@unreserved
+def curated_corpus(sf_dir: str, jaccard_threshold: float = 0.8):
+    """(doc_id, rep_id, reasons, split, keep) — the end-to-end curation
+    decision per document, composed from this file's primitives: keep =
+    passes the Gopher quality gate AND is its near-dup cluster's
+    representative; split is the deterministic hash assignment. This is
+    the table a training run actually consumes.
+
+    Scale shape: the near-dup rep map (duplicate-dimension-sized) is
+    broadcast once (``ray.put``); ONE streaming corpus pass computes
+    quality bits, dedup decision and split together — no join of
+    corpus-sized intermediates, no second read. Exact SQL oracle
+    (composition of the gopher_filter / dedup_clusters / split_assign
+    oracles)."""
+    from ..functions.hashing import md5_i63
+
+    t = _to_table(
+        near_dup_pairs(sf_dir, jaccard_threshold).select_columns(
+            ["doc_a", "doc_b"]
+        )
+    )
+    if t.num_rows:
+        nodes, lab = _cc_labels_driver(
+            t["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+    else:
+        nodes = lab = np.empty(0, np.int64)
+    nodes_ref, lab_ref = ray.put(nodes), ray.put(lab)
 
     def f(batch: pa.Table) -> pa.Table:
-        lens, doc_idx, codes, uniq = _batch_token_codes(batch)
-        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        n = lens.astype(np.int64)
-        nz = np.maximum(n, 1).astype(np.float64)
-        starts = np.zeros(len(lens), np.int64)
-        if len(lens) > 1:
-            np.cumsum(lens[:-1], out=starts[1:])
-        ua = np.array(uniq) if len(uniq) else np.empty(0, "U1")
-        ulen = (
-            np.char.str_len(ua).astype(np.float64)
-            if len(uniq)
-            else np.empty(0, np.float64)
+        g = _gopher_batch(batch)
+        did = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        reasons = g["reasons"].to_numpy(zero_copy_only=False)
+        ns, ls = ray.get(nodes_ref), ray.get(lab_ref)
+        rep = did.copy()
+        if len(ns):
+            idx = np.clip(np.searchsorted(ns, did), 0, len(ns) - 1)
+            hit = ns[idx] == did
+            rep[hit] = ls[idx[hit]]
+        bucket = np.fromiter(
+            (md5_i63(str(i)) % 100 for i in did), np.int64, count=len(did)
         )
-        ustop = (
-            np.isin(ua, np.array(STOPWORDS)).astype(np.float64)
-            if len(uniq)
-            else np.empty(0, np.float64)
+        split = np.where(
+            bucket < 5, "test", np.where(bucket < 10, "val", "train")
         )
-        if len(codes):
-            # reduceat segments: empty docs (lens==0) share a start with
-            # their successor — mask their sums to zero afterwards
-            sum_len = np.add.reduceat(ulen[codes], np.minimum(starts, len(codes) - 1))
-            sum_stop = np.add.reduceat(ustop[codes], np.minimum(starts, len(codes) - 1))
-            sum_len[n == 0] = 0.0
-            sum_stop[n == 0] = 0.0
-        else:
-            sum_len = np.zeros(len(n), np.float64)
-            sum_stop = np.zeros(len(n), np.float64)
-        mlen = sum_len / nz
-        swf = sum_stop / nz
-        nbig = np.maximum(n - 1, 0)
-        top = np.zeros(len(n), np.int64)
-        if len(codes) > 1:
-            valid = doc_idx[:-1] == doc_idx[1:]
-            U = max(len(uniq), 1)
-            a, b = codes[:-1][valid], codes[1:][valid]
-            bd = doc_idx[:-1][valid]
-            uk, counts = np.unique(bd * (U * U) + a * U + b, return_counts=True)
-            np.maximum.at(top, (uk // (U * U)).astype(np.int64), counts)
-        tbf = np.where(nbig > 0, top / np.maximum(nbig, 1), 0.0)
-        reasons = (
-            ((n < GOPHER_MIN_TOKENS) | (n > GOPHER_MAX_TOKENS)).astype(np.int64)
-            + 2 * ((mlen < GOPHER_MIN_MEAN_LEN) | (mlen > GOPHER_MAX_MEAN_LEN))
-            + 4 * (swf < GOPHER_MIN_STOPWORD_FRAC)
-            + 8 * (tbf > GOPHER_MAX_TOP_BIGRAM_FRAC)
-        ).astype(np.int64)
+        keep = ((reasons == 0) & (rep == did)).astype(np.int64)
         return pa.table(
             {
                 "doc_id": pa.array(did, pa.int64()),
-                "n_tokens": pa.array(n, pa.int64()),
+                "rep_id": pa.array(rep, pa.int64()),
                 "reasons": pa.array(reasons, pa.int64()),
-                "keep": pa.array((reasons == 0).astype(np.int64), pa.int64()),
+                "split": pa.array(split, pa.string()),
+                "keep": pa.array(keep, pa.int64()),
             }
         )
 

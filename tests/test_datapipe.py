@@ -939,3 +939,40 @@ def test_gopher_filter_planted(ray_session, rel_dir):
     # docs 3/4: short + mlen 1 + swf 0 + repeated-bigram cap
     assert got[3] == (3, 15, 0)
     assert got[4] == (6, 15, 0)
+
+
+def test_to_table_executes_plan_once(ray_session, tmp_path):
+    """Regression: Dataset.to_arrow_refs on Ray 2.49 re-executes an
+    all-to-all plan a second time (schema fetch with a Limit[1] suffix);
+    _to_table must execute exactly once. The map fn drops a marker file
+    per invocation — a double execution would double the marker count."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    marker_dir = str(tmp_path)
+
+    def mark(batch: pa.Table) -> pa.Table:
+        import os as _os
+        import uuid as _uuid
+
+        open(_os.path.join(marker_dir, _uuid.uuid4().hex), "w").close()
+        return pa.table(
+            {
+                "k": batch["id"],
+                "v": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    ds = (
+        _ray.data.range(1000, override_num_blocks=4)
+        .map_batches(mark, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("v", alias_name="v"))
+    )
+    t = dp._to_table(ds)
+    assert t.num_rows == 1000
+    n_markers = len(os.listdir(marker_dir))
+    # one marker per map task; a re-executed plan would leave ~2x
+    assert n_markers <= 4, f"plan executed more than once ({n_markers} markers)"
