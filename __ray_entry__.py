@@ -392,6 +392,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_ngrams": lambda sf: dp.top_ngrams(sf),
         "gopher_filter": lambda sf: dp.gopher_filter(sf),
         "curated_corpus": lambda sf: dp.curated_corpus(sf),
+        "running_totals": lambda sf: dp.running_totals(sf),
+        "event_type_pivot": lambda sf: dp.event_type_pivot(sf),
         "distinct_users": lambda sf: dp.distinct_users(sf),
         "hll_distinct_users": lambda sf: dp.hll_distinct_users(sf),
         "media_decode": lambda sf: dp.media_decode(sf),
@@ -1065,6 +1067,24 @@ select doc_id, n as n_tokens, reasons, (reasons = 0)::bigint as keep
 from gr
 """,
         "curated_corpus": _curated_corpus_sql(),
+        "running_totals": """
+select user_id, event_id,
+  sum(round(value * 100)::bigint) over (
+    partition by user_id order by ts, event_id
+    rows between unbounded preceding and current row
+  )::bigint as running_cents
+from events
+""",
+        "event_type_pivot": """
+select user_id,
+  sum(case when event_type = 'click' then 1 else 0 end)::bigint as n_click,
+  sum(case when event_type = 'error' then 1 else 0 end)::bigint as n_error,
+  sum(case when event_type = 'purchase' then 1 else 0 end)::bigint
+    as n_purchase,
+  sum(case when event_type = 'signup' then 1 else 0 end)::bigint as n_signup,
+  sum(case when event_type = 'view' then 1 else 0 end)::bigint as n_view
+from events group by user_id
+""",
         # rows-only (approximate / stateful / stemmer-dependent):
         # bm25_topk_stemmed, reference_queryset_stemmed,
         # index_segment_stats_stemmed, embedding_lsh_topk,

@@ -2965,3 +2965,105 @@ def curated_corpus(sf_dir: str, jaccard_threshold: float = 0.8):
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         f, batch_format="pyarrow"
     )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@unreserved
+def running_totals(sf_dir: str):
+    """(user_id, event_id, running_cents) — cumulative per-user value
+    total in (ts, event_id) order: the classic running-aggregate window
+    (``sum(...) over (partition by user order by ts rows unbounded
+    preceding)``). Value carried as exact integer cents so the running
+    sum is bit-exact against the SQL window oracle regardless of
+    accumulation strategy (a float running sum is order- and
+    tree-shape-dependent). One ``groupby(user_id)`` shuffle; per-group
+    pass is lexsort + cumsum. Same hot-key caveat (and the same
+    time-range remedy) as sessionize_events."""
+
+    def rows(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        tu = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.round(
+            batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+            * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "tu": pa.array(tu, pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    def per_user(group: pa.Table) -> pa.Table:
+        group = group.combine_chunks()
+        uid = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = group["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tu = group["tu"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = group["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, tu))
+        return pa.table(
+            {
+                "user_id": pa.array(uid[order], pa.int64()),
+                "event_id": pa.array(eid[order], pa.int64()),
+                "running_cents": pa.array(
+                    np.cumsum(cents[order]), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_id", "ts", "value"],
+        )
+        .map_batches(rows, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+    )
+
+
+@unreserved
+def event_type_pivot(sf_dir: str):
+    """(user_id, n_click, n_error, n_purchase, n_signup, n_view) — the
+    long→wide pivot by event type, as a pre-combined aggregate: each
+    batch emits per-user partial count VECTORS (one row per user seen),
+    so the ``groupby(user_id)`` shuffle moves |users|·|blocks| rows of
+    fixed width — never the event stream — and the reduce is a Sum per
+    column. Unknown types are counted into n_other (0 here by schema)."""
+    from ray.data.aggregate import Sum
+
+    tmap = {t: i for i, t in enumerate(EVENT_TYPES)}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        code = np.fromiter(
+            (tmap.get(t, len(EVENT_TYPES)) for t in et),
+            np.int64,
+            count=len(et),
+        )
+        K = len(EVENT_TYPES) + 1
+        uu, inv = np.unique(uid, return_inverse=True)
+        mat = np.zeros((len(uu), K), np.int64)
+        np.add.at(mat, (inv, code), 1)
+        cols = {"user_id": pa.array(uu, pa.int64())}
+        for t, i in tmap.items():
+            cols[f"n_{t}"] = pa.array(mat[:, i], pa.int64())
+        return pa.table(cols)
+
+    aggs = [Sum(f"n_{t}", alias_name=f"n_{t}") for t in EVENT_TYPES]
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(4)
+        .groupby("user_id")
+        .aggregate(*aggs)
+    )

@@ -976,3 +976,46 @@ def test_to_table_executes_plan_once(ray_session, tmp_path):
     n_markers = len(os.listdir(marker_dir))
     # one marker per map task; a re-executed plan would leave ~2x
     assert n_markers <= 4, f"plan executed more than once ({n_markers} markers)"
+
+
+def test_running_totals_order_and_exactness(ray_session, sess_dir):
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    t = dp._to_table(dp.running_totals(sess_dir))
+    got = {r["event_id"]: r["running_cents"] for r in t.to_pylist()}
+    # user 7: events 1..4 in ts order, value 1.0 each → 100..400 cents
+    assert (got[1], got[2], got[3], got[4]) == (100, 200, 300, 400)
+    assert got[5] == 100                      # user 8 single event
+    assert (got[6], got[7], got[8]) == (100, 200, 300)  # user 9
+
+
+def test_event_type_pivot_counts(ray_session, tmp_path):
+    import ray as _ray
+
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    d = str(tmp_path)
+    rows = [
+        (1, 7, "click"), (2, 7, "click"), (3, 7, "view"),
+        (4, 8, "purchase"), (5, 8, "weird-type"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    t = dp._to_table(dp.event_type_pivot(d))
+    got = {
+        r["user_id"]: (r["n_click"], r["n_error"], r["n_purchase"],
+                       r["n_signup"], r["n_view"])
+        for r in t.to_pylist()
+    }
+    assert got == {7: (2, 0, 0, 0, 1), 8: (0, 0, 1, 0, 0)}
