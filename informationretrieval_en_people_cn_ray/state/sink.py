@@ -182,7 +182,14 @@ def write_partitioned(
         # nothing was written at all — the dataset is empty, so the
         # schema fetch's limit-1 execution is cheap by construction
         s = ds.schema()
-        arrow_schema = pa.schema(list(zip(s.names, s.types)))
+        # a dataset that produced no rows AND never declared a schema
+        # (e.g. a row-filter dropped everything) commits zero-field
+        # placeholders — there is nothing trustworthy to type them with
+        arrow_schema = (
+            pa.schema(list(zip(s.names, s.types)))
+            if s is not None
+            else pa.schema([])
+        )
     empty = arrow_schema.empty_table()
     for p in range(num_partitions):
         d = _part_dir(out_dir, p)

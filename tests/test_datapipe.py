@@ -1019,3 +1019,32 @@ def test_event_type_pivot_counts(ray_session, tmp_path):
         for r in t.to_pylist()
     }
     assert got == {7: (2, 0, 0, 0, 1), 8: (0, 0, 1, 0, 0)}
+
+
+def test_partitioned_sink_empty_dataset_schema(ray_session, tmp_path):
+    """An all-empty dataset still commits typed empty partitions (the
+    schema comes from ds.schema() only on this path — the write itself
+    must not trigger a schema prefetch)."""
+    import ray as _ray
+
+    from informationretrieval_en_people_cn_ray.state.sink import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    def drop_all(b: pa.Table) -> pa.Table:
+        return b.slice(0, 0)
+
+    ds = _ray.data.range(100).map_batches(drop_all, batch_format="pyarrow")
+    out = str(tmp_path / "empty_sink")
+    m = write_partitioned(ds, out, "fp-empty", num_partitions=3)
+    assert m["rows"] == 0 and m["files"] == 3
+    back = read_partitioned(out)
+    assert back.count() == 0
+    assert "id" in back.schema().names
+    # schema-less empty input (row filter drops everything before any
+    # typed block exists) still commits a valid, readable manifest
+    ds2 = _ray.data.range(100).filter(lambda r: False)
+    out2 = str(tmp_path / "empty_sink2")
+    m2 = write_partitioned(ds2, out2, "fp-empty", num_partitions=2)
+    assert m2["rows"] == 0 and m2["files"] == 2
