@@ -394,6 +394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curated_corpus": lambda sf: dp.curated_corpus(sf),
         "running_totals": lambda sf: dp.running_totals(sf),
         "event_type_pivot": lambda sf: dp.event_type_pivot(sf),
+        "regex_features": lambda sf: dp.regex_features(sf),
         "distinct_users": lambda sf: dp.distinct_users(sf),
         "hll_distinct_users": lambda sf: dp.hll_distinct_users(sf),
         "media_decode": lambda sf: dp.media_decode(sf),
@@ -1084,6 +1085,13 @@ select user_id,
   sum(case when event_type = 'signup' then 1 else 0 end)::bigint as n_signup,
   sum(case when event_type = 'view' then 1 else 0 end)::bigint as n_view
 from events group by user_id
+""",
+        "regex_features": r"""
+select doc_id,
+  len(regexp_extract_all(text, '[aeiou]{2}'))::bigint as n_double_vowel,
+  len(regexp_extract_all(text, 'er'))::bigint as n_er,
+  len(regexp_extract_all(text, '\ba\b'))::bigint as n_word_a
+from documents
 """,
         # rows-only (approximate / stateful / stemmer-dependent):
         # bm25_topk_stemmed, reference_queryset_stemmed,

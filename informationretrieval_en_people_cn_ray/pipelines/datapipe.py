@@ -3067,3 +3067,36 @@ def event_type_pivot(sf_dir: str):
         .groupby("user_id")
         .aggregate(*aggs)
     )
+
+
+REGEX_FEATURES: tuple[tuple[str, str], ...] = (
+    ("n_double_vowel", "[aeiou]{2}"),
+    ("n_er", "er"),
+    ("n_word_a", r"\ba\b"),
+)
+
+
+@unreserved
+def regex_features(sf_dir: str):
+    """(doc_id, n_double_vowel, n_er, n_word_a) — per-document regex
+    match counts for a fixed feature set, computed entirely inside
+    Arrow's RE2 kernel (``pc.count_substring_regex`` — zero Python per
+    row, zero copy from the object store). DuckDB's regexp functions
+    are RE2 too, so non-overlapping match counts agree exactly and the
+    op has an exact SQL oracle. This is the PII-pattern / boilerplate-
+    marker counting stage of a curation pipeline; production swaps the
+    pattern table, the shape stays. Zero shuffle."""
+    import pyarrow.compute as pc
+
+    def f(batch: pa.Table) -> pa.Table:
+        cols = {"doc_id": batch["doc_id"]}
+        text = batch["text"]
+        for name, pat in REGEX_FEATURES:
+            cols[name] = pc.cast(
+                pc.count_substring_regex(text, pat), pa.int64()
+            )
+        return pa.table(cols)
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )

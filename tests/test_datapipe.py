@@ -1048,3 +1048,18 @@ def test_partitioned_sink_empty_dataset_schema(ray_session, tmp_path):
     out2 = str(tmp_path / "empty_sink2")
     m2 = write_partitioned(ds2, out2, "fp-empty", num_partitions=2)
     assert m2["rows"] == 0 and m2["files"] == 2
+
+
+def test_regex_features_planted(ray_session, decon_dir):
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    t = dp._to_table(dp.regex_features(decon_dir))
+    got = {
+        r["doc_id"]: (r["n_double_vowel"], r["n_er"], r["n_word_a"])
+        for r in t.to_pylist()
+    }
+    # doc 0 "alpha beta gamma delta": no double vowel, no 'er', no lone a
+    assert got[0] == (0, 0, 0)
+    # doc 2 "one two three four five": 'ee' in three, 'ou' in four → 2;
+    # no 'er'; no standalone 'a'
+    assert got[2] == (2, 0, 0)
