@@ -2341,6 +2341,40 @@ def _cc_labels_distributed(pairs_ds, max_rounds: int = 64):
     return node[order], rep[order]
 
 
+def _near_dup_rep_map(
+    sf_dir: str,
+    jaccard_threshold: float,
+    mode: str = "auto",
+    driver_edge_limit: int = 5_000_000,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(nodes sorted, rep per node) over the near-dup pair graph —
+    the shared mode policy for every cluster-consuming op: vectorized
+    driver min-propagation while the edge list fits
+    (``driver_edge_limit``), the alternating-star distributed algorithm
+    beyond it."""
+    pairs = near_dup_pairs(sf_dir, jaccard_threshold).select_columns(
+        ["doc_a", "doc_b"]
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"a": batch["doc_a"], "b": batch["doc_b"]})
+
+    edge_ds = pairs.map_batches(rename, batch_format="pyarrow").materialize()
+    n_edges = edge_ds.count()
+    use_driver = mode == "driver" or (
+        mode == "auto" and n_edges <= driver_edge_limit
+    )
+    if use_driver:
+        t = _to_table(edge_ds)
+        if t.num_rows:
+            return _cc_labels_driver(
+                t["a"].to_numpy(zero_copy_only=False).astype(np.int64),
+                t["b"].to_numpy(zero_copy_only=False).astype(np.int64),
+            )
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return _cc_labels_distributed(edge_ds)
+
+
 @unreserved
 def dedup_clusters(
     sf_dir: str,
@@ -2364,29 +2398,9 @@ def dedup_clusters(
     and tested identical. The final corpus pass is a broadcast lookup
     (``ray.put`` of the node→rep map — duplicate-dimension-sized),
     never a shuffle of the corpus."""
-    pairs = near_dup_pairs(sf_dir, jaccard_threshold).select_columns(
-        ["doc_a", "doc_b"]
+    nodes, lab = _near_dup_rep_map(
+        sf_dir, jaccard_threshold, mode, driver_edge_limit
     )
-
-    def rename(batch: pa.Table) -> pa.Table:
-        return pa.table({"a": batch["doc_a"], "b": batch["doc_b"]})
-
-    edge_ds = pairs.map_batches(rename, batch_format="pyarrow").materialize()
-    n_edges = edge_ds.count()
-    use_driver = mode == "driver" or (
-        mode == "auto" and n_edges <= driver_edge_limit
-    )
-    if use_driver:
-        t = _to_table(edge_ds)
-        if t.num_rows:
-            nodes, lab = _cc_labels_driver(
-                t["a"].to_numpy(zero_copy_only=False).astype(np.int64),
-                t["b"].to_numpy(zero_copy_only=False).astype(np.int64),
-            )
-        else:
-            nodes = lab = np.empty(0, np.int64)
-    else:
-        nodes, lab = _cc_labels_distributed(edge_ds)
     nodes_ref = ray.put(nodes)
     lab_ref = ray.put(lab)
 
@@ -2921,18 +2935,7 @@ def curated_corpus(sf_dir: str, jaccard_threshold: float = 0.8):
     oracles)."""
     from ..functions.hashing import md5_i63
 
-    t = _to_table(
-        near_dup_pairs(sf_dir, jaccard_threshold).select_columns(
-            ["doc_a", "doc_b"]
-        )
-    )
-    if t.num_rows:
-        nodes, lab = _cc_labels_driver(
-            t["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64),
-            t["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64),
-        )
-    else:
-        nodes = lab = np.empty(0, np.int64)
+    nodes, lab = _near_dup_rep_map(sf_dir, jaccard_threshold)
     nodes_ref, lab_ref = ray.put(nodes), ray.put(lab)
 
     def f(batch: pa.Table) -> pa.Table:
