@@ -395,6 +395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_totals": lambda sf: dp.running_totals(sf),
         "event_type_pivot": lambda sf: dp.event_type_pivot(sf),
         "regex_features": lambda sf: dp.regex_features(sf),
+        "json_props_stats": lambda sf: dp.json_props_stats(sf),
         "distinct_users": lambda sf: dp.distinct_users(sf),
         "hll_distinct_users": lambda sf: dp.hll_distinct_users(sf),
         "media_decode": lambda sf: dp.media_decode(sf),
@@ -1092,6 +1093,13 @@ select doc_id,
   len(regexp_extract_all(text, 'er'))::bigint as n_er,
   len(regexp_extract_all(text, '\ba\b'))::bigint as n_word_a
 from documents
+""",
+        "json_props_stats": """
+select event_type, count(*)::bigint as n,
+  sum((props->>'$.k')::bigint)::bigint as sum_k,
+  min((props->>'$.k')::bigint)::bigint as min_k,
+  max((props->>'$.k')::bigint)::bigint as max_k
+from events group by event_type
 """,
         # rows-only (approximate / stateful / stemmer-dependent):
         # bm25_topk_stemmed, reference_queryset_stemmed,

@@ -3103,3 +3103,59 @@ def regex_features(sf_dir: str):
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         f, batch_format="pyarrow"
     )
+
+
+@unreserved
+def json_props_stats(sf_dir: str):
+    """(event_type, n, sum_k, min_k, max_k) — semi-structured column
+    handling: decode each event's JSON ``props`` payload and aggregate
+    the extracted field per event type. The decode is the C stdlib
+    parser per row inside ``map_batches`` (arbitrary JSON has no
+    vectorized Arrow kernel — per-batch C decode IS the production
+    shape; swap in simdjson where available), and the aggregate is
+    pre-combined per batch so the shuffle moves |event_types|·|blocks|
+    fixed-width rows, never the stream. Exact SQL oracle via DuckDB's
+    core JSON operators."""
+    import json
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        ks = np.fromiter(
+            (json.loads(p)["k"] for p in batch["props"].to_pylist()),
+            np.int64,
+            count=batch.num_rows,
+        )
+        uu, inv = np.unique(et, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uu)).astype(np.int64)
+        sum_k = np.zeros(len(uu), np.int64)
+        np.add.at(sum_k, inv, ks)
+        min_k = np.full(len(uu), np.iinfo(np.int64).max)
+        np.minimum.at(min_k, inv, ks)
+        max_k = np.full(len(uu), np.iinfo(np.int64).min)
+        np.maximum.at(max_k, inv, ks)
+        return pa.table(
+            {
+                "event_type": pa.array(uu, pa.string()),
+                "n": pa.array(n, pa.int64()),
+                "sum_k": pa.array(sum_k, pa.int64()),
+                "min_k": pa.array(min_k, pa.int64()),
+                "max_k": pa.array(max_k, pa.int64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(2)
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_k", alias_name="sum_k"),
+            Min("min_k", alias_name="min_k"),
+            Max("max_k", alias_name="max_k"),
+        )
+    )

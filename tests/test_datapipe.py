@@ -1063,3 +1063,35 @@ def test_regex_features_planted(ray_session, decon_dir):
     # doc 2 "one two three four five": 'ee' in three, 'ou' in four → 2;
     # no 'er'; no standalone 'a'
     assert got[2] == (2, 0, 0)
+
+
+def test_json_props_stats_planted(ray_session, tmp_path):
+    import ray as _ray
+
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    d = str(tmp_path)
+    rows = [
+        (1, 7, "click", '{"k": 5}'),
+        (2, 7, "click", '{"k": -3}'),
+        (3, 8, "view", '{"k": 0}'),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array([r[3] for r in rows], pa.string()),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    t = dp._to_table(dp.json_props_stats(d))
+    got = {
+        r["event_type"]: (r["n"], r["sum_k"], r["min_k"], r["max_k"])
+        for r in t.to_pylist()
+    }
+    assert got == {"click": (2, 2, -3, 5), "view": (1, 0, 0, 0)}
