@@ -385,6 +385,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigram_frac": lambda sf: dp.top_bigram_frac(sf),
         "dedup_clusters": lambda sf: dp.dedup_clusters(sf),
         "sessionize": lambda sf: dp.sessionize_events(sf),
+        "sessionize_by_time": lambda sf: dp.sessionize_events(
+            sf, mode="by_time"
+        ),
         "decontaminate": lambda sf: dp.decontaminate(sf),
         "tfidf_topk_terms": lambda sf: dp.tfidf_topk_terms(sf),
         "split_assign": lambda sf: dp.split_assign(sf),
@@ -993,6 +996,22 @@ from nb left join mx on nb.doc_id = mx.doc_id
         "dedup_clusters": _dedup_clusters_sql(),
         "decontaminate": _decontaminate_sql(),
         "sessionize": """
+with o as (
+  select user_id, event_id, epoch_us(ts) as tu,
+         lag(epoch_us(ts)) over (
+           partition by user_id order by ts, event_id
+         ) as prev
+  from events
+)
+select user_id, event_id,
+  (sum(case when prev is null or tu - prev > 43200000000
+            then 1 else 0 end)
+     over (partition by user_id order by tu, event_id
+           rows between unbounded preceding and current row)
+   - 1)::bigint as session_idx
+from o
+""",
+        "sessionize_by_time": """
 with o as (
   select user_id, event_id, epoch_us(ts) as tu,
          lag(epoch_us(ts)) over (

@@ -2426,16 +2426,33 @@ def dedup_clusters(
 
 
 @unreserved
-def sessionize_events(sf_dir: str, gap_hours: int = 12):
+def sessionize_events(
+    sf_dir: str,
+    gap_hours: int = 12,
+    mode: str = "by_key",
+    time_ranges: int = 16,
+):
     """(user_id, event_id, session_idx) — gap-based sessionization: a
     user's events ordered by (ts, event_id) start a new session whenever
     the gap to the previous event exceeds ``gap_hours``; session_idx is
-    0-based per user. One ``groupby(user_id)`` shuffle; the per-group
-    pass is a vectorized lexsort + diff + cumsum (no Python row loop).
-    Skew note: one user's whole history lands on one task — for a
-    hot-key stream the as-of join's time-range + boundary-replication
-    variant (datapipe._asof_by_time) applies verbatim, carrying one
-    boundary event per range instead of a group barrier."""
+    0-based per user.
+
+    Two distributed shapes, identical rows:
+
+    - ``by_key`` (default): one ``groupby(user_id)`` shuffle; the
+      per-group pass is a vectorized lexsort + diff + cumsum.
+      Partitioning assumption: no single user's history exceeds a task.
+    - ``by_time`` (skew-safe): partition the TIME AXIS into
+      ``time_ranges`` equal-width ranges (bounds from parquet row-group
+      statistics) and sessionize per (user, range) locally; a per-(user,
+      range) summary (first/last timestamp + local session count —
+      grid-sized, driver-small) is scanned once per user to compute the
+      range's global session offset and whether its first local session
+      MERGES with the previous non-empty range's last session (boundary
+      gap ≤ threshold); offsets broadcast back for a vectorized second
+      pass. A hot user's history splits across ranges; exactness is
+      preserved because session identity only depends on consecutive
+      gaps, which the boundary merge reconstructs."""
     gap_us = int(gap_hours) * 3_600_000_000
 
     def rows(batch: pa.Table) -> pa.Table:
@@ -2470,14 +2487,134 @@ def sessionize_events(sf_dir: str, gap_hours: int = 12):
             }
         )
 
-    return (
-        ray.data.read_parquet(
-            f"{sf_dir}/events.parquet",
-            columns=["user_id", "event_id", "ts"],
+    tagged = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts"],
+    ).map_batches(rows, batch_format="pyarrow")
+    if mode == "by_time":
+        bounds = _events_ts_bounds(f"{sf_dir}/events.parquet")
+        if bounds is not None:
+            return _sessionize_by_time(
+                tagged, gap_us, bounds, int(time_ranges)
+            )
+        # no stats → fall through to the key-partitioned path
+    return tagged.groupby("user_id").map_groups(
+        per_user, batch_format="pyarrow"
+    )
+
+
+def _sessionize_by_time(tagged, gap_us: int, bounds, R: int):
+    t0, t1 = bounds
+    w = max(1, (t1 - t0) // R + 1)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        tu = batch["tu"].to_numpy(zero_copy_only=False)
+        rng = np.clip((tu - t0) // w, 0, R - 1).astype(np.int64)
+        return batch.append_column("rng", pa.array(rng, pa.int64()))
+
+    def local_sessions(group: pa.Table) -> pa.Table:
+        group = group.combine_chunks()
+        uid = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = group["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tu = group["tu"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rng = group["rng"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, tu))
+        eid_s, tu_s = eid[order], tu[order]
+        newsess = np.ones(len(order), np.int64)
+        if len(order) > 1:
+            newsess[1:] = (tu_s[1:] - tu_s[:-1] > gap_us).astype(np.int64)
+        sidx = np.cumsum(newsess) - 1
+        n = len(order)
+        ev = pa.table(
+            {
+                "user_id": pa.array(uid[order], pa.int64()),
+                "event_id": pa.array(eid_s, pa.int64()),
+                "rng": pa.array(rng[order], pa.int64()),
+                "local_sidx": pa.array(sidx, pa.int64()),
+                "f_tu": pa.array(np.zeros(n, np.int64)),
+                "l_tu": pa.array(np.zeros(n, np.int64)),
+                "nsess": pa.array(np.zeros(n, np.int64)),
+                "is_sum": pa.array(np.zeros(n, np.int64)),
+            }
         )
-        .map_batches(rows, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pyarrow")
+        summ = pa.table(
+            {
+                "user_id": pa.array([int(uid[0])], pa.int64()),
+                "event_id": pa.array([-1], pa.int64()),
+                "rng": pa.array([int(rng[0])], pa.int64()),
+                "local_sidx": pa.array([0], pa.int64()),
+                "f_tu": pa.array([int(tu_s[0])], pa.int64()),
+                "l_tu": pa.array([int(tu_s[-1])], pa.int64()),
+                "nsess": pa.array([int(sidx[-1]) + 1], pa.int64()),
+                "is_sum": pa.array([1], pa.int64()),
+            }
+        )
+        return pa.concat_tables([ev, summ])
+
+    both = (
+        tagged.map_batches(tag, batch_format="pyarrow")
+        .groupby(["user_id", "rng"])
+        .map_groups(local_sessions, batch_format="pyarrow")
+        .materialize()
+    )
+    def _only(v):
+        def m(batch: pa.Table) -> pa.Table:
+            mask = batch["is_sum"].to_numpy(zero_copy_only=False) == v
+            return batch.filter(pa.array(mask))
+
+        return m
+
+    summ = _to_table(both.map_batches(_only(1), batch_format="pyarrow"))
+    # grid-sized (≤ users·ranges) driver scan: per user in range order,
+    # offset = running session count, minus 1 when the range's first
+    # local session merges across the boundary
+    keys = []
+    offs = []
+    if summ.num_rows:
+        su = summ["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sr = summ["rng"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sf_ = summ["f_tu"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sl = summ["l_tu"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sn = summ["nsess"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((sr, su))
+        prev_u = None
+        nxt = 0
+        prev_last = 0
+        for i in order:
+            u = int(su[i])
+            if u != prev_u:
+                prev_u, nxt = u, 0
+                merge = 0
+            else:
+                merge = 1 if int(sf_[i]) - prev_last <= gap_us else 0
+            off = nxt - merge
+            keys.append(u * R + int(sr[i]))
+            offs.append(off)
+            nxt = off + int(sn[i])
+            prev_last = int(sl[i])
+    karr = np.asarray(keys, np.int64)
+    oarr = np.asarray(offs, np.int64)
+    ks = np.argsort(karr)
+    karr, oarr = karr[ks], oarr[ks]
+    k_ref, o_ref = ray.put(karr), ray.put(oarr)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        kk, oo = ray.get(k_ref), ray.get(o_ref)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rng = batch["rng"].to_numpy(zero_copy_only=False).astype(np.int64)
+        loc = batch["local_sidx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(kk, uid * R + rng)
+        return pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "event_id": pa.array(eid, pa.int64()),
+                "session_idx": pa.array(loc + oo[idx], pa.int64()),
+            }
+        )
+
+    return both.map_batches(_only(0), batch_format="pyarrow").map_batches(
+        finalize, batch_format="pyarrow"
     )
 
 

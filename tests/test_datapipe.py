@@ -1095,3 +1095,24 @@ def test_json_props_stats_planted(ray_session, tmp_path):
         for r in t.to_pylist()
     }
     assert got == {"click": (2, 2, -3, 5), "view": (1, 0, 0, 0)}
+
+
+def test_sessionize_by_time_equals_by_key(ray_session, sess_dir):
+    """The skew-safe time-partitioned sessionizer reconstructs boundary
+    merges exactly — identical rows to the key-partitioned path, across
+    several range counts (including ranges that slice sessions)."""
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    def rows(mode, **kw):
+        t = dp._to_table(dp.sessionize_events(sess_dir, mode=mode, **kw))
+        return sorted(
+            zip(
+                t["user_id"].to_pylist(),
+                t["event_id"].to_pylist(),
+                t["session_idx"].to_pylist(),
+            )
+        )
+
+    base = rows("by_key")
+    for R in (2, 3, 7, 16):
+        assert rows("by_time", time_ranges=R) == base, f"R={R}"
