@@ -396,6 +396,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_filter": lambda sf: dp.gopher_filter(sf),
         "curated_corpus": lambda sf: dp.curated_corpus(sf),
         "running_totals": lambda sf: dp.running_totals(sf),
+        "running_totals_by_time": lambda sf: dp.running_totals(
+            sf, mode="by_time"
+        ),
         "event_type_pivot": lambda sf: dp.event_type_pivot(sf),
         "regex_features": lambda sf: dp.regex_features(sf),
         "json_props_stats": lambda sf: dp.json_props_stats(sf),
@@ -1089,6 +1092,14 @@ from gr
 """,
         "curated_corpus": _curated_corpus_sql(),
         "running_totals": """
+select user_id, event_id,
+  sum(round(value * 100)::bigint) over (
+    partition by user_id order by ts, event_id
+    rows between unbounded preceding and current row
+  )::bigint as running_cents
+from events
+""",
+        "running_totals_by_time": """
 select user_id, event_id,
   sum(round(value * 100)::bigint) over (
     partition by user_id order by ts, event_id

@@ -3111,16 +3111,22 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
 @unreserved
-def running_totals(sf_dir: str):
+def running_totals(sf_dir: str, mode: str = "by_key", time_ranges: int = 16):
     """(user_id, event_id, running_cents) — cumulative per-user value
     total in (ts, event_id) order: the classic running-aggregate window
     (``sum(...) over (partition by user order by ts rows unbounded
     preceding)``). Value carried as exact integer cents so the running
     sum is bit-exact against the SQL window oracle regardless of
     accumulation strategy (a float running sum is order- and
-    tree-shape-dependent). One ``groupby(user_id)`` shuffle; per-group
-    pass is lexsort + cumsum. Same hot-key caveat (and the same
-    time-range remedy) as sessionize_events."""
+    tree-shape-dependent).
+
+    ``by_key``: one ``groupby(user_id)`` shuffle, vectorized lexsort +
+    cumsum per group (assumes one user's history fits a task).
+    ``by_time`` (skew-safe): local cumsums per (user, time-range); the
+    carry-in is just each range's TOTAL, so a grid-sized driver scan of
+    per-range sums + a broadcast offset pass finalizes — the simplest
+    instance of the split-and-carry pattern (cf. sessionize_events /
+    the as-of join)."""
 
     def rows(batch: pa.Table) -> pa.Table:
         ts = batch["ts"]
@@ -3157,14 +3163,112 @@ def running_totals(sf_dir: str):
             }
         )
 
-    return (
-        ray.data.read_parquet(
-            f"{sf_dir}/events.parquet",
-            columns=["user_id", "event_id", "ts", "value"],
+    tagged = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "value"],
+    ).map_batches(rows, batch_format="pyarrow")
+    if mode == "by_time":
+        bounds = _events_ts_bounds(f"{sf_dir}/events.parquet")
+        if bounds is not None:
+            return _running_totals_by_time(tagged, bounds, int(time_ranges))
+    return tagged.groupby("user_id").map_groups(
+        per_user, batch_format="pyarrow"
+    )
+
+
+def _running_totals_by_time(tagged, bounds, R: int):
+    t0, t1 = bounds
+    w = max(1, (t1 - t0) // R + 1)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        tu = batch["tu"].to_numpy(zero_copy_only=False)
+        rng = np.clip((tu - t0) // w, 0, R - 1).astype(np.int64)
+        return batch.append_column("rng", pa.array(rng, pa.int64()))
+
+    def local_cumsum(group: pa.Table) -> pa.Table:
+        group = group.combine_chunks()
+        uid = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = group["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tu = group["tu"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = group["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rng = group["rng"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, tu))
+        run = np.cumsum(cents[order])
+        n = len(order)
+        ev = pa.table(
+            {
+                "user_id": pa.array(uid[order], pa.int64()),
+                "event_id": pa.array(eid[order], pa.int64()),
+                "rng": pa.array(rng[order], pa.int64()),
+                "local_run": pa.array(run, pa.int64()),
+                "total": pa.array(np.zeros(n, np.int64)),
+                "is_sum": pa.array(np.zeros(n, np.int64)),
+            }
         )
-        .map_batches(rows, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pyarrow")
+        summ = pa.table(
+            {
+                "user_id": pa.array([int(uid[0])], pa.int64()),
+                "event_id": pa.array([-1], pa.int64()),
+                "rng": pa.array([int(rng[0])], pa.int64()),
+                "local_run": pa.array([0], pa.int64()),
+                "total": pa.array([int(run[-1])], pa.int64()),
+                "is_sum": pa.array([1], pa.int64()),
+            }
+        )
+        return pa.concat_tables([ev, summ])
+
+    both = (
+        tagged.map_batches(tag, batch_format="pyarrow")
+        .groupby(["user_id", "rng"])
+        .map_groups(local_cumsum, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def _only(v):
+        def m(batch: pa.Table) -> pa.Table:
+            mask = batch["is_sum"].to_numpy(zero_copy_only=False) == v
+            return batch.filter(pa.array(mask))
+
+        return m
+
+    summ = _to_table(both.map_batches(_only(1), batch_format="pyarrow"))
+    keys, offs = [], []
+    if summ.num_rows:
+        su = summ["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sr = summ["rng"].to_numpy(zero_copy_only=False).astype(np.int64)
+        st = summ["total"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((sr, su))
+        prev_u, carry = None, 0
+        for i in order:
+            u = int(su[i])
+            if u != prev_u:
+                prev_u, carry = u, 0
+            keys.append(u * R + int(sr[i]))
+            offs.append(carry)
+            carry += int(st[i])
+    karr = np.asarray(keys, np.int64)
+    oarr = np.asarray(offs, np.int64)
+    ks = np.argsort(karr)
+    karr, oarr = karr[ks], oarr[ks]
+    k_ref, o_ref = ray.put(karr), ray.put(oarr)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        kk, oo = ray.get(k_ref), ray.get(o_ref)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rng = batch["rng"].to_numpy(zero_copy_only=False).astype(np.int64)
+        loc = batch["local_run"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(kk, uid * R + rng)
+        return pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "event_id": pa.array(eid, pa.int64()),
+                "running_cents": pa.array(loc + oo[idx], pa.int64()),
+            }
+        )
+
+    return both.map_batches(_only(0), batch_format="pyarrow").map_batches(
+        finalize, batch_format="pyarrow"
     )
 
 

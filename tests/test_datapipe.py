@@ -1116,3 +1116,21 @@ def test_sessionize_by_time_equals_by_key(ray_session, sess_dir):
     base = rows("by_key")
     for R in (2, 3, 7, 16):
         assert rows("by_time", time_ranges=R) == base, f"R={R}"
+
+
+def test_running_totals_by_time_equals_by_key(ray_session, sess_dir):
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    def rows(mode, **kw):
+        t = dp._to_table(dp.running_totals(sess_dir, mode=mode, **kw))
+        return sorted(
+            zip(
+                t["user_id"].to_pylist(),
+                t["event_id"].to_pylist(),
+                t["running_cents"].to_pylist(),
+            )
+        )
+
+    base = rows("by_key")
+    for R in (2, 3, 7, 16):
+        assert rows("by_time", time_ranges=R) == base, f"R={R}"
