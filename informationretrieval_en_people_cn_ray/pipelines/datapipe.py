@@ -1523,10 +1523,20 @@ def range_join_count(sf_dir: str, scale: float = 1000.0, width: float = 5000.0):
     per_bucket = both.groupby("bucket").map_groups(
         bucket_count, batch_format="pyarrow"
     )
+    # drop zero-count events with a vectorized mask (not a per-row
+    # Python filter); the replica-sum groupby input is OUTPUT-sized
+    # (one row per matched event replica), so no coalesce here — a
+    # repartition would be a third full-size all-to-all (measured 2x
+    # slower)
     agg = per_bucket.groupby("event_id").aggregate(
         Sum("n_orders", alias_name="n_orders")
     )
-    return agg.filter(lambda row: row["n_orders"] > 0)
+
+    def nonzero(batch: pa.Table) -> pa.Table:
+        mask = batch["n_orders"].to_numpy(zero_copy_only=False) > 0
+        return batch.filter(pa.array(mask))
+
+    return agg.map_batches(nonzero, batch_format="pyarrow")
 
 
 @unreserved
