@@ -3028,16 +3028,18 @@ def _gopher_batch(batch: pa.Table) -> pa.Table:
         if len(uniq)
         else np.empty(0, np.float64)
     )
-    if len(codes):
-        # reduceat segments: empty docs (lens==0) share a start with
-        # their successor — mask their sums to zero afterwards
-        sum_len = np.add.reduceat(ulen[codes], np.minimum(starts, len(codes) - 1))
-        sum_stop = np.add.reduceat(ustop[codes], np.minimum(starts, len(codes) - 1))
-        sum_len[n == 0] = 0.0
-        sum_stop[n == 0] = 0.0
-    else:
-        sum_len = np.zeros(len(n), np.float64)
-        sum_stop = np.zeros(len(n), np.float64)
+    sum_len = np.zeros(len(n), np.float64)
+    sum_stop = np.zeros(len(n), np.float64)
+    nonzero = n > 0
+    if len(codes) and nonzero.any():
+        # reduceat over NON-EMPTY docs only: their starts are strictly
+        # increasing and in range. (Clipping empty docs' out-of-range
+        # starts instead silently TRUNCATES the preceding doc's segment
+        # when an empty doc ends the batch — caught by the unicode
+        # text-op fuzz.)
+        nz_starts = starts[nonzero]
+        sum_len[nonzero] = np.add.reduceat(ulen[codes], nz_starts)
+        sum_stop[nonzero] = np.add.reduceat(ustop[codes], nz_starts)
     mlen = sum_len / nz
     swf = sum_stop / nz
     nbig = np.maximum(n - 1, 0)

@@ -1,0 +1,82 @@
+"""End-to-end random-unicode-text parity for the text-analysis ops —
+the full op (Arrow batch tokenizer → vectorized scoring) against its
+DuckDB oracle on texts drawn from the tokenizer's known hazard set
+(Turkish İ, ligatures, ß, punctuation runs, empty/whitespace docs)."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+WORDS = [
+    "the", "a", "table", "scan", "İstanbul", "ﬁle", "Straße", "xßy",
+    "Héllo", "WORLD", "x9", "aİb", "ﬂow", "er", "see", "aa", "q",
+    "part", "filter", "longtokenxxxxxxxxxxxx",
+]
+PUNCT = ["", ",", "!", " §· ", "  ", "\t"]
+
+
+def _mk_docs(d: str, seed: int, n: int):
+    rng = np.random.RandomState(seed)
+    texts = []
+    for _ in range(n):
+        k = int(rng.randint(0, 14))
+        parts = []
+        for _ in range(k):
+            parts.append(WORDS[rng.randint(len(WORDS))])
+            parts.append(PUNCT[rng.randint(len(PUNCT))])
+        texts.append(" ".join(parts))
+    texts[0] = ""          # empty doc
+    if n > 1:
+        texts[1] = "   "   # whitespace-only doc
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+                "source": pa.array(["s"] * n, pa.string()),
+                "n_chars": pa.array(
+                    [len(t) for t in texts], pa.int64()
+                ),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(df.columns)
+    return df[cols].sort_values(cols).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("seed", [5, 17, 91])
+def test_fuzz_textops_vs_duckdb(ray_session, tmp_path, seed):
+    import __ray_entry__ as entrymod
+
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    d = str(tmp_path)
+    _mk_docs(d, seed, 60)
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from '{d}/documents.parquet'"
+    )
+    sqls = entrymod.oracle_sql()
+    for name, fn in [
+        ("top_bigram_frac", dp.top_bigram_frac),
+        ("gopher_filter", dp.gopher_filter),
+        ("tfidf_topk_terms", dp.tfidf_topk_terms),
+        ("token_count", dp.token_count),
+        ("regex_features", dp.regex_features),
+    ]:
+        got = _norm(dp._to_table(fn(d)).to_pandas())
+        exp = _norm(con.sql(sqls[name]).df())
+        pd.testing.assert_frame_equal(
+            got, exp, check_dtype=False, rtol=0, atol=0,
+            obj=f"{name} seed={seed}",
+        )
