@@ -524,7 +524,9 @@ sh as (
     case when len(toks) >= 3
          then [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
                for i in generate_series(1, len(toks) - 2)]
-         else [array_to_string(toks, ' ')] end as shingles
+         -- coalesce: array_to_string([]) is NULL in DuckDB, but the
+         -- engine's zero-token fallback shingle is the EMPTY STRING
+         else [coalesce(array_to_string(toks, ' '), '')] end as shingles
   from base
 )
 select doc_id,
@@ -553,7 +555,9 @@ sh as (
     case when len(toks) >= 3
          then [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
                for i in generate_series(1, len(toks) - 2)]
-         else [array_to_string(toks, ' ')] end as shingles
+         -- coalesce: array_to_string([]) is NULL in DuckDB, but the
+         -- engine's zero-token fallback shingle is the EMPTY STRING
+         else [coalesce(array_to_string(toks, ' '), '')] end as shingles
   from base
 ),
 sig as (
@@ -755,7 +759,9 @@ with base as (
 m as (
   select doc_id,
     len(toks) as n,
-    len(array_to_string(toks, '')) as tok_chars,
+    -- coalesce: array_to_string([]) is NULL in DuckDB; zero tokens
+    -- means zero token characters
+    len(coalesce(array_to_string(toks, ''), '')) as tok_chars,
     len(list_filter(toks, x -> list_contains([{stop}], x))) as n_stop,
     len(text) as n_chars
   from base

@@ -54,11 +54,25 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
     return df[cols].sort_values(cols).reset_index(drop=True)
 
 
-@pytest.mark.parametrize("seed", [5, 17, 91])
+# every SQL-gated datapipe entry that reads ONLY the documents table
+# (index-backed entries are gated by their own fuzz/oracle suites)
+DOC_OPS = [
+    "token_count", "regex_features", "top_bigram_frac", "gopher_filter",
+    "tfidf_topk_terms", "lang_id", "quality_score", "fingerprint",
+    "simhash", "exact_dedup", "minhash_signatures", "near_dup_pairs",
+    "ngram_jaccard", "dedup_clusters", "decontaminate", "split_assign",
+    "stratified_sample", "top_ngrams", "doclen_quantiles",
+    "topk_per_group", "hash_sample", "curated_corpus",
+]
+
+
+def _to_df(res) -> pd.DataFrame:
+    return res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
+
+
+@pytest.mark.parametrize("seed", [5, 17])
 def test_fuzz_textops_vs_duckdb(ray_session, tmp_path, seed):
     import __ray_entry__ as entrymod
-
-    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
 
     d = str(tmp_path)
     _mk_docs(d, seed, 60)
@@ -66,17 +80,16 @@ def test_fuzz_textops_vs_duckdb(ray_session, tmp_path, seed):
     con.execute(
         f"create view documents as select * from '{d}/documents.parquet'"
     )
-    sqls = entrymod.oracle_sql()
-    for name, fn in [
-        ("top_bigram_frac", dp.top_bigram_frac),
-        ("gopher_filter", dp.gopher_filter),
-        ("tfidf_topk_terms", dp.tfidf_topk_terms),
-        ("token_count", dp.token_count),
-        ("regex_features", dp.regex_features),
-    ]:
-        got = _norm(dp._to_table(fn(d)).to_pandas())
+    qs, sqls = entrymod.queries(), entrymod.oracle_sql()
+    failures = []
+    for name in DOC_OPS:
+        got = _norm(_to_df(qs[name](d)))
         exp = _norm(con.sql(sqls[name]).df())
-        pd.testing.assert_frame_equal(
-            got, exp, check_dtype=False, rtol=0, atol=0,
-            obj=f"{name} seed={seed}",
-        )
+        try:
+            pd.testing.assert_frame_equal(
+                got, exp, check_dtype=False, rtol=0, atol=0,
+                obj=f"{name} seed={seed}",
+            )
+        except AssertionError as ex:
+            failures.append((name, str(ex).splitlines()[0]))
+    assert not failures, failures
