@@ -136,6 +136,11 @@ def build_index(
     files = corpus_files(corpus_path)
     plan = fragment_plan(corpus_path)
     total_docs = plan[-1]["base"] + plan[-1]["num_rows"] if plan else 0
+    if total_docs == 0:
+        raise ValueError(
+            f"cannot build an index over an empty corpus: {corpus_path} "
+            "has no rows"
+        )
     lineage = {
         "files": [
             {"path": f, "size": os.path.getsize(f)} for f in files

@@ -622,7 +622,13 @@ def _query_vector(sf_dir: str) -> np.ndarray:
     import pyarrow.parquet as pq
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    idx = t["vec_id"].to_pylist().index(0)
+    ids = t["vec_id"].to_pylist()
+    if 0 not in ids:
+        raise ValueError(
+            "embedding query is defined as vec_id=0, which is absent "
+            f"from {sf_dir}/embeddings.parquet ({len(ids)} rows)"
+        )
+    idx = ids.index(0)
     return np.asarray(t["embedding"][idx].as_py(), dtype=np.float64)
 
 
@@ -1372,6 +1378,18 @@ def broadcast_join_events_customers(sf_dir: str):
             columns=["c_custkey", "c_mktsegment", "c_acctbal"],
         )
     )
+    cust = [t for t in cust if t.num_columns > 0]
+    if not cust:  # empty dimension: Ray drops the schema with the rows
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "c_mktsegment": pa.array([], pa.string()),
+                    "acctbal_cents": pa.array([], pa.int64()),
+                }
+            )
+        )
     small = pa.concat_tables(cust).combine_chunks()
     keys = small["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.argsort(keys, kind="stable")

@@ -1134,3 +1134,33 @@ def test_running_totals_by_time_equals_by_key(ray_session, sess_dir):
     base = rows("by_key")
     for R in (2, 3, 7, 16):
         assert rows("by_time", time_ranges=R) == base, f"R={R}"
+
+
+def test_degenerate_empty_inputs(ray_session, tmp_path):
+    """Empty (0-row, typed) inputs fail loudly where the op is undefined
+    and return typed-empty results where it is well-defined."""
+    import ray as _ray
+
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+    from informationretrieval_en_people_cn_ray.pipelines.build import (
+        BuildConfig,
+        build_index,
+    )
+
+    d = str(tmp_path)
+    src = "/root/testdata/sf0.001"
+    for t in ["documents", "events", "customer", "embeddings"]:
+        pq.write_table(
+            pq.read_schema(os.path.join(src, f"{t}.parquet")).empty_table(),
+            os.path.join(d, f"{t}.parquet"),
+        )
+    with pytest.raises(ValueError, match="empty corpus"):
+        build_index(
+            os.path.join(d, "documents.parquet"),
+            str(tmp_path / "idx"),
+            BuildConfig(num_segments=2),
+        )
+    bj = dp._to_table(dp.broadcast_join_events_customers(d))
+    assert bj.num_rows == 0 and "acctbal_cents" in bj.column_names
+    with pytest.raises(ValueError, match="vec_id=0"):
+        dp.embedding_topk(d)
