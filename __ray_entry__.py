@@ -875,12 +875,21 @@ select d.doc_id, coalesce(f.fp, 0) as fp
 from documents d left join f on d.doc_id = f.doc_id
 """,
         "embedding_topk": """
-with q as (select embedding::DOUBLE[] as qv from embeddings where vec_id = 0)
-select e.vec_id,
-       round(list_cosine_similarity(e.embedding::DOUBLE[], (select qv from q)), 4) as cos
-from embeddings e
-order by list_cosine_similarity(e.embedding::DOUBLE[], (select qv from q)) desc,
-         e.vec_id
+with q as (select embedding::DOUBLE[] as qv from embeddings where vec_id = 0),
+-- zero-vector convention: cosine vs the zero vector is 0 (orthogonal),
+-- matching the engine; DuckDB's list_cosine_similarity returns -1 there
+c as (
+  select e.vec_id,
+    case when list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) = 0
+              or (select list_dot_product(qv, qv) from q) = 0
+         then 0.0
+         else list_cosine_similarity(e.embedding::DOUBLE[], (select qv from q))
+    end as rawcos
+  from embeddings e
+)
+select vec_id, round(rawcos, 4) as cos
+from c
+order by rawcos desc, vec_id
 limit 20
 """,
         "events_window": """
@@ -899,10 +908,16 @@ from events cross join (select unnest([0, 1]) as off) off
 group by event_type, window_start
 """,
         "embedding_cosine_pairs": """
-select a.vec_id as vec_a, b.vec_id as vec_b,
-       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) as cos
-from embeddings a join embeddings b on a.vec_id < b.vec_id
-where list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+with c as (
+  select a.vec_id as vec_a, b.vec_id as vec_b,
+    case when list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) = 0
+              or list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]) = 0
+         then 0.0
+         else list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+    end as rawcos
+  from embeddings a join embeddings b on a.vec_id < b.vec_id
+)
+select vec_a, vec_b, round(rawcos, 4) as cos from c where rawcos >= 0.4
 """,
         "range_join": """
 select e.event_id, count(*) as n_orders
