@@ -55,7 +55,12 @@ class OracleIndex:
         self.az = az
 
     @classmethod
-    def from_corpus(cls, corpus_path: str, stem: bool = True) -> "OracleIndex":
+    def from_corpus(
+        cls,
+        corpus_path: str,
+        stem: bool = True,
+        content_column: str = "content",
+    ) -> "OracleIndex":
         """Read corpus files in sorted order, assigning sequential doc ids —
         the same assignment corpus_source.read_corpus produces."""
         import pyarrow.parquet as pq
@@ -65,7 +70,9 @@ class OracleIndex:
         docs: list[tuple[int, str]] = []
         i = 0
         for f in corpus_files(corpus_path):
-            for text in pq.read_table(f, columns=["content"])["content"].to_pylist():
+            for text in pq.read_table(f, columns=[content_column])[
+                content_column
+            ].to_pylist():
                 docs.append((i, text))
                 i += 1
         return cls(docs, stem=stem)

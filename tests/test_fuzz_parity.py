@@ -61,3 +61,57 @@ def test_fuzz_engine_matches_oracle(ray_session, tmp_path, seed):
             exp = oracle.dirichlet(q, k=10)
             assert [int(i) for i in ids] == [d for d, _ in exp], q
             assert np.allclose(scores, [s for _, s in exp], atol=1e-9), q
+
+
+@pytest.mark.parametrize("seed", [23, 59])
+def test_fuzz_engine_matches_oracle_hazard_corpus(ray_session, tmp_path, seed):
+    """Same engine-vs-oracle net over a HAZARD corpus (unicode case
+    folding, ligatures, empty and whitespace-only documents) — the
+    index path's analogue of the datapipe unicode fuzz."""
+    import os
+
+    from test_fuzz_textops import _mk_docs
+
+    from informationretrieval_en_people_cn_ray.oracle import OracleIndex
+    from informationretrieval_en_people_cn_ray.pipelines.search import (
+        SearchEngine,
+    )
+
+    d = str(tmp_path)
+    _mk_docs(d, seed, 80)
+    corpus = os.path.join(d, "documents.parquet")
+    idx = os.path.join(d, "idx")
+    build_index(
+        corpus,
+        idx,
+        BuildConfig(
+            num_segments=3,
+            docstat_partitions=2,
+            content_column="text",
+            doc_id_column="doc_id",
+        ),
+    )
+    oracle = OracleIndex.from_corpus(corpus, content_column="text")
+    eng = SearchEngine(idx)
+    rng = np.random.RandomState(seed)
+    vocab = sorted(oracle.postings)
+
+    def pick():
+        return vocab[int(rng.randint(len(vocab)))]
+
+    for _ in range(12):
+        kind = int(rng.randint(3))
+        if kind == 0:  # ranked
+            q = " ".join(pick() for _ in range(int(rng.randint(1, 4))))
+            ids, _ = eng.search(q, k=10)
+            assert [int(i) for i in ids] == [
+                doc for doc, _ in oracle.bm25(q, k=10)
+            ], q
+        elif kind == 1:  # boolean AND
+            a, b = pick(), pick()
+            got = set(int(i) for i in eng.search(f"{a} AND {b}"))
+            assert got == (oracle.keyword_set(a) & oracle.keyword_set(b))
+        else:  # prefix (boolean form — a lone token is a ranked query)
+            p = pick()[:2]
+            got = set(int(i) for i in eng.search(f"{p}* AND {p}*"))
+            assert got == oracle.prefix_set(p), p
