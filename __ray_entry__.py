@@ -402,6 +402,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_pivot": lambda sf: dp.event_type_pivot(sf),
         "regex_features": lambda sf: dp.regex_features(sf),
         "json_props_stats": lambda sf: dp.json_props_stats(sf),
+        "bloom_semi_join": lambda sf: dp.bloom_semi_join(sf),
+        "poisson_sample": lambda sf: dp.poisson_sample(sf),
         "distinct_users": lambda sf: dp.distinct_users(sf),
         "hll_distinct_users": lambda sf: dp.hll_distinct_users(sf),
         "media_decode": lambda sf: dp.media_decode(sf),
@@ -1152,7 +1154,13 @@ select event_type, count(*)::bigint as n,
   max((props->>'$.k')::bigint)::bigint as max_k
 from events group by event_type
 """,
-        # rows-only (approximate / stateful / stemmer-dependent):
+        "poisson_sample": """
+select doc_id, n_chars from documents
+where ((md5_number_lower('poisson:' || doc_id::varchar)
+        & 9223372036854775807) % 1000000) * 400 < n_chars * 1000000
+""",
+        # rows-only (bloom_semi_join is approximate: one-sided error,
+        # FP-rate pytest-gated) (approximate / stateful / stemmer-dependent):
         # bm25_topk_stemmed, reference_queryset_stemmed,
         # index_segment_stats_stemmed, embedding_lsh_topk,
         # embedding_ivf_topk, embed_then_topk, media_decode,

@@ -3430,3 +3430,109 @@ def json_props_stats(sf_dir: str):
             Max("max_k", alias_name="max_k"),
         )
     )
+
+
+BLOOM_BITS = 1 << 20  # 128 KiB bitmap — broadcast-budget sized
+BLOOM_HASHES = 4
+
+
+def _bloom_positions(keys: np.ndarray) -> np.ndarray:
+    """(len(keys), BLOOM_HASHES) bit positions via splitmix64 re-mixing
+    (same vectorized mixer as the sink's partitioner)."""
+    from ..state.sink import _splitmix64
+
+    with np.errstate(over="ignore"):
+        h = keys.astype(np.uint64)
+        out = np.empty((len(keys), BLOOM_HASHES), np.int64)
+        for i in range(BLOOM_HASHES):
+            h = _splitmix64(h + np.uint64(i + 1))
+            out[:, i] = (h % np.uint64(BLOOM_BITS)).astype(np.int64)
+    return out
+
+
+@unreserved
+def bloom_semi_join(sf_dir: str):
+    """(c_custkey, maybe_has_events) — mergeable BLOOM FILTER as the
+    join pre-filter primitive: pass 1 streams the fact side (events)
+    building per-batch partial bitmaps that OR together into one
+    fixed-size filter (BLOOM_BITS bits — the shuffle/driver payload is
+    the BITMAP, constant in the fact-row count; this is what replaces
+    the exact distinct-key broadcast of ``semi_anti_join_customers``
+    when the key domain itself is too large to ship); pass 2 probes the
+    dimension. One-sided error by construction: every true member is
+    flagged (no false negatives — pytest-gated along with the FP-rate
+    bound), so the op is approximate → rows-only driver check."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bits = np.zeros(BLOOM_BITS, bool)
+        ks = np.unique(
+            batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        if len(ks):
+            bits[_bloom_positions(ks).ravel()] = True
+        return pa.table({"bits": pa.array([np.packbits(bits).tobytes()])})
+
+    parts = _arrow_blocks(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id"]
+        ).map_batches(partial, batch_format="pyarrow")
+    )
+    acc = np.zeros(BLOOM_BITS // 8, np.uint8)
+    for t in parts:
+        if t.num_columns and t.num_rows:
+            for b in t["bits"].to_pylist():
+                acc |= np.frombuffer(b, np.uint8)
+    bits = np.unpackbits(acc).astype(bool)
+    bits_ref = ray.put(bits)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bm = ray.get(bits_ref)
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ck):
+            pos = _bloom_positions(ck)
+            hit = bm[pos].all(axis=1)
+        else:
+            hit = np.zeros(0, bool)
+        return pa.table(
+            {
+                "c_custkey": pa.array(ck, pa.int64()),
+                "maybe_has_events": pa.array(hit.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).map_batches(probe, batch_format="pyarrow")
+
+
+@unreserved
+def poisson_sample(sf_dir: str, scale_chars: int = 400):
+    """(doc_id, n_chars) — deterministic WEIGHTED (Poisson) sampling:
+    each document is kept independently with probability
+    ``min(1, n_chars / scale_chars)`` decided by its salted hash bucket
+    — longer docs proportionally more likely, reproducible at any
+    parallelism (the weighted counterpart of hash_sample / the
+    distributed stand-in for weighted reservoir sampling). Zero
+    shuffle, exact SQL oracle."""
+    from ..functions.hashing import md5_i63
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = np.fromiter(
+            (md5_i63(f"poisson:{i}") % 1_000_000 for i in ids),
+            np.int64,
+            count=len(ids),
+        )
+        # keep iff bucket < n_chars/scale * 1e6 (integer-exact both sides)
+        keep = bucket * scale_chars < nch * 1_000_000
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "n_chars": pa.array(nch[keep], pa.int64()),
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        f, batch_format="pyarrow"
+    )

@@ -1164,3 +1164,53 @@ def test_degenerate_empty_inputs(ray_session, tmp_path):
     assert bj.num_rows == 0 and "acctbal_cents" in bj.column_names
     with pytest.raises(ValueError, match="vec_id=0"):
         dp.embedding_topk(d)
+
+
+def test_bloom_semi_join_one_sided(ray_session, rel_dir):
+    """Bloom membership: NO false negatives (every customer with events
+    flagged); false positives bounded far under 1% at this load."""
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    t = dp._to_table(dp.bloom_semi_join(rel_dir))
+    got = {
+        r["c_custkey"]: r["maybe_has_events"] for r in t.to_pylist()
+    }
+    assert got[2] == 1 and got[4] == 1      # true members always flagged
+    # 3 distinct keys in a 2^20-bit filter: FP probability ~1e-20 —
+    # non-members must come back clean
+    assert got[1] == 0 and got[3] == 0
+
+
+def test_poisson_sample_weighting(ray_session, tmp_path):
+    import ray as _ray
+
+    from informationretrieval_en_people_cn_ray.functions.hashing import md5_i63
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    d = str(tmp_path)
+    n = 300
+    nch = np.concatenate([np.zeros(100, np.int64),          # never kept
+                          np.full(100, 200, np.int64),      # p = 0.5
+                          np.full(100, 4000, np.int64)])    # p = 1 (cap)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n), pa.int64()),
+                "text": pa.array(["x"] * n, pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+                "source": pa.array(["s"] * n, pa.string()),
+                "n_chars": pa.array(nch, pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    t = dp._to_table(dp.poisson_sample(d))
+    kept = set(t["doc_id"].to_pylist())
+    assert not kept & set(range(100))            # weight 0 → never
+    assert set(range(200, 300)) <= kept          # weight ≥ 1 → always
+    mid = [i for i in range(100, 200) if i in kept]
+    assert 25 <= len(mid) <= 75                  # p = 0.5 band
+    # decision matches the documented hash rule exactly
+    for i in range(100, 200):
+        expect = (md5_i63(f"poisson:{i}") % 1_000_000) * 400 < 200 * 1_000_000
+        assert (i in kept) == expect
