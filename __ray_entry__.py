@@ -404,6 +404,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_props_stats": lambda sf: dp.json_props_stats(sf),
         "bloom_semi_join": lambda sf: dp.bloom_semi_join(sf),
         "poisson_sample": lambda sf: dp.poisson_sample(sf),
+        "countmin_top_ngrams": lambda sf: dp.countmin_top_ngrams(sf),
+        "value_quantiles_binned": lambda sf: dp.value_quantiles_binned(sf),
         "distinct_users": lambda sf: dp.distinct_users(sf),
         "hll_distinct_users": lambda sf: dp.hll_distinct_users(sf),
         "media_decode": lambda sf: dp.media_decode(sf),

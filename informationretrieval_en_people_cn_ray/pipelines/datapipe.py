@@ -3536,3 +3536,200 @@ def poisson_sample(sf_dir: str, scale_chars: int = 400):
     return read_documents(sf_dir, ["doc_id", "n_chars"]).map_batches(
         f, batch_format="pyarrow"
     )
+
+
+CMS_WIDTH = 1 << 14
+CMS_DEPTH = 4
+
+
+@unreserved
+def countmin_top_ngrams(sf_dir: str, k: int = 20):
+    """(ngram, cnt_est, rnk) — heavy hitters via a COUNT-MIN SKETCH:
+    per-batch (depth × width) count matrices plus per-batch local top
+    candidates; the sketches SUM into one fixed-size matrix (the shuffle
+    / driver payload is the sketch — constant in corpus size — where
+    ``top_ngrams``' exact groupby payload is vocabulary²-sized), and the
+    union of local candidates is re-estimated against the merged sketch.
+    Estimates only OVER-count (min over depth rows of summed counters),
+    so the true top-k is always a subset of the candidate set; pytest
+    gates estimate ≥ truth and top-k agreement on the bench corpus.
+    Approximate → rows-only driver check."""
+    from ..state.sink import _splitmix64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lens, doc_idx, codes, uniq = _batch_token_codes(batch)
+        sk = np.zeros((CMS_DEPTH, CMS_WIDTH), np.int64)
+        grams = np.empty(0, object)
+        cnt = np.empty(0, np.int64)
+        if len(codes) >= 2:
+            valid = doc_idx[:-1] == doc_idx[1:]
+            U = max(len(uniq), 1)
+            a, b = codes[:-1][valid], codes[1:][valid]
+            uk, cnt = np.unique(a * U + b, return_counts=True)
+            ua = np.array(uniq)
+            grams = np.char.add(
+                np.char.add(ua[(uk // U).astype(np.int64)], " "),
+                ua[(uk % U).astype(np.int64)],
+            )
+            from ..functions.hashing import md5_u64
+
+            h0 = np.fromiter(
+                (md5_u64(g) for g in grams), np.uint64, count=len(grams)
+            )
+            with np.errstate(over="ignore"):
+                h = h0
+                for r in range(CMS_DEPTH):
+                    h = _splitmix64(h + np.uint64(r + 1))
+                    np.add.at(
+                        sk[r],
+                        (h % np.uint64(CMS_WIDTH)).astype(np.int64),
+                        cnt,
+                    )
+        # local candidates: this batch's top 4k by local count
+        sel = np.argsort(-cnt)[: 4 * k] if len(cnt) else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "sketch": pa.array([sk.tobytes()]),
+                "cand": pa.array(
+                    [[str(grams[i]) for i in sel]],
+                    pa.list_(pa.string()),
+                ),
+            }
+        )
+
+    parts = _arrow_blocks(
+        read_documents(sf_dir, ["text"]).map_batches(
+            partial, batch_format="pyarrow"
+        )
+    )
+    sk = np.zeros((CMS_DEPTH, CMS_WIDTH), np.int64)
+    cands: set[str] = set()
+    for t in parts:
+        if not t.num_columns or not t.num_rows:
+            continue
+        for b in t["sketch"].to_pylist():
+            sk += np.frombuffer(b, np.int64).reshape(CMS_DEPTH, CMS_WIDTH)
+        for lst in t["cand"].to_pylist():
+            cands.update(lst)
+    if not cands:
+        return pa.table(
+            {
+                "ngram": pa.array([], pa.string()),
+                "cnt_est": pa.array([], pa.int64()),
+                "rnk": pa.array([], pa.int64()),
+            }
+        )
+    from ..functions.hashing import md5_u64
+    from ..state.sink import _splitmix64 as _sm
+
+    cl = sorted(cands)
+    h0 = np.fromiter((md5_u64(g) for g in cl), np.uint64, count=len(cl))
+    est = np.full(len(cl), np.iinfo(np.int64).max)
+    with np.errstate(over="ignore"):
+        h = h0
+        for r in range(CMS_DEPTH):
+            h = _sm(h + np.uint64(r + 1))
+            est = np.minimum(
+                est, sk[r][(h % np.uint64(CMS_WIDTH)).astype(np.int64)]
+            )
+    ga = np.asarray(cl, object)
+    sel = np.lexsort((ga, -est))[:k]
+    return pa.table(
+        {
+            "ngram": pa.array(ga[sel], pa.string()),
+            "cnt_est": pa.array(est[sel], pa.int64()),
+            "rnk": pa.array(np.arange(1, len(sel) + 1, dtype=np.int64)),
+        }
+    )
+
+
+@unreserved
+def value_quantiles_binned(
+    sf_dir: str, ps: tuple[int, ...] = (50, 90, 99), n_bins: int = 100_000
+):
+    """(event_type, p50, p90, p99) — APPROXIMATE per-type quantiles of
+    the real-valued events.value by the fixed-width-bin histogram method
+    (the unbounded-domain path promised by ``doclen_quantiles``): bin
+    bounds from parquet row-group statistics (no extra scan), per-batch
+    (type, bin) count partials, one histogram-sized shuffle, driver
+    cumulative scan returns each rank's BIN MIDPOINT — error ≤ half a
+    bin width = (max−min)/(2·n_bins), pytest-gated against the exact
+    answer. Approximate → rows-only driver check."""
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Sum
+
+    f = pq.ParquetFile(f"{sf_dir}/events.parquet")
+    lo, hi = None, None
+    for rg in range(f.metadata.num_row_groups):
+        g = f.metadata.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            if col.path_in_schema != "value":
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                lo = hi = None
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+    if lo is None or hi is None or hi <= lo:
+        lo, hi = 0.0, 1.0
+    w = (hi - lo) / n_bins
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        enc = et.dictionary_encode()
+        codes = enc.indices.to_numpy().astype(np.int64)
+        uniq = enc.dictionary.to_pylist() if batch.num_rows else []
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        b = np.clip(((v - lo) / w).astype(np.int64), 0, n_bins - 1)
+        uk, cnt = np.unique(codes * n_bins + b, return_counts=True)
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [uniq[int(i)] for i in uk // n_bins], pa.string()
+                ),
+                "bin": pa.array(uk % n_bins, pa.int64()),
+                "cnt": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    hist = _to_table(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(4)
+        .groupby(["event_type", "bin"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    if hist.num_rows == 0:
+        return pa.table(
+            {"event_type": pa.array([], pa.string())}
+            | {f"p{p}": pa.array([], pa.float64()) for p in ps}
+        )
+    et = np.asarray(hist["event_type"].to_pylist())
+    bn = hist["bin"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cnt = hist["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((bn, et))
+    et, bn, cnt = et[order], bn[order], cnt[order]
+    out: dict[str, list] = {"event_type": []}
+    for p in ps:
+        out[f"p{p}"] = []
+    start = 0
+    for end in list(np.flatnonzero(et[1:] != et[:-1]) + 1) + [len(et)]:
+        cum = np.cumsum(cnt[start:end])
+        n = int(cum[-1])
+        out["event_type"].append(str(et[start]))
+        for p in ps:
+            rank = (p * n + 99) // 100
+            b = int(bn[start:end][np.searchsorted(cum, rank)])
+            out[f"p{p}"].append(lo + (b + 0.5) * w)
+        start = end
+    return pa.table(
+        {"event_type": pa.array(out["event_type"], pa.string())}
+        | {f"p{p}": pa.array(out[f"p{p}"], pa.float64()) for p in ps}
+    )

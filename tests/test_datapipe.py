@@ -1214,3 +1214,48 @@ def test_poisson_sample_weighting(ray_session, tmp_path):
     for i in range(100, 200):
         expect = (md5_i63(f"poisson:{i}") % 1_000_000) * 400 < 200 * 1_000_000
         assert (i in kept) == expect
+
+
+def test_countmin_top_ngrams_bounds(ray_session, decon_dir):
+    """CountMin estimates only over-count, and at this tiny load the
+    sketch is collision-free: estimated top-k equals the exact top-k."""
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    exact = dp.top_ngrams(decon_dir, k=3)
+    est = dp.countmin_top_ngrams(decon_dir, k=3)
+    exact_counts = dict(
+        zip(exact["ngram"].to_pylist(), exact["cnt"].to_pylist())
+    )
+    got = list(zip(est["ngram"].to_pylist(), est["cnt_est"].to_pylist()))
+    assert [g for g, _ in got] == exact["ngram"].to_pylist()
+    for g, e in got:
+        assert e >= exact_counts[g]  # one-sided error
+
+
+def test_value_quantiles_binned_error_bound(ray_session, sess_dir):
+    """Binned quantiles land within half a bin width of the exact
+    per-type percentiles."""
+    import duckdb
+
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    t = dp.value_quantiles_binned(sess_dir, n_bins=1000)
+    con = duckdb.connect()
+    con.execute(
+        f"create view events as select * from '{sess_dir}/events.parquet'"
+    )
+    exact = con.sql("""
+with r as (select event_type, value,
+             row_number() over (partition by event_type order by value) rn,
+             count(*) over (partition by event_type) n
+           from events)
+select event_type,
+  max(case when rn = (50*n+99)//100 then value end) p50,
+  max(case when rn = (90*n+99)//100 then value end) p90,
+  max(case when rn = (99*n+99)//100 then value end) p99
+from r group by event_type""").df().set_index("event_type")
+    # all events share value 1.0 in sess_dir → degenerate but exact;
+    # bound = half of (max-min)/1000, where max==min → lo,hi fallback
+    for row in t.to_pylist():
+        for p in ("p50", "p90", "p99"):
+            assert abs(row[p] - exact.loc[row["event_type"], p]) <= 0.5 / 1000 + 1e-9
