@@ -155,6 +155,37 @@ def _q_phrase_prefix(sf_dir: str) -> pa.Table:
     return _ids_table(eng.search(f"'{PHRASE_PREFIX}'* AND '{PHRASE_PREFIX}'*"))
 
 
+def _q_bm25_snippets(sf_dir: str) -> pa.Table:
+    """(doc_id, score, snippet) — ranked hits WITH result snippets: the
+    7-token window centered on the document's FIRST query-term match
+    (the search-result presentation step; reference counterpart: the
+    result printer's comment hydration). Top-k-sized driver work: the
+    ranked ids come from the engine, the texts from DocStore point
+    reads, the window from the shared SQL-parity tokenizer."""
+    from informationretrieval_en_people_cn_ray.sources.corpus_source import (
+        DocStore,
+    )
+    from informationretrieval_en_people_cn_ray.text import tokenize
+
+    eng = _engine(sf_dir)
+    ids, scores = eng.search(Q_TEXT, k=BM25_K, scorer="bm25")
+    store = DocStore(os.path.join(sf_dir, "documents.parquet"))
+    texts = dict(
+        zip(
+            (t := store.lookup(ids, columns=["text"]))["doc_id"].to_pylist(),
+            t["text"].to_pylist(),
+        )
+    )
+    qset = set(Q_TERMS)
+    snips = []
+    for i in ids:
+        toks = tokenize(texts[int(i)])
+        p = next(j for j, tk in enumerate(toks) if tk in qset)
+        snips.append(" ".join(toks[max(p - 3, 0) : p + 4]))
+    out = _ranked_table(ids, scores)
+    return out.append_column("snippet", pa.array(snips, pa.string()))
+
+
 def _q_postings(sf_dir: str) -> pa.Table:
     """(term, doc_id, tf) for the fixed sample terms — decoded straight
     from the built segments."""
@@ -339,6 +370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings_sample": _q_postings,
         "positions_sample": _q_positions,
         "bm25_topk": _q_bm25,
+        "bm25_snippets": _q_bm25_snippets,
         "bm25_topk_by_range": _q_bm25_by_range,
         "dirichlet_topk": _q_dirichlet,
         "boolean_and": _q_boolean_and,
@@ -453,6 +485,24 @@ order by sum(
   * f.tf * 2.5 / (f.tf + 1.5 * (0.25 + 0.75 * d.dl / (s.c::double / s.n)))
 ) desc, f.doc_id
 limit {BM25_K}
+"""
+
+
+def _bm25_snippets_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in Q_TERMS)
+    return f"""
+with ranked as ({_bm25_sql()}),
+{_TOK_CTE},
+first as (
+  select doc_id, min(pos) as p from tok
+  where term in ({terms}) group by doc_id
+),
+tk as (select doc_id, {_TOK} as t from documents)
+select r.doc_id, r.score,
+       array_to_string(tk.t[greatest(f.p - 3, 1):f.p + 3], ' ') as snippet
+from ranked r
+join first f on f.doc_id = r.doc_id
+join tk on tk.doc_id = r.doc_id
 """
 
 
@@ -816,6 +866,7 @@ select term, doc_id, pos
 from tok where term in ({sample})
 """,
         "bm25_topk": _bm25_sql(),
+        "bm25_snippets": _bm25_snippets_sql(),
         "bm25_topk_by_range": _bm25_sql(),
         "dirichlet_topk": _dirichlet_sql(),
         "boolean_and": f"""

@@ -356,3 +356,36 @@ def test_ranked_by_range_identical(ray_session, engine, oracle):
             b_ids, b_sc = engine.ranked_by_range(plan, k=k)
             assert [int(x) for x in a_ids] == [int(x) for x in b_ids], (q, k)
             assert np.allclose(a_sc, b_sc, atol=0), (q, k)
+
+
+def test_bm25_snippets_window(ray_session, tmp_path):
+    """Snippet = 7-token window centered on the FIRST query-term match,
+    clamped at document edges."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    d = str(tmp_path)
+    texts = [
+        "scan a b c d e f g",             # match at pos 0 → left-clamped
+        "w1 w2 w3 w4 w5 join x1 x2 x3 x4",  # match mid → full window
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en", "en"], pa.string()),
+                "source": pa.array(["s", "s"], pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    t = entrymod.queries()["bm25_snippets"](d)
+    snip = dict(zip(t["doc_id"].to_pylist(), t["snippet"].to_pylist()))
+    assert snip[0] == "scan a b c"                  # pos 0: 0..+3
+    assert snip[1] == "w3 w4 w5 join x1 x2 x3"      # pos 5: ±3
