@@ -425,6 +425,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_assign": lambda sf: dp.split_assign(sf),
         "stratified_sample": lambda sf: dp.stratified_sample(sf),
         "top_ngrams": lambda sf: dp.top_ngrams(sf),
+        "pmi_bigrams": lambda sf: dp.pmi_bigrams(sf),
+        "weighted_sample": lambda sf: dp.weighted_sample(sf),
+        "unigram_logprob": lambda sf: dp.unigram_logprob(sf),
         "gopher_filter": lambda sf: dp.gopher_filter(sf),
         "curated_corpus": lambda sf: dp.curated_corpus(sf),
         "running_totals": lambda sf: dp.running_totals(sf),
@@ -1160,6 +1163,51 @@ r as (select ngram, cnt,
              row_number() over (order by cnt desc, ngram asc) as rnk
       from c)
 select ngram, cnt, rnk from r where rnk <= 20
+""",
+        "pmi_bigrams": f"""
+with {_TOK_CTE},
+big as (
+  select a.term as ta, b.term as tb
+  from tok a join tok b on b.doc_id = a.doc_id and b.pos = a.pos + 1
+),
+bc as (select ta, tb, count(*)::bigint as cnt from big group by ta, tb),
+uc as (select term, count(*)::bigint as cnt_u from tok group by term),
+t as (select (select count(*) from tok)::double as n_uni,
+             (select count(*) from big)::double as n_big)
+select bc.ta || ' ' || bc.tb as ngram, bc.cnt as cnt,
+  round(ln((bc.cnt::double * t.n_uni * t.n_uni)
+           / (t.n_big * ua.cnt_u::double * ub.cnt_u::double)), 4) as pmi
+from bc
+cross join t
+join uc ua on ua.term = bc.ta
+join uc ub on ub.term = bc.tb
+where bc.cnt >= 5
+""",
+        "weighted_sample": """
+with b as (
+  select doc_id, n_chars,
+    ln((((md5_number_lower('wsample:' || doc_id::varchar)
+          & 9223372036854775807) % 9007199254740991) + 1)::double
+       / 9007199254740992.0) / n_chars::double as wkey
+  from documents where n_chars > 0
+),
+r as (select doc_id, n_chars, wkey,
+             row_number() over (order by wkey desc, doc_id asc) as rnk
+      from b)
+select doc_id, n_chars, round(wkey, 4) as wkey, rnk from r where rnk <= 20
+""",
+        "unigram_logprob": f"""
+with {_TOK_CTE},
+uc as (select term, count(*)::bigint as cnt_u from tok group by term),
+t as (select count(*)::double as n_uni from tok),
+lp as (select term,
+              cast(round(ln(cnt_u::double / t.n_uni) * 10000.0) as bigint)
+                as lp_e4
+       from uc cross join t)
+select tok.doc_id, count(*)::bigint as n_tokens,
+       sum(lp.lp_e4)::bigint as logprob_e4
+from tok join lp on lp.term = tok.term
+group by tok.doc_id
 """,
         "gopher_filter": f"""
 with {_gopher_ctes()}

@@ -3733,3 +3733,295 @@ def value_quantiles_binned(
         {"event_type": pa.array(out["event_type"], pa.string())}
         | {f"p{p}": pa.array(out[f"p{p}"], pa.float64()) for p in ps}
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-statistics ops: bigram association (PMI), weighted sampling,
+# unigram-LM document scoring
+
+PMI_MIN_COUNT = 5  # bigrams below this global count are noise, dropped
+
+
+@unreserved
+def pmi_bigrams(sf_dir: str, min_count: int = PMI_MIN_COUNT):
+    """(ngram, cnt, pmi) — pointwise mutual information for every bigram
+    with global count ≥ ``min_count``: pmi = ln(p(ab) / (p(a)·p(b))) with
+    p(ab) over the bigram stream and p(a), p(b) over the token stream.
+    The collocation-extraction / tokenizer-merge-rule report (the same
+    statistic BPE-style merges maximize).
+
+    Scale shape: ONE corpus pass emits per-batch dictionary-coded
+    partial counts for unigrams, bigrams and the two stream totals as a
+    single tagged table, so one vocabulary²-bounded
+    ``groupby(kind, gram)`` finalizes everything; low-count bigrams are
+    dropped per-block AFTER the global sum (the filter is on final
+    counts) so the driver assembles only the vocab-sized unigram table
+    plus the report itself. At a vocabulary too large for driver
+    assembly, the same tagged table feeds a broadcast-join variant
+    (unigram side is the small one by construction). Exact SQL oracle:
+    both sides evaluate the identical double expression
+    ln((cnt·N_uni·N_uni) / (N_big·cnt_a·cnt_b)), rounded half-away at 4
+    decimals."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lens, doc_idx, codes, uniq = _batch_token_codes(batch)
+        kinds: list[np.ndarray] = []
+        grams: list[np.ndarray] = []
+        cnts: list[np.ndarray] = []
+        n_uni = int(len(codes))
+        n_big = 0
+        if len(uniq):
+            uc, ucnt = np.unique(codes, return_counts=True)
+            ua = np.array(uniq)
+            kinds.append(np.full(len(uc), "u", object))
+            grams.append(ua[uc])
+            cnts.append(ucnt.astype(np.int64))
+        if len(codes) >= 2:
+            valid = doc_idx[:-1] == doc_idx[1:]
+            n_big = int(valid.sum())
+            U = max(len(uniq), 1)
+            a, b = codes[:-1][valid], codes[1:][valid]
+            uk, bcnt = np.unique(a * U + b, return_counts=True)
+            ua = np.array(uniq)
+            bg = np.char.add(
+                np.char.add(ua[(uk // U).astype(np.int64)], " "),
+                ua[(uk % U).astype(np.int64)],
+            )
+            kinds.append(np.full(len(uk), "b", object))
+            grams.append(bg.astype(object))
+            cnts.append(bcnt.astype(np.int64))
+        kinds.append(np.array(["t", "t"], object))
+        grams.append(np.array(["uni", "big"], object))
+        cnts.append(np.array([n_uni, n_big], np.int64))
+        return pa.table(
+            {
+                "kind": pa.array(np.concatenate(kinds), pa.string()),
+                "gram": pa.array(np.concatenate(grams), pa.string()),
+                "cnt": pa.array(np.concatenate(cnts), pa.int64()),
+            }
+        )
+
+    def post_filter(batch: pa.Table) -> pa.Table:
+        # final counts (post-groupby): drop the low-count bigram tail so
+        # only vocab-sized + output-sized rows reach the driver
+        import pyarrow.compute as pc
+
+        keep = pc.or_(
+            pc.not_equal(batch["kind"], "b"),
+            pc.greater_equal(batch["cnt"], min_count),
+        )
+        return batch.filter(keep)
+
+    agg = _to_table(
+        read_documents(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(8)
+        .groupby(["kind", "gram"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .map_batches(post_filter, batch_format="pyarrow")
+    )
+    empty = pa.table(
+        {
+            "ngram": pa.array([], pa.string()),
+            "cnt": pa.array([], pa.int64()),
+            "pmi": pa.array([], pa.float64()),
+        }
+    )
+    if agg.num_rows == 0:
+        return empty
+    kind = np.asarray(agg["kind"].to_pylist())
+    gram = np.asarray(agg["gram"].to_pylist(), object)
+    cnt = agg["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    tot = {str(g): int(c) for g, c in zip(gram[kind == "t"], cnt[kind == "t"])}
+    n_uni = float(tot.get("uni", 0))
+    n_big = float(tot.get("big", 0))
+    um = kind == "u"
+    uterms = gram[um].astype(str)
+    uorder = np.argsort(uterms)
+    uterms, ucnt = uterms[uorder], cnt[um][uorder].astype(np.float64)
+    bm = kind == "b"
+    if not bm.any() or n_big == 0:
+        return empty
+    bg = gram[bm].astype(str)
+    bcnt = cnt[bm].astype(np.int64)
+    parts = np.char.partition(bg, " ")
+    ta, tb = parts[:, 0], parts[:, 2]
+    ca = ucnt[np.searchsorted(uterms, ta)]
+    cb = ucnt[np.searchsorted(uterms, tb)]
+    # identical double expression tree as the SQL oracle (left-assoc)
+    pmi = np.log((bcnt.astype(np.float64) * n_uni * n_uni) / (n_big * ca * cb))
+    order = np.argsort(bg)
+    return pa.table(
+        {
+            "ngram": pa.array(bg[order], pa.string()),
+            "cnt": pa.array(bcnt[order], pa.int64()),
+            "pmi": pa.array(
+                [round4(float(x)) for x in pmi[order]], pa.float64()
+            ),
+        }
+    )
+
+
+WSAMPLE_U_MOD = 9007199254740991  # 2^53 - 1: u in (0, 1] exactly in double
+
+
+@unreserved
+def weighted_sample(sf_dir: str, k: int = 20):
+    """(doc_id, n_chars, wkey, rnk) — deterministic weight-proportional
+    sample WITHOUT replacement of k documents, weight = n_chars, by the
+    Efraimidis–Spirakis A-ES scheme: each row draws a reproducible
+    uniform u ∈ (0,1] from md5("wsample:"||doc_id) and the k largest
+    u^(1/w) win — computed as ln(u)/w, which is order-equivalent and
+    float-cheaper. The "sample long documents proportionally more"
+    curation primitive, exactly re-runnable on any cluster shape.
+
+    Scale shape: embarrassingly parallel per-batch key computation +
+    per-batch partial top-k (≤ k rows leave each batch), k·blocks driver
+    merge; zero shuffle, corpus read once with only the needed columns.
+    Exact SQL oracle — both sides evaluate the identical double
+    expression on the identical md5-derived u."""
+    from ..functions.hashing import md5_i63
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = w > 0
+        ids, w = ids[keep], w[keep]
+        h = np.fromiter(
+            (md5_i63(f"wsample:{i}") for i in ids), np.int64, count=len(ids)
+        )
+        u = ((h % WSAMPLE_U_MOD) + 1).astype(np.float64) / 9007199254740992.0
+        wkey = np.log(u) / w.astype(np.float64)
+        sel = np.lexsort((ids, -wkey))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[sel], pa.int64()),
+                "n_chars": pa.array(w[sel], pa.int64()),
+                "wkey": pa.array(wkey[sel], pa.float64()),
+            }
+        )
+
+    cand = _to_table(
+        read_documents(sf_dir, ["doc_id", "n_chars"]).map_batches(
+            partial, batch_format="pyarrow"
+        )
+    )
+    if cand.num_rows == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_chars": pa.array([], pa.int64()),
+                "wkey": pa.array([], pa.float64()),
+                "rnk": pa.array([], pa.int64()),
+            }
+        )
+    ids = cand["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    w = cand["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+    wkey = cand["wkey"].to_numpy(zero_copy_only=False)
+    sel = np.lexsort((ids, -wkey))[:k]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[sel], pa.int64()),
+            "n_chars": pa.array(w[sel], pa.int64()),
+            "wkey": pa.array(
+                [round4(float(x)) for x in wkey[sel]], pa.float64()
+            ),
+            "rnk": pa.array(np.arange(1, len(sel) + 1, dtype=np.int64)),
+        }
+    )
+
+
+@unreserved
+def unigram_logprob(sf_dir: str):
+    """(doc_id, n_tokens, logprob_e4) — per-document log-probability
+    under the corpus's own unigram language model (the CCNet/KenLM-style
+    "perplexity" quality filter, with the corpus itself as the LM):
+    logprob_e4 = Σ_tokens round(ln(cnt(term)/N) · 1e4), an INTEGER in
+    1e-4-nat units. Quantizing each term's log-prob to int64 BEFORE the
+    per-doc sum makes the result exactly order-independent — a float sum
+    would depend on reduction order and could never hash-match a SQL
+    oracle. Zero-token documents have no LM score and are omitted (the
+    oracle's join drops them identically).
+
+    Scale shape: pass 1 is a vocabulary-bounded unigram groupby whose
+    result ships once via ray.put (the broadcast-small-side pattern;
+    vocab ≪ corpus by Heaps' law); pass 2 is an embarrassingly parallel
+    per-batch searchsorted lookup + segment-sum. Exact SQL oracle."""
+    from ray.data.aggregate import Sum
+
+    def ucounts(batch: pa.Table) -> pa.Table:
+        lens, doc_idx, codes, uniq = _batch_token_codes(batch)
+        if not len(uniq):
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        uc, ucnt = np.unique(codes, return_counts=True)
+        return pa.table(
+            {
+                "term": pa.array(np.array(uniq)[uc], pa.string()),
+                "cnt": pa.array(ucnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    uni = _to_table(
+        read_documents(sf_dir, ["text"])
+        .map_batches(ucounts, batch_format="pyarrow")
+        .repartition(4)
+        .groupby("term")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    if uni.num_rows == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "logprob_e4": pa.array([], pa.int64()),
+            }
+        )
+    terms = np.asarray(uni["term"].to_pylist())
+    cnt = uni["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(terms)
+    terms, cnt = terms[order], cnt[order]
+    n_uni = float(cnt.sum())
+    # identical expression as the SQL oracle: round(ln(c/N)·1e4)::bigint
+    v = np.log(cnt.astype(np.float64) / n_uni) * 10000.0
+    lp_e4 = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+    lm_ref = ray.put((terms, lp_e4))
+
+    def score(batch: pa.Table) -> pa.Table:
+        terms_s, lp = ray.get(lm_ref)
+        lens, doc_idx, codes, uniq = _batch_token_codes(batch)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.asarray(lens, np.int64)
+        nz = lens > 0
+        if not nz.any():
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "logprob_e4": pa.array([], pa.int64()),
+                }
+            )
+        tok_lp = lp[
+            np.searchsorted(terms_s, np.array(uniq))[codes]
+            if len(uniq)
+            else np.empty(0, np.int64)
+        ]
+        starts = np.zeros(len(lens), np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        sums = np.add.reduceat(tok_lp, starts[nz])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[nz], pa.int64()),
+                "n_tokens": pa.array(lens[nz], pa.int64()),
+                "logprob_e4": pa.array(sums.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )

@@ -1259,3 +1259,102 @@ from r group by event_type""").df().set_index("event_type")
     for row in t.to_pylist():
         for p in ("p50", "p90", "p99"):
             assert abs(row[p] - exact.loc[row["event_type"], p]) <= 0.5 / 1000 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# round-3 continuation: PMI, weighted sampling, unigram-LM scoring
+
+
+@pytest.fixture(scope="module")
+def pmi_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("pmi"))
+    texts = ["a b a b", "b c", "", "a a"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * 4, pa.string()),
+                "source": pa.array(["s"] * 4, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    return d
+
+
+def test_pmi_bigrams_planted(ray_session, pmi_dir):
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    import numpy as np
+
+    t = dp.pmi_bigrams(pmi_dir, min_count=1)
+    rows = {r["ngram"]: r for r in t.to_pylist()}
+    # token stream: a b a b | b c | (empty) | a a
+    # unigrams: a=4 b=3 c=1, N_uni=8; bigrams: "a b"=2 "b a"=1 "b c"=1
+    # "a a"=1, N_big=5
+    assert rows["a b"]["cnt"] == 2 and len(rows) == 4
+    exp = dp.round4(float(np.log((2 * 8.0 * 8.0) / (5 * 4.0 * 3.0))))
+    assert rows["a b"]["pmi"] == exp
+    exp_aa = dp.round4(float(np.log((1 * 8.0 * 8.0) / (5 * 4.0 * 4.0))))
+    assert rows["a a"]["pmi"] == exp_aa
+
+
+def test_pmi_bigrams_min_count_filters(ray_session, pmi_dir):
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    t = dp.pmi_bigrams(pmi_dir, min_count=2)
+    assert [r["ngram"] for r in t.to_pylist()] == ["a b"]
+
+
+def test_weighted_sample_matches_local_aes(ray_session):
+    """Engine top-k == a single-process replication of the A-ES rule
+    over the full sf0.001 table (same md5-derived uniforms)."""
+    import duckdb
+    import numpy as np
+
+    from informationretrieval_en_people_cn_ray.functions.hashing import (
+        md5_i63,
+    )
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    sf = "/root/testdata/sf0.001"
+    t = dp.weighted_sample(sf, k=15)
+    con = duckdb.connect()
+    df = con.sql(
+        f"select doc_id, n_chars from '{sf}/documents.parquet'"
+        " where n_chars > 0"
+    ).df()
+    ids = df["doc_id"].to_numpy()
+    w = df["n_chars"].to_numpy().astype(np.float64)
+    h = np.array([md5_i63(f"wsample:{i}") for i in ids], np.int64)
+    u = ((h % dp.WSAMPLE_U_MOD) + 1).astype(np.float64) / 9007199254740992.0
+    key = np.log(u) / w
+    sel = np.lexsort((ids, -key))[:15]
+    assert t["doc_id"].to_pylist() == [int(x) for x in ids[sel]]
+    assert t["rnk"].to_pylist() == list(range(1, 16))
+    # weight-proportionality sanity: zero-weight rows can never appear
+    assert all(c > 0 for c in t["n_chars"].to_pylist())
+
+
+def test_unigram_logprob_planted(ray_session, pmi_dir):
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    import numpy as np
+
+    t = dp._to_table(dp.unigram_logprob(pmi_dir))
+    rows = {r["doc_id"]: r for r in t.to_pylist()}
+    # counts over "a b a b|b c||a a": a=4 b=3 c=1, N=8
+    lp = {
+        term: int(np.sign(v) * np.floor(abs(v) + 0.5))
+        for term, v in (
+            (t_, np.log(c / 8.0) * 10000.0)
+            for t_, c in (("a", 4), ("b", 3), ("c", 1))
+        )
+    }
+    assert 2 not in rows  # empty doc has no LM score
+    assert rows[0]["n_tokens"] == 4
+    assert rows[0]["logprob_e4"] == 2 * lp["a"] + 2 * lp["b"]
+    assert rows[1]["logprob_e4"] == lp["b"] + lp["c"]
+    assert rows[3]["logprob_e4"] == 2 * lp["a"]
