@@ -398,6 +398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_cosine_pairs": lambda sf: dp.embedding_cosine_pairs(sf),
         "embedding_cosine_pairs_lsh": lambda sf: dp.embedding_cosine_pairs_lsh(sf),
         "embed_then_topk": lambda sf: dp.embed_then_topk(sf),
+        "kmeans_clusters": lambda sf: dp.kmeans_clusters(sf),
         "group_adjacency": lambda sf: dp.group_adjacency(sf),
         "broadcast_join": lambda sf: dp.broadcast_join_events_customers(sf),
         "hash_sample": lambda sf: dp.hash_sample_documents(sf),

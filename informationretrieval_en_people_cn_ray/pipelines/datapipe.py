@@ -961,53 +961,38 @@ def embedding_lsh_topk(sf_dir: str, k: int = 10, seed: int = 42):
 
 
 @unreserved
-def embedding_ivf_topk(
-    sf_dir: str,
-    k: int = 10,
-    nlist: int = 8,
-    nprobe: int = 3,
-    iters: int = 2,
-):
-    """(vec_id, cos) — IVF (inverted-file) approximate nearest neighbour:
-    a coarse quantizer (distributed Lloyd iterations) partitions vectors
-    into nlist cells; the query probes only the nprobe nearest cells, so
-    a scan touches ~nprobe/nlist of the data — the scale path next to the
-    brute-force baseline (``embedding_topk``) and the hyperplane LSH
-    variant. Approximate → rows-only driver check; recall-vs-brute-force
-    is pytest-gated.
+def _emb_unit_mat(batch: pa.Table) -> np.ndarray:
+    """Unit-normalized float64 embedding matrix for a batch — flatten()
+    honors slice offsets; one vectorized cast, no row loop."""
+    arr = batch["embedding"]
+    if hasattr(arr, "combine_chunks"):
+        arr = arr.combine_chunks()
+    emb = (
+        arr.flatten()
+        .to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+        .reshape(batch.num_rows, -1)
+    )
+    norms = np.sqrt((emb * emb).sum(axis=1))
+    return emb / np.where(norms == 0.0, 1.0, norms)[:, None]
 
-    Every pass is streaming ``map_batches``: training emits per-batch
-    (cell, sum, count) PARTIALS (nlist×dim-sized, tiny) that are merged
-    driver-side — the centroid state is the only driver-resident object,
-    O(nlist·dim) regardless of corpus size; centroids/query ship via
-    ``ray.put`` once per pass. Deterministic: centroids init from the
-    nlist smallest vec_ids, no RNG."""
 
-    def _emb_mat(batch: pa.Table):
-        arr = batch["embedding"]
-        if hasattr(arr, "combine_chunks"):
-            arr = arr.combine_chunks()
-        # flatten() honors slice offsets; one vectorized cast, no row loop
-        emb = (
-            arr.flatten()
-            .to_numpy(zero_copy_only=False)
-            .astype(np.float64)
-            .reshape(batch.num_rows, -1)
-        )
-        norms = np.sqrt((emb * emb).sum(axis=1))
-        return emb / np.where(norms == 0.0, 1.0, norms)[:, None]
+def _kmeans_train(sf_dir: str, nlist: int, iters: int) -> np.ndarray:
+    """Distributed spherical Lloyd iterations; returns unit centroids.
 
-    # deterministic init: the nlist lowest-vec_id vectors of the FIRST
-    # row group (one bounded head read — never a full-table scan)
+    Deterministic init: the nlist lowest-vec_id vectors of the FIRST row
+    group (one bounded head read — never a full-table scan). Each pass
+    streams per-batch (cell, sum, count) PARTIALS (nlist×dim-sized,
+    tiny) merged driver-side — centroid state is the only
+    driver-resident object, O(nlist·dim) regardless of corpus size;
+    centroids ship via ``ray.put`` once per pass."""
     import pyarrow.parquet as pq
 
     head = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").read_row_group(
         0, columns=["vec_id", "embedding"]
     )
     order = np.argsort(head["vec_id"].to_numpy(), kind="stable")[:nlist]
-    cent = _emb_mat(head.take(pa.array(order)))
-    q = _query_vector(sf_dir)
-    q = q / (np.linalg.norm(q) or 1.0)
+    cent = _emb_unit_mat(head.take(pa.array(order)))
 
     for _ in range(iters):
         c_ref = ray.put(cent)
@@ -1022,7 +1007,7 @@ def embedding_ivf_topk(
                         "cnt": pa.array([], pa.int64()),
                     }
                 )
-            X = _emb_mat(batch)
+            X = _emb_unit_mat(batch)
             assign = np.argmax(X @ C.T, axis=1)
             sums = np.zeros_like(C)
             np.add.at(sums, assign, X)
@@ -1056,6 +1041,34 @@ def embedding_ivf_topk(
         newc[keep] = sums[keep] / total[keep][:, None]
         norms = np.sqrt((newc * newc).sum(axis=1))
         cent = newc / np.where(norms == 0.0, 1.0, norms)[:, None]
+    return cent
+
+
+def embedding_ivf_topk(
+    sf_dir: str,
+    k: int = 10,
+    nlist: int = 8,
+    nprobe: int = 3,
+    iters: int = 2,
+):
+    """(vec_id, cos) — IVF (inverted-file) approximate nearest neighbour:
+    a coarse quantizer (distributed Lloyd iterations) partitions vectors
+    into nlist cells; the query probes only the nprobe nearest cells, so
+    a scan touches ~nprobe/nlist of the data — the scale path next to the
+    brute-force baseline (``embedding_topk``) and the hyperplane LSH
+    variant. Approximate → rows-only driver check; recall-vs-brute-force
+    is pytest-gated.
+
+    Every pass is streaming ``map_batches``: training emits per-batch
+    (cell, sum, count) PARTIALS (nlist×dim-sized, tiny) that are merged
+    driver-side — the centroid state is the only driver-resident object,
+    O(nlist·dim) regardless of corpus size; centroids/query ship via
+    ``ray.put`` once per pass. Deterministic: centroids init from the
+    nlist smallest vec_ids, no RNG."""
+
+    cent = _kmeans_train(sf_dir, nlist, iters)
+    q = _query_vector(sf_dir)
+    q = q / (np.linalg.norm(q) or 1.0)
 
     probe = set(
         int(c) for c in np.argsort(-(cent @ q), kind="stable")[:nprobe]
@@ -1072,7 +1085,7 @@ def embedding_ivf_topk(
                     "cos": pa.array([], pa.float64()),
                 }
             )
-        X = _emb_mat(batch)
+        X = _emb_unit_mat(batch)
         assign = np.argmax(X @ C.T, axis=1)
         mask = np.isin(assign, list(probe))
         ids = batch["vec_id"].to_numpy()[mask]
@@ -4024,4 +4037,83 @@ def unigram_logprob(sf_dir: str):
 
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         score, batch_format="pyarrow"
+    )
+
+
+@unreserved
+def kmeans_clusters(sf_dir: str, nlist: int = 8, iters: int = 3):
+    """(cluster, n, mean_cos) — spherical k-means clustering report over
+    the embedding table: cluster sizes and mean within-cluster cosine to
+    the centroid (cohesion). The corpus-bucketing / topic-sharding
+    primitive (and the same trainer the IVF ANN index uses —
+    ``_kmeans_train`` is shared).
+
+    Scale shape: Lloyd passes stream per-batch (cell, sum, count)
+    partials with O(nlist·dim) driver state; the final assignment pass
+    emits per-batch (cluster, n, cos_sum) partials — nlist rows per
+    batch — merged driver-side. Iterative/approximate → rows-only driver
+    check; pytest gates exact equality of sizes (and mean_cos to 1e-9)
+    vs a single-process replication."""
+    cent = _kmeans_train(sf_dir, nlist, iters)
+    c_ref = ray.put(cent)
+
+    def assign_partial(batch: pa.Table) -> pa.Table:
+        C = ray.get(c_ref)
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "cluster": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "cos_sum": pa.array([], pa.float64()),
+                }
+            )
+        X = _emb_unit_mat(batch)
+        sims = X @ C.T
+        assign = np.argmax(sims, axis=1)
+        best = sims[np.arange(len(X)), assign]
+        n = np.bincount(assign, minlength=len(C)).astype(np.int64)
+        cs = np.zeros(len(C), np.float64)
+        np.add.at(cs, assign, best)
+        return pa.table(
+            {
+                "cluster": pa.array(np.arange(len(C)), pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "cos_sum": pa.array(cs, pa.float64()),
+            }
+        )
+
+    parts = _to_table(
+        read_embeddings(sf_dir, ["embedding"]).map_batches(
+            assign_partial, batch_format="pyarrow"
+        )
+    )
+    if parts.num_rows == 0:
+        return pa.table(
+            {
+                "cluster": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "mean_cos": pa.array([], pa.float64()),
+            }
+        )
+    cl = parts["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pn = parts["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pcs = parts["cos_sum"].to_numpy(zero_copy_only=False)
+    n = np.zeros(nlist, np.int64)
+    np.add.at(n, cl, pn)
+    # deterministic merge order: accumulate partial sums sorted by
+    # (cluster, cos_sum) so the float result does not depend on the
+    # order blocks happen to arrive in (batch BOUNDARIES still shift
+    # float sums at the 1e-16 level — hence round4 + tolerance gates)
+    order = np.lexsort((pcs, cl))
+    cs = np.zeros(nlist, np.float64)
+    np.add.at(cs, cl[order], pcs[order])
+    mean = np.where(n > 0, cs / np.maximum(n, 1), 0.0)
+    return pa.table(
+        {
+            "cluster": pa.array(np.arange(nlist, dtype=np.int64), pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "mean_cos": pa.array(
+                [round4(float(x)) for x in mean], pa.float64()
+            ),
+        }
     )

@@ -1358,3 +1358,50 @@ def test_unigram_logprob_planted(ray_session, pmi_dir):
     assert rows[0]["logprob_e4"] == 2 * lp["a"] + 2 * lp["b"]
     assert rows[1]["logprob_e4"] == lp["b"] + lp["c"]
     assert rows[3]["logprob_e4"] == 2 * lp["a"]
+
+
+def test_kmeans_clusters_matches_local(ray_session):
+    """Distributed spherical k-means == a single-process replication
+    (same deterministic head-of-first-row-group init, same iterations):
+    exact cluster sizes, mean cohesion to float-merge tolerance."""
+    import pyarrow.parquet as pqt
+
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    sf = "/root/testdata/sf0.001"
+    nlist, iters = 6, 2
+    t = dp.kmeans_clusters(sf, nlist=nlist, iters=iters)
+
+    def unit(tbl):
+        X = np.stack(
+            [np.asarray(v, np.float64) for v in tbl["embedding"].to_pylist()]
+        )
+        n = np.linalg.norm(X, axis=1)
+        return X / np.where(n == 0, 1, n)[:, None]
+
+    pf = pqt.ParquetFile(f"{sf}/embeddings.parquet")
+    head = pf.read_row_group(0, columns=["vec_id", "embedding"])
+    order = np.argsort(head["vec_id"].to_numpy(), kind="stable")[:nlist]
+    C = unit(head)[order]
+    full = pqt.read_table(
+        f"{sf}/embeddings.parquet", columns=["embedding"]
+    )
+    X = unit(full)
+    for _ in range(iters):
+        a = np.argmax(X @ C.T, axis=1)
+        newc = C.copy()
+        for c in range(nlist):
+            m = a == c
+            if m.any():
+                newc[c] = X[m].sum(axis=0) / m.sum()
+        n = np.linalg.norm(newc, axis=1)
+        C = newc / np.where(n == 0, 1, n)[:, None]
+    a = np.argmax(X @ C.T, axis=1)
+    best = (X @ C.T)[np.arange(len(X)), a]
+    rows = {r["cluster"]: r for r in t.to_pylist()}
+    assert sum(r["n"] for r in rows.values()) == len(X)
+    for c in range(nlist):
+        m = a == c
+        assert rows[c]["n"] == int(m.sum())
+        if m.any():
+            assert abs(rows[c]["mean_cos"] - float(best[m].mean())) <= 2e-4
