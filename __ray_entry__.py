@@ -351,6 +351,75 @@ def _q_index_stats_stemmed(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_incremental_term_stats(sf_dir: str) -> pa.Table:
+    """(term, df, ctf) read from the DICTIONARIES of an index built
+    INCREMENTALLY: generation 0 over the first half of documents, then
+    ``pipelines/merge.extend_index`` tokenizes ONLY the second half
+    (layout doc_ids offset via ``BuildConfig.doc_id_base``) and merges
+    the generations byte-level (no decode, no shuffle). Value-gated by
+    the same SQL oracle as ``term_stats`` — the whole incremental
+    maintenance path must reproduce corpus-wide term statistics
+    exactly."""
+    import pyarrow.parquet as pqt
+
+    from informationretrieval_en_people_cn_ray.pipelines.build import (
+        BuildConfig,
+        build_index,
+    )
+    from informationretrieval_en_people_cn_ray.pipelines.merge import (
+        extend_index,
+    )
+
+    f = os.path.join(sf_dir, "documents.parquet")
+    key = f"{os.path.abspath(f)}|{os.path.getmtime(f)}|incr"
+    root = os.path.join(
+        CACHE_ROOT, "incr_" + hashlib.sha256(key.encode()).hexdigest()[:16]
+    )
+    a_c, b_c = os.path.join(root, "corpus_a"), os.path.join(root, "corpus_b")
+    merged = os.path.join(root, "merged")
+    if not os.path.exists(os.path.join(a_c, "part-00000.parquet")):
+        t = pqt.read_table(f, columns=["text"])
+        half = t.num_rows // 2
+        os.makedirs(a_c, exist_ok=True)
+        os.makedirs(b_c, exist_ok=True)
+        pqt.write_table(
+            t.slice(0, half),
+            os.path.join(a_c, "part-00000.parquet"),
+            row_group_size=256,
+        )
+        pqt.write_table(
+            t.slice(half),
+            os.path.join(b_c, "part-00000.parquet"),
+            row_group_size=256,
+        )
+    cfg = BuildConfig(
+        num_segments=4,
+        docstat_partitions=2,
+        stem=False,
+        content_column="text",
+    )
+    gen0 = os.path.join(root, "gen0")
+    build_index(a_c, gen0, cfg)  # short-circuits when already built
+    extend_index(gen0, b_c, os.path.join(root, "gen1"), merged)
+    tabs = [
+        pqt.read_table(
+            os.path.join(merged, f"seg={seg:05d}", "terms.parquet"),
+            columns=["term", "df", "ctf"],
+        )
+        for seg in range(cfg.num_segments)
+    ]
+    allt = pa.concat_tables(tabs)
+    # giant terms span several chunk rows; the logical stats are the sums
+    agg = allt.group_by("term").aggregate([("df", "sum"), ("ctf", "sum")])
+    return pa.table(
+        {
+            "term": agg["term"],
+            "df": agg["df_sum"],
+            "ctf": agg["ctf_sum"],
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -366,6 +435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_stats": _q_term_stats,
         "token_count": _q_token_count,
         "sink_roundtrip": _q_sink_roundtrip,
+        "incremental_term_stats": _q_incremental_term_stats,
         "doc_lengths_index": _q_doc_lengths_from_index,
         "postings_sample": _q_postings,
         "positions_sample": _q_positions,
@@ -851,6 +921,14 @@ from tok group by term
 with {_TOK_CTE}
 select term, count(distinct doc_id) as df, count(*) as ctf
 from tok group by term
+""",
+        # the index applies the reference's term-length filter (M5:
+        # 1 < len <= 128) — the oracle mirrors it on the raw token stream
+        "incremental_term_stats": f"""
+with {_TOK_CTE}
+select term, count(distinct doc_id) as df, count(*) as ctf
+from tok where length(term) > 1 and length(term) <= 128
+group by term
 """,
         "token_count": f"""
 select doc_id, len({_TOK}) as n_tokens from documents

@@ -67,6 +67,11 @@ class BuildConfig:
     content_column: str = "content"
     doc_id_column: str | None = None  # use an existing stable id column
     max_blob_docs: int = 1_000_000  # giant-term posting chunk size
+    # incremental extension (pipelines/merge.py): assign this corpus's
+    # layout doc_ids starting at doc_id_base so a DELTA index's ids sit
+    # strictly above every parent id — segment merge is then pure blob
+    # concatenation. Ignored when doc_id_column is set.
+    doc_id_base: int = 0
 
     def key(self) -> dict:
         return asdict(self)
@@ -135,8 +140,11 @@ def build_index(
     config = config or BuildConfig()
     files = corpus_files(corpus_path)
     plan = fragment_plan(corpus_path)
+    if config.doc_id_base and not config.doc_id_column:
+        for e in plan:
+            e["base"] += config.doc_id_base
     total_docs = plan[-1]["base"] + plan[-1]["num_rows"] if plan else 0
-    if total_docs == 0:
+    if total_docs == 0 or not plan:
         raise ValueError(
             f"cannot build an index over an empty corpus: {corpus_path} "
             "has no rows"
@@ -281,9 +289,12 @@ def _build_index_inner(
             for r in sorted(rows, key=lambda r: int(r["seg"]))
         ],
     }
-    if n_docs != total_docs:
+    built_rows = total_docs - (
+        0 if config.doc_id_column else config.doc_id_base
+    )
+    if n_docs != built_rows:
         raise RuntimeError(
-            f"docstat rows {n_docs} != corpus rows {total_docs} — build bug"
+            f"docstat rows {n_docs} != corpus rows {built_rows} — build bug"
         )
     write_json_atomic(coll_path, manifest)
     return manifest

@@ -1,0 +1,421 @@
+"""Incremental index extension: generational builds + segment merge.
+
+The reference rebuilds its index from scratch for any corpus change
+(``IndexCreator.py`` has no incremental path); real engines at 10^12-file
+scale cannot. This module adds the Lucene-style maintenance story on top
+of the existing build:
+
+1. ``extend_index(parent, delta_corpus, ...)`` — tokenize ONLY the new
+   documents into a *delta generation* (a complete, standalone index
+   whose layout doc_ids start at parent_max_doc_id + 1 via
+   ``BuildConfig.doc_id_base``), then
+2. ``merge_indexes([parent, delta], out)`` — combine N generations into
+   one standard index directory that every existing query path reads
+   unchanged.
+
+The merge moves BYTES, never postings: generation doc-id ranges are
+disjoint and ascending, each posting blob is self-contained
+(delta-encoding restarts per blob), and the term dictionary already
+supports multiple chunk rows per term (giant-term chunking,
+``stages/segments.py``) — so segment k of the merged index is the
+concatenation of every generation's ``postings.bin`` for segment k plus
+a re-sorted dictionary whose offsets are shifted by the preceding
+generations' byte lengths and whose chunk ordinals are renumbered. Zero
+decode, zero re-encode, no shuffle: one task per segment, each reading
+only its own segment's files — embarrassingly parallel at any segment
+count. Docstat partitions are copied through with renumbered partition
+ids (ranges stay globally sorted because generation id ranges ascend).
+
+Resume follows the build's per-partition contract: every output segment
+/ docstat partition commits write-then-rename with a manifest carrying
+the merge fingerprint LAST, so a killed merge re-runs only the
+uncommitted partitions; a finished merge short-circuits on
+``collection.json``.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+from ..datactx import unreserved
+from ..state.manifest import (
+    fingerprint,
+    load_json,
+    partition_complete,
+    write_bytes_atomic,
+    write_json_atomic,
+)
+from ..stages.segments import SUMMARY_SCHEMA, docstat_dir, seg_dir
+from .build import BuildConfig, build_index
+
+
+def _collection(index_dir: str) -> dict:
+    man = load_json(os.path.join(index_dir, "collection.json"))
+    if not man:
+        raise FileNotFoundError(f"no collection.json under {index_dir}")
+    return man
+
+
+def _docstat_parts(index_dir: str) -> list[str]:
+    root = os.path.join(index_dir, "docstats")
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        os.path.join(root, d)
+        for d in os.listdir(root)
+        if d.startswith("part=")
+    )
+
+
+def _docstat_bounds(index_dir: str) -> tuple[int, int]:
+    """(min, max) doc_id of an index from parquet row-group statistics —
+    no data read; used to verify generation ranges are disjoint."""
+    parts = _docstat_parts(index_dir)
+    lo, hi = None, None
+    for p in parts:
+        md = pq.ParquetFile(os.path.join(p, "docstats.parquet")).metadata
+        for rg in range(md.num_row_groups):
+            for ci in range(md.row_group(rg).num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema != "doc_id":
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError(f"docstats without stats under {p}")
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+    if lo is None:
+        raise ValueError(f"no docstat partitions under {index_dir}")
+    return int(lo), int(hi)
+
+
+def max_doc_id(index_dir: str) -> int:
+    return _docstat_bounds(index_dir)[1]
+
+
+class _MergeSegment:
+    """map_batches body: one batch row = one segment ordinal to merge."""
+
+    def __init__(self, parents: list[str], out_dir: str, merge_fp: str):
+        self.parents = parents
+        self.out_dir = out_dir
+        self.merge_fp = merge_fp
+
+    def __call__(self, batch: dict) -> pa.Table:
+        out = [self._merge_one(int(s)) for s in batch["seg"]]
+        return pa.concat_tables(out)
+
+    def _merge_one(self, seg: int) -> pa.Table:
+        t0 = time.monotonic()
+        d = seg_dir(self.out_dir, seg)
+        if partition_complete(d, self.merge_fp):
+            m = load_json(os.path.join(d, "manifest.json"))
+            return self._summary(
+                seg, m["n_terms"], m["n_docs"], m["tokens"], m["bytes"],
+                d, True, t0,
+            )
+        import shutil
+
+        tabs: list[pa.Table] = []
+        base = 0
+        os.makedirs(d, exist_ok=True)
+        tmp_bin = os.path.join(d, "postings.bin.tmp")
+        # stream the concatenation — a segment's bin at corpus scale must
+        # never be resident in task memory
+        with open(tmp_bin, "wb") as out:
+            for gi, p in enumerate(self.parents):
+                sd = seg_dir(p, seg)
+                t = pq.read_table(os.path.join(sd, "terms.parquet"))
+                pb = os.path.join(sd, "postings.bin")
+                n = 0
+                if os.path.exists(pb):
+                    with open(pb, "rb") as src:
+                        shutil.copyfileobj(src, out, 1 << 20)
+                    n = os.path.getsize(pb)
+                if t.num_rows:
+                    off = t["offset"].to_numpy() + base
+                    t = t.set_column(
+                        t.schema.get_field_index("offset"),
+                        "offset",
+                        pa.array(off, pa.int64()),
+                    ).append_column(
+                        "gen", pa.array([gi] * t.num_rows, pa.int32())
+                    )
+                    tabs.append(t)
+                base += n
+        postings_bytes = base
+        if tabs:
+            allt = pa.concat_tables(tabs).combine_chunks()
+            terms = np.asarray(allt["term"].to_pylist(), dtype=object)
+            gen = allt["gen"].to_numpy()
+            chunk = allt["chunk"].to_numpy()
+            # stable dictionary order: term asc, then generation (older
+            # doc ids first — readers concatenate chunks in row order),
+            # then the generation's own chunk ordinal
+            order = np.lexsort((chunk, gen, terms))
+            allt = allt.take(pa.array(order)).drop_columns(["gen"])
+            terms = terms[order]
+            # renumber chunk ordinals 0..k within each term
+            tb = np.flatnonzero(
+                np.r_[True, terms[1:] != terms[:-1]]
+            ).astype(np.int64)
+            seq = np.arange(len(terms), dtype=np.int64)
+            new_chunk = seq - np.repeat(seq[tb], np.diff(np.r_[tb, len(terms)]))
+            allt = allt.set_column(
+                allt.schema.get_field_index("chunk"),
+                "chunk",
+                pa.array(new_chunk.astype(np.int32), pa.int32()),
+            )
+            n_distinct = int(len(tb))
+            n_postings = int(allt["df"].to_numpy().sum())
+            tokens = int(allt["ctf"].to_numpy().sum())
+        else:
+            allt = pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "chunk": pa.array([], pa.int32()),
+                    "df": pa.array([], pa.int64()),
+                    "ctf": pa.array([], pa.int64()),
+                    "max_tf": pa.array([], pa.int64()),
+                    "offset": pa.array([], pa.int64()),
+                    "size": pa.array([], pa.int64()),
+                }
+            )
+            n_distinct = n_postings = tokens = 0
+        os.replace(tmp_bin, os.path.join(d, "postings.bin"))
+        tmp = os.path.join(d, "terms.parquet.tmp")
+        pq.write_table(allt, tmp)
+        os.replace(tmp, os.path.join(d, "terms.parquet"))
+        write_json_atomic(
+            os.path.join(d, "manifest.json"),
+            {
+                "kind": "postings",
+                "seg": seg,
+                "n_terms": n_distinct,
+                "n_chunks": allt.num_rows,
+                "n_docs": n_postings,
+                "tokens": tokens,
+                "bytes": postings_bytes,
+                "merged_from": [seg_dir(p, seg) for p in self.parents],
+                "build_fingerprint": self.merge_fp,
+                "wall_s": round(time.monotonic() - t0, 3),
+            },
+        )
+        return self._summary(
+            seg, n_distinct, n_postings, tokens, postings_bytes, d, False, t0
+        )
+
+    def _summary(self, seg, n_terms, n_docs, tokens, nbytes, path, skipped, t0):
+        return pa.table(
+            {
+                "seg": pa.array([seg], pa.int32()),
+                "kind": pa.array(["postings"], pa.string()),
+                "n_terms": pa.array([n_terms], pa.int64()),
+                "n_docs": pa.array([n_docs], pa.int64()),
+                "tokens": pa.array([tokens], pa.int64()),
+                "bytes": pa.array([nbytes], pa.int64()),
+                "path": pa.array([path], pa.string()),
+                "skipped": pa.array([skipped], pa.bool_()),
+            },
+            schema=SUMMARY_SCHEMA,
+        )
+
+
+class _CopyDocstats:
+    """map_batches body: one batch row = one (src part dir, dst part id)."""
+
+    def __init__(self, out_dir: str, merge_fp: str):
+        self.out_dir = out_dir
+        self.merge_fp = merge_fp
+
+    def __call__(self, batch: dict) -> pa.Table:
+        rows = []
+        for src, part in zip(batch["src"], batch["part"]):
+            rows.append(self._copy_one(str(src), int(part)))
+        return pa.concat_tables(rows)
+
+    def _copy_one(self, src: str, part: int) -> pa.Table:
+        t0 = time.monotonic()
+        d = docstat_dir(self.out_dir, part)
+        if partition_complete(d, self.merge_fp):
+            m = load_json(os.path.join(d, "manifest.json"))
+            return self._summary(part, m["n_docs"], m["tokens"], m["bytes"], d, True)
+        src_man = load_json(os.path.join(src, "manifest.json")) or {}
+        raw = open(os.path.join(src, "docstats.parquet"), "rb").read()
+        write_bytes_atomic(os.path.join(d, "docstats.parquet"), raw)
+        write_json_atomic(
+            os.path.join(d, "manifest.json"),
+            {
+                "kind": "docstats",
+                "part": part,
+                "n_terms": 0,
+                "n_docs": src_man.get("n_docs", 0),
+                "tokens": src_man.get("tokens", 0),
+                "bytes": len(raw),
+                "merged_from": [src],
+                "build_fingerprint": self.merge_fp,
+                "wall_s": round(time.monotonic() - t0, 3),
+            },
+        )
+        return self._summary(
+            part, src_man.get("n_docs", 0), src_man.get("tokens", 0),
+            len(raw), d, False,
+        )
+
+    def _summary(self, part, n_docs, tokens, nbytes, path, skipped):
+        return pa.table(
+            {
+                "seg": pa.array([part], pa.int32()),
+                "kind": pa.array(["docstats"], pa.string()),
+                "n_terms": pa.array([0], pa.int64()),
+                "n_docs": pa.array([n_docs], pa.int64()),
+                "tokens": pa.array([tokens], pa.int64()),
+                "bytes": pa.array([nbytes], pa.int64()),
+                "path": pa.array([path], pa.string()),
+                "skipped": pa.array([skipped], pa.bool_()),
+            },
+            schema=SUMMARY_SCHEMA,
+        )
+
+
+@unreserved
+def merge_indexes(parents: list[str], out_dir: str) -> dict:
+    """Merge N generation indexes (ascending doc-id ranges) into one
+    standard index at ``out_dir``; returns its collection manifest.
+    Resumable; a completed merge short-circuits."""
+    if len(parents) < 2:
+        raise ValueError("merge_indexes needs at least two indexes")
+    mans = [_collection(p) for p in parents]
+    cfg0 = mans[0].get("config", {})
+    for m in mans[1:]:
+        c = m.get("config", {})
+        for key in ("num_segments", "stem", "store_positions"):
+            if c.get(key) != cfg0.get(key):
+                raise ValueError(
+                    f"generation configs disagree on {key}: "
+                    f"{c.get(key)!r} vs {cfg0.get(key)!r}"
+                )
+    bounds = [_docstat_bounds(p) for p in parents]
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(bounds, bounds[1:]):
+        if b_lo <= a_hi:
+            raise ValueError(
+                f"generation doc-id ranges overlap or are out of order: "
+                f"[{a_lo},{a_hi}] then [{b_lo},{b_hi}] — build the delta "
+                "with doc_id_base > parent max_doc_id"
+            )
+    merge_fp = fingerprint(
+        {
+            "parents": [m["build_fingerprint"] for m in mans],
+            "op": "merge_indexes",
+            "format_version": 4,
+        }
+    )
+    coll_path = os.path.join(out_dir, "collection.json")
+    existing = load_json(coll_path)
+    if existing and existing.get("build_fingerprint") == merge_fp:
+        return existing
+
+    t0 = time.monotonic()
+    num_segments = cfg0["num_segments"]
+    seg_rows = ray.data.from_items(
+        [{"seg": s} for s in range(num_segments)]
+    ).map_batches(
+        _MergeSegment(list(parents), out_dir, merge_fp),
+        batch_size=1,
+        batch_format="numpy",
+        num_cpus=1,
+    )
+    # docstat partitions renumbered across generations in order — ranges
+    # ascend generation by generation, so part order == doc-id order
+    copies = []
+    part = 0
+    for p in parents:
+        for src in _docstat_parts(p):
+            copies.append({"src": src, "part": part})
+            part += 1
+    stat_rows = ray.data.from_items(copies).map_batches(
+        _CopyDocstats(out_dir, merge_fp),
+        batch_size=1,
+        batch_format="numpy",
+        num_cpus=1,
+    )
+    rows = seg_rows.union(stat_rows).take_all()  # tiny: one per partition
+
+    post = [r for r in rows if r["kind"] == "postings"]
+    stats = [r for r in rows if r["kind"] == "docstats"]
+    n_docs = sum(r["n_docs"] for r in stats)
+    total_tokens = sum(r["tokens"] for r in stats)
+    cfg = dict(cfg0)
+    cfg["doc_id_base"] = 0
+    manifest = {
+        "build_fingerprint": merge_fp,
+        "corpus": [m.get("corpus") for m in mans],
+        "merged_from": [
+            {"dir": p, "build_fingerprint": m["build_fingerprint"]}
+            for p, m in zip(parents, mans)
+        ],
+        "config": cfg,
+        "num_docs": n_docs,
+        "total_tokens": total_tokens,
+        "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
+        "num_segments": num_segments,
+        "docstat_partitions": len(copies),
+        "n_terms": sum(r["n_terms"] for r in post),
+        "postings_bytes": sum(r["bytes"] for r in post),
+        "n_posting_entries": sum(r["n_docs"] for r in post),
+        "wall_s": round(time.monotonic() - t0, 3),
+        "partitions": [
+            {
+                k: r[k]
+                for k in (
+                    "seg", "kind", "n_terms", "n_docs", "tokens", "bytes",
+                    "skipped",
+                )
+            }
+            for r in sorted(rows, key=lambda r: (r["kind"], int(r["seg"])))
+        ],
+    }
+    expected = sum(m["num_docs"] for m in mans)
+    if n_docs != expected:
+        raise RuntimeError(
+            f"merged docstat rows {n_docs} != sum of generations {expected}"
+        )
+    write_json_atomic(coll_path, manifest)
+    return manifest
+
+
+def extend_index(
+    parent_dir: str,
+    delta_corpus: str,
+    delta_dir: str,
+    out_dir: str,
+    config: BuildConfig | None = None,
+) -> dict:
+    """Incrementally add ``delta_corpus`` to the index at ``parent_dir``:
+    build a delta generation under ``delta_dir`` (tokenizes ONLY the new
+    documents; layout doc_ids start above every parent id), then merge
+    both generations into ``out_dir``. Returns the merged manifest.
+
+    The parent must have been built with layout-assigned doc_ids
+    (``doc_id_column=None`` semantics — an explicit id column makes
+    "next free id" the caller's contract, not ours)."""
+    parent_man = _collection(parent_dir)
+    pcfg = dict(parent_man.get("config", {}))
+    base = max_doc_id(parent_dir) + 1
+    if config is None:
+        pcfg.pop("doc_id_base", None)
+        pcfg.pop("doc_id_column", None)
+        config = BuildConfig(**{
+            k: v for k, v in pcfg.items() if k in BuildConfig.__annotations__
+        })
+    config.doc_id_base = base
+    config.doc_id_column = None
+    build_index(delta_corpus, delta_dir, config)
+    return merge_indexes([parent_dir, delta_dir], out_dir)

@@ -1,0 +1,196 @@
+"""Incremental index extension (pipelines/merge.py): an extend+merge
+must be indistinguishable from a full rebuild — term-for-term, docstat-
+for-docstat, and query-for-query — and resumable per partition."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from informationretrieval_en_people_cn_ray.corpus import generate_corpus
+from informationretrieval_en_people_cn_ray.pipelines.build import (
+    BuildConfig,
+    build_index,
+)
+from informationretrieval_en_people_cn_ray.pipelines.merge import (
+    extend_index,
+    max_doc_id,
+    merge_indexes,
+)
+from informationretrieval_en_people_cn_ray.pipelines.search import SearchEngine
+
+from test_build import _read_full_index
+
+N_A, N_B, SEED = 80, 40, 11
+CFG = dict(num_segments=4, docstat_partitions=2)
+
+QUERIES = [
+    "data fast",
+    "'key order'",
+    "table AND scan",
+    "merge OR sort NOT window",
+    "bat*",
+]
+
+
+@pytest.fixture(scope="module")
+def dirs(ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("incr")
+    full_c = str(root / "corpus_full")
+    a_c = str(root / "corpus_a")
+    b_c = str(root / "corpus_b")
+    for d in (full_c, a_c, b_c):
+        os.makedirs(d)
+    ta = generate_corpus(N_A, seed=SEED, start=0)
+    tb = generate_corpus(N_B, seed=SEED, start=N_A)
+    pq.write_table(ta, os.path.join(a_c, "part-00000.parquet"), row_group_size=32)
+    pq.write_table(tb, os.path.join(b_c, "part-00000.parquet"), row_group_size=32)
+    pq.write_table(
+        pa.concat_tables([ta, tb]),
+        os.path.join(full_c, "part-00000.parquet"),
+        row_group_size=32,
+    )
+    full_i = str(root / "idx_full")
+    a_i = str(root / "idx_a")
+    build_index(full_c, full_i, BuildConfig(**CFG))
+    build_index(a_c, a_i, BuildConfig(**CFG))
+    merged_i = str(root / "idx_merged")
+    delta_i = str(root / "idx_delta")
+    man = extend_index(a_i, b_c, delta_i, merged_i)
+    return dict(
+        root=root, b_c=b_c, full_i=full_i, a_i=a_i, delta_i=delta_i,
+        merged_i=merged_i, man=man,
+    )
+
+
+def test_delta_ids_start_above_parent(dirs):
+    assert max_doc_id(dirs["a_i"]) == N_A - 1
+    from informationretrieval_en_people_cn_ray.pipelines.merge import (
+        _docstat_bounds,
+    )
+
+    lo, hi = _docstat_bounds(dirs["delta_i"])
+    assert lo == N_A and hi == N_A + N_B - 1
+
+
+def test_merged_equals_full_rebuild(dirs):
+    a = _read_full_index(dirs["full_i"], CFG["num_segments"])
+    b = _read_full_index(dirs["merged_i"], CFG["num_segments"])
+    assert a == b
+
+
+def test_merged_manifest_totals(dirs):
+    man = dirs["man"]
+    full = __import__("json").load(
+        open(os.path.join(dirs["full_i"], "collection.json"))
+    )
+    assert man["num_docs"] == full["num_docs"] == N_A + N_B
+    assert man["total_tokens"] == full["total_tokens"]
+    assert man["avgdl"] == full["avgdl"]
+    assert man["n_terms"] == full["n_terms"]
+    assert man["n_posting_entries"] == full["n_posting_entries"]
+
+
+def test_merged_docstats_sorted_and_equal(dirs):
+    def stats(idx):
+        import glob
+
+        rows = []
+        for p in sorted(glob.glob(os.path.join(idx, "docstats", "part=*"))):
+            t = pq.read_table(os.path.join(p, "docstats.parquet"))
+            rows.extend(zip(t["doc_id"].to_pylist(), t["doc_len"].to_pylist()))
+        ids = [r[0] for r in rows]
+        assert ids == sorted(ids)
+        return rows
+
+    assert stats(dirs["merged_i"]) == stats(dirs["full_i"])
+
+
+def test_queries_identical_to_full(dirs):
+    ef = SearchEngine(dirs["full_i"], mode="local")
+    em = SearchEngine(dirs["merged_i"], mode="local")
+    for q in QUERIES:
+        rf, rm = ef.search(q), em.search(q)
+        if isinstance(rf, tuple):
+            assert rf[0].tolist() == rm[0].tolist(), q
+            assert rf[1].tolist() == rm[1].tolist(), q
+        else:
+            assert rf.tolist() == rm.tolist(), q
+    # pruned path over the merged (multi-chunk) dictionary stays
+    # rank-identical too
+    i1, s1 = em.search("data fast table", prune=True)
+    i2, s2 = ef.search("data fast table", prune=False)
+    assert i1.tolist() == i2.tolist() and s1.tolist() == s2.tolist()
+
+
+def test_merge_resume_redoes_only_missing(dirs):
+    merged = dirs["merged_i"]
+    os.remove(os.path.join(merged, "collection.json"))
+    os.remove(os.path.join(merged, "seg=00002", "manifest.json"))
+    man = merge_indexes([dirs["a_i"], dirs["delta_i"]], merged)
+    by = {
+        (p["kind"], p["seg"]): p["skipped"] for p in man["partitions"]
+    }
+    assert by[("postings", 2)] is False  # re-merged
+    assert by[("postings", 0)] and by[("postings", 1)] and by[("postings", 3)]
+    assert all(by[k] for k in by if k[0] == "docstats")
+    a = _read_full_index(dirs["full_i"], CFG["num_segments"])
+    b = _read_full_index(merged, CFG["num_segments"])
+    assert a == b
+
+
+def test_merge_rejects_overlapping_ranges(dirs, tmp_path):
+    with pytest.raises(ValueError, match="overlap"):
+        merge_indexes([dirs["a_i"], dirs["a_i"]], str(tmp_path / "bad"))
+
+
+def test_merge_with_giant_term_chunks(ray_session, dirs, tmp_path):
+    """max_blob_docs small enough that hot terms span several chunks in
+    EVERY generation — merge must renumber chunk ordinals and keep doc
+    ids ascending across generation boundaries."""
+    root = tmp_path
+    a_i = str(root / "ia")
+    d_i = str(root / "id")
+    m_i = str(root / "im")
+    f_i = str(root / "if")
+    cfg = BuildConfig(max_blob_docs=8, **CFG)
+    build_index(str(dirs["root"] / "corpus_a"), a_i, cfg)
+    build_index(str(dirs["root"] / "corpus_full"), f_i, cfg)
+    extend_index(a_i, dirs["b_c"], d_i, m_i, config=BuildConfig(
+        max_blob_docs=8, **CFG
+    ))
+    assert _read_full_index(m_i, CFG["num_segments"]) == _read_full_index(
+        f_i, CFG["num_segments"]
+    )
+
+
+def test_merge_three_generations(ray_session, dirs, tmp_path):
+    """Chained extension: ((A + B) + C) == full(A∪B∪C)."""
+    n_c = 30
+    root = tmp_path
+    c_c = str(root / "corpus_c")
+    os.makedirs(c_c)
+    tc = generate_corpus(n_c, seed=SEED, start=N_A + N_B)
+    pq.write_table(tc, os.path.join(c_c, "part-00000.parquet"))
+    fullabc_c = str(root / "corpus_abc")
+    os.makedirs(fullabc_c)
+    pq.write_table(
+        pa.concat_tables(
+            [
+                generate_corpus(N_A, seed=SEED, start=0),
+                generate_corpus(N_B, seed=SEED, start=N_A),
+                tc,
+            ]
+        ),
+        os.path.join(fullabc_c, "part-00000.parquet"),
+        row_group_size=32,
+    )
+    f_i = str(root / "idx_fullabc")
+    build_index(fullabc_c, f_i, BuildConfig(**CFG))
+    d2_i = str(root / "idx_delta_c")
+    m2_i = str(root / "idx_merged_abc")
+    extend_index(dirs["merged_i"], c_c, d2_i, m2_i)
+    assert _read_full_index(m2_i, CFG["num_segments"]) == _read_full_index(
+        f_i, CFG["num_segments"]
+    )
