@@ -153,7 +153,50 @@ def _headline(cpus: int, n_docs: int) -> dict:
     n_hits = res.count()
     query_s = time.monotonic() - t0
 
+    # incremental maintenance: extend the just-built index with 10% NEW
+    # documents (pipelines/merge.extend_index tokenizes only the delta,
+    # then merges generations byte-level). Skipped in scaling legs
+    # (GRAFT_BENCH_HEADLINE_ONLY) to keep those runs pure.
+    incr: dict = {}
+    if not os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
+        import pyarrow.parquet as _pq
+
+        from informationretrieval_en_people_cn_ray.corpus import (
+            generate_corpus,
+        )
+        from informationretrieval_en_people_cn_ray.pipelines.merge import (
+            extend_index,
+        )
+
+        n_delta = max(1, n_docs // 10)
+        delta_c = f"/tmp/irpc_bench_delta_{n_docs}_{cpus}"
+        shutil.rmtree(delta_c, ignore_errors=True)
+        os.makedirs(delta_c)
+        _pq.write_table(
+            generate_corpus(n_delta, seed=42, start=n_docs, avg_tokens=700),
+            os.path.join(delta_c, "part-00000.parquet"),
+            row_group_size=1600,
+        )
+        for gen_d in (f"{out_dir}.delta", f"{out_dir}.merged"):
+            shutil.rmtree(gen_d, ignore_errors=True)
+        t0 = time.monotonic()
+        extend_index(
+            out_dir, delta_c, f"{out_dir}.delta", f"{out_dir}.merged"
+        )
+        extend_s = time.monotonic() - t0
+        incr = {
+            "incr_delta_docs": n_delta,
+            "incr_extend_s": round(extend_s, 3),
+            "incr_files_per_sec": round(n_delta / extend_s, 1),
+            # a full rebuild of (n+delta) docs at this run's measured
+            # build rate, over the measured extend time
+            "incr_speedup_vs_rebuild": round(
+                ((n_docs + n_delta) / (n_docs / build_s)) / extend_s, 2
+            ),
+        }
+
     return {
+        **incr,
         "build_s": round(build_s, 3),
         "files_per_sec": round(n_docs / build_s, 1),
         "tokens_indexed": manifest["total_tokens"],

@@ -107,6 +107,112 @@ class LocalSegments:
             return z, z.copy(), 0, 0
         return r.postings_blocks_bounded(*rng, min_tf)
 
+    def docstat_part_dirs(self) -> list[str]:
+        return sorted(
+            glob.glob(os.path.join(self.index_dir, "docstats", "part=*"))
+        )
+
+
+class GenerationalSegments:
+    """Read path across UNMERGED index generations — a freshly extended
+    index (pipelines/merge.extend_index) is searchable the moment its
+    delta generation commits, before any compaction runs. Duck-compatible
+    with ``LocalSegments`` over ``[gen0, gen1, ...]`` whose doc-id ranges
+    ascend: per term, postings are the in-order concatenation of each
+    generation's (exactly the invariant ``merge_indexes`` materializes
+    byte-level, so results are identical to querying the compacted
+    index — gated by tests/test_merge.py)."""
+
+    def __init__(self, index_dirs: list[str]):
+        if len(index_dirs) < 1:
+            raise ValueError("need at least one generation")
+        self.gens = [LocalSegments(d) for d in index_dirs]
+        self.index_dirs = list(index_dirs)
+        ns = {g.num_segments for g in self.gens}
+        if len(ns) != 1:
+            raise ValueError(f"generations disagree on num_segments: {ns}")
+        self.num_segments = ns.pop()
+        c0 = self.gens[0].manifest.get("config", {})
+        for g in self.gens[1:]:
+            c = g.manifest.get("config", {})
+            for key in ("stem", "store_positions"):
+                if c.get(key) != c0.get(key):
+                    raise ValueError(
+                        f"generations disagree on {key}: "
+                        f"{c.get(key)!r} vs {c0.get(key)!r}"
+                    )
+        n_docs = sum(g.manifest["num_docs"] for g in self.gens)
+        tokens = sum(g.manifest["total_tokens"] for g in self.gens)
+        self.manifest = {
+            **self.gens[0].manifest,
+            "num_docs": n_docs,
+            "total_tokens": tokens,
+            "avgdl": (tokens / n_docs) if n_docs else 0.0,
+            "generations": [g.manifest for g in self.gens],
+        }
+
+    def postings(
+        self, term: str, with_positions: bool = False
+    ) -> _Posting | None:
+        parts = [g.postings(term, with_positions) for g in self.gens]
+        parts = [p for p in parts if p is not None]
+        if not parts:
+            return None
+        if len(parts) == 1:
+            return parts[0]
+        d = np.concatenate([p.doc_ids for p in parts])
+        t = np.concatenate([p.tfs for p in parts])
+        pos = (
+            np.concatenate([p.positions for p in parts])
+            if with_positions
+            else None
+        )
+        ps = np.zeros(len(d), dtype=np.int64)
+        if len(t):
+            np.cumsum(t[:-1], out=ps[1:])
+        return _Posting(
+            d, t, pos, ps,
+            sum(p.df for p in parts), sum(p.ctf for p in parts),
+        )
+
+    def prefix_terms(self, prefix: str) -> list[str]:
+        out: list[str] = []
+        for g in self.gens:
+            out.extend(g.prefix_terms(prefix))
+        return sorted(dict.fromkeys(out))
+
+    def term_meta(self, term: str) -> tuple[int, int, int] | None:
+        ms = [g.term_meta(term) for g in self.gens]
+        ms = [m for m in ms if m is not None]
+        if not ms:
+            return None
+        return (
+            sum(m[0] for m in ms),
+            sum(m[1] for m in ms),
+            max(m[2] for m in ms),
+        )
+
+    def postings_for_docs(self, term: str, docs: np.ndarray):
+        rs = [g.postings_for_docs(term, docs) for g in self.gens]
+        return (
+            np.concatenate([r[0] for r in rs]),
+            np.concatenate([r[1] for r in rs]),
+        )
+
+    def postings_blocks_bounded(self, term: str, min_tf: int):
+        rs = [g.postings_blocks_bounded(term, min_tf) for g in self.gens]
+        return (
+            np.concatenate([r[0] for r in rs]),
+            np.concatenate([r[1] for r in rs]),
+            sum(r[2] for r in rs),
+            sum(r[3] for r in rs),
+        )
+
+    def docstat_part_dirs(self) -> list[str]:
+        # generation order == doc-id order, so the concatenated part list
+        # stays globally range-sorted (DocStats validates)
+        return [p for g in self.gens for p in g.docstat_part_dirs()]
+
 
 @ray.remote
 class SegmentSearcher:
@@ -180,7 +286,7 @@ class DocStatsShard:
     the same accumulate kernels as the local path — so the merged result
     is identical by construction."""
 
-    def __init__(self, index_dir: str, part_dir: str):
+    def __init__(self, part_dir: str):
         t = pq.read_table(os.path.join(part_dir, "docstats.parquet"))
         self.doc_ids = t["doc_id"].to_numpy()
         self.doc_lens = t["doc_len"].to_numpy()
@@ -235,8 +341,16 @@ class DocStats:
     searchsorted lookup (the reference's ``comment_offsets.npy`` /
     ``comment_term_counts.npy`` pair, ``SearchEngine.py:73-75``)."""
 
-    def __init__(self, index_dir: str):
-        parts = sorted(glob.glob(os.path.join(index_dir, "docstats", "part=*")))
+    def __init__(
+        self, index_dir: str | None, part_dirs: list[str] | None = None
+    ):
+        parts = (
+            part_dirs
+            if part_dirs is not None
+            else sorted(
+                glob.glob(os.path.join(index_dir, "docstats", "part=*"))
+            )
+        )
         tables = [
             pq.read_table(os.path.join(p, "docstats.parquet")) for p in parts
         ]
@@ -307,11 +421,22 @@ class SearchEngine:
         adjacency=None,  # AdjacencyIndex for ReplyTo-style queries
     ):
         self.adjacency = adjacency
-        self.local = LocalSegments(index_dir)
+        if isinstance(index_dir, (list, tuple)):
+            if mode == "actors":
+                raise ValueError(
+                    "multi-generation search is local-mode only — compact "
+                    "with pipelines.merge.merge_indexes (a byte-level copy)"
+                    " for actor-pool serving"
+                )
+            self.local: LocalSegments | GenerationalSegments = (
+                GenerationalSegments(list(index_dir))
+            )
+        else:
+            self.local = LocalSegments(index_dir)
         self.manifest = self.local.manifest
         cfg = self.manifest.get("config", {})
         self.az = Analyzer(stem=cfg.get("stem", True) if stem is None else stem)
-        self.stats = DocStats(index_dir)
+        self.stats = DocStats(None, part_dirs=self.local.docstat_part_dirs())
         self.N = self.manifest["num_docs"]
         self.C = self.manifest["total_tokens"]
         self.avgdl = self.manifest["avgdl"]
@@ -785,13 +910,9 @@ class SearchEngine:
             if plists.get(t) is not None
         ]
         if self._shards is None:
-            parts = sorted(
-                glob.glob(
-                    os.path.join(self.local.index_dir, "docstats", "part=*")
-                )
-            )
             self._shards = [
-                DocStatsShard.remote(self.local.index_dir, p) for p in parts
+                DocStatsShard.remote(p)
+                for p in self.local.docstat_part_dirs()
             ]
         # one object-store put each; every shard reads the same copy
         cand_ref = ray.put(cand_arrays)

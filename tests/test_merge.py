@@ -194,3 +194,37 @@ def test_merge_three_generations(ray_session, dirs, tmp_path):
     assert _read_full_index(m2_i, CFG["num_segments"]) == _read_full_index(
         f_i, CFG["num_segments"]
     )
+
+
+def test_multi_generation_search_equals_compacted(ray_session, dirs):
+    """SearchEngine over UNMERGED [parent, delta] generations — the
+    searchable-before-compaction path — must answer every query class
+    identically to the compacted index (and therefore to a full
+    rebuild)."""
+    em = SearchEngine(dirs["merged_i"], mode="local")
+    eg = SearchEngine([dirs["a_i"], dirs["delta_i"]], mode="local")
+    assert eg.N == em.N and eg.C == em.C and eg.avgdl == em.avgdl
+    for q in QUERIES:
+        rm, rg = em.search(q), eg.search(q)
+        if isinstance(rm, tuple):
+            assert rm[0].tolist() == rg[0].tolist(), q
+            assert rm[1].tolist() == rg[1].tolist(), q
+        else:
+            assert rm.tolist() == rg.tolist(), q
+    # pruned, dirichlet, and score-by-doc-range paths too
+    i1, s1 = eg.search("data fast table", prune=True)
+    i2, s2 = em.search("data fast table", prune=False)
+    assert i1.tolist() == i2.tolist() and s1.tolist() == s2.tolist()
+    i3, s3 = eg.search("data fast table", scorer="dirichlet")
+    i4, s4 = em.search("data fast table", scorer="dirichlet")
+    assert i3.tolist() == i4.tolist() and s3.tolist() == s4.tolist()
+    from informationretrieval_en_people_cn_ray.queryparse import parse
+
+    i5, s5 = eg.ranked_by_range(parse("data fast table"), k=10)
+    i6, s6 = em.ranked_by_range(parse("data fast table"), k=10)
+    assert i5.tolist() == i6.tolist() and s5.tolist() == s6.tolist()
+
+
+def test_multi_generation_rejects_actor_mode(dirs):
+    with pytest.raises(ValueError, match="local-mode only"):
+        SearchEngine([dirs["a_i"], dirs["delta_i"]], mode="actors")
