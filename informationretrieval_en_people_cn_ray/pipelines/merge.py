@@ -101,18 +101,181 @@ def max_doc_id(index_dir: str) -> int:
 
 
 class _MergeSegment:
-    """map_batches body: one batch row = one segment ordinal to merge."""
+    """map_batches body: one batch row = one segment ordinal to merge.
 
-    def __init__(self, parents: list[str], out_dir: str, merge_fp: str):
+    Two paths: with no tombstones the merge is pure byte concatenation;
+    with tombstones it becomes a COMPACTION — every chunk blob decodes,
+    deleted docs drop out, df/ctf/max_tf recompute, and the term
+    re-encodes in fresh ``max_blob_docs`` chunks (terms whose postings
+    empty out leave the dictionary entirely). Tombstone arrays ship once
+    in the task closure; at a tombstone volume where that matters,
+    compact more often."""
+
+    def __init__(
+        self,
+        parents: list[str],
+        out_dir: str,
+        merge_fp: str,
+        tombs: list[np.ndarray] | None = None,
+        max_blob_docs: int = 1_000_000,
+        store_positions: bool = True,
+    ):
         self.parents = parents
         self.out_dir = out_dir
         self.merge_fp = merge_fp
+        self.tombs = tombs or [np.empty(0, np.int64) for _ in parents]
+        self.max_blob_docs = max_blob_docs
+        self.store_positions = store_positions
 
     def __call__(self, batch: dict) -> pa.Table:
         out = [self._merge_one(int(s)) for s in batch["seg"]]
         return pa.concat_tables(out)
 
+    def _merge_one_rewrite(self, seg: int) -> pa.Table:
+        """Compacting path: decode → drop tombstoned docs → re-encode."""
+        from ..codec import (
+            decode_posting_blob,
+            encode_posting_blob,
+            encode_positions,
+        )
+        from ..state.tombstones import filter_postings
+
+        t0 = time.monotonic()
+        d = seg_dir(self.out_dir, seg)
+        if partition_complete(d, self.merge_fp):
+            m = load_json(os.path.join(d, "manifest.json"))
+            return self._summary(
+                seg, m["n_terms"], m["n_docs"], m["tokens"], m["bytes"],
+                d, True, t0,
+            )
+        # gather (term, gen, chunk) rows in merged dictionary order
+        rows: list[tuple[str, int, int, int, int]] = []  # term, gen, chunk, off, size
+        bins: list[np.memmap | np.ndarray] = []
+        for gi, p in enumerate(self.parents):
+            sd = seg_dir(p, seg)
+            t = pq.read_table(os.path.join(sd, "terms.parquet"))
+            pb = os.path.join(sd, "postings.bin")
+            bins.append(
+                np.memmap(pb, dtype=np.uint8, mode="r")
+                if os.path.exists(pb) and os.path.getsize(pb)
+                else np.empty(0, np.uint8)
+            )
+            for term, chunk, off, size in zip(
+                t["term"].to_pylist(),
+                t["chunk"].to_pylist(),
+                t["offset"].to_pylist(),
+                t["size"].to_pylist(),
+            ):
+                rows.append((term, gi, int(chunk), int(off), int(size)))
+        rows.sort(key=lambda r: (r[0], r[1], r[2]))
+
+        out_terms: list[str] = []
+        out_chunk: list[int] = []
+        out_df: list[int] = []
+        out_ctf: list[int] = []
+        out_max_tf: list[int] = []
+        out_off: list[int] = []
+        out_size: list[int] = []
+        n_distinct = n_postings = tokens = 0
+        os.makedirs(d, exist_ok=True)
+        tmp_bin = os.path.join(d, "postings.bin.tmp")
+        offset = 0
+        with open(tmp_bin, "wb") as out:
+            i, n = 0, len(rows)
+            while i < n:
+                j = i
+                term = rows[i][0]
+                while j < n and rows[j][0] == term:
+                    j += 1
+                ds_, tfs_, pos_ = [], [], []
+                for _, gi, _, off, size in rows[i:j]:
+                    blob = bytes(bins[gi][off : off + size])
+                    dd, tt, pp, ss = decode_posting_blob(
+                        blob, with_positions=self.store_positions
+                    )
+                    if self.tombs[gi].size:
+                        dd, tt, pp, ss = filter_postings(
+                            self.tombs[gi], dd, tt, pp
+                        )
+                    if len(dd):
+                        ds_.append(dd)
+                        tfs_.append(tt)
+                        if self.store_positions:
+                            pos_.append(pp)
+                i = j
+                if not ds_:
+                    continue  # term fully deleted — drop from dictionary
+                doc_ids = np.concatenate(ds_)
+                tfs = np.concatenate(tfs_)
+                pos = (
+                    np.concatenate(pos_)
+                    if self.store_positions
+                    else np.empty(0, np.int64)
+                )
+                pos_ends = np.zeros(len(doc_ids) + 1, np.int64)
+                np.cumsum(tfs, out=pos_ends[1:])
+                n_distinct += 1
+                step = self.max_blob_docs
+                for ci, c0 in enumerate(range(0, len(doc_ids), step)):
+                    c1 = min(c0 + step, len(doc_ids))
+                    cd, ct = doc_ids[c0:c1], tfs[c0:c1]
+                    if self.store_positions:
+                        cp = pos[pos_ends[c0] : pos_ends[c1]]
+                        starts = pos_ends[c0:c1] - pos_ends[c0]
+                        pb = encode_positions(cp, starts)
+                    else:
+                        pb = b""
+                    blob = encode_posting_blob(cd, ct, pb)
+                    out.write(blob)
+                    out_terms.append(term)
+                    out_chunk.append(ci)
+                    out_df.append(len(cd))
+                    ctf = int(ct.sum())
+                    out_ctf.append(ctf)
+                    out_max_tf.append(int(ct.max()) if len(ct) else 0)
+                    out_off.append(offset)
+                    out_size.append(len(blob))
+                    offset += len(blob)
+                    n_postings += len(cd)
+                    tokens += ctf
+        os.replace(tmp_bin, os.path.join(d, "postings.bin"))
+        allt = pa.table(
+            {
+                "term": pa.array(out_terms, pa.string()),
+                "chunk": pa.array(out_chunk, pa.int32()),
+                "df": pa.array(out_df, pa.int64()),
+                "ctf": pa.array(out_ctf, pa.int64()),
+                "max_tf": pa.array(out_max_tf, pa.int64()),
+                "offset": pa.array(out_off, pa.int64()),
+                "size": pa.array(out_size, pa.int64()),
+            }
+        )
+        tmp = os.path.join(d, "terms.parquet.tmp")
+        pq.write_table(allt, tmp)
+        os.replace(tmp, os.path.join(d, "terms.parquet"))
+        write_json_atomic(
+            os.path.join(d, "manifest.json"),
+            {
+                "kind": "postings",
+                "seg": seg,
+                "n_terms": n_distinct,
+                "n_chunks": allt.num_rows,
+                "n_docs": n_postings,
+                "tokens": tokens,
+                "bytes": offset,
+                "merged_from": [seg_dir(p, seg) for p in self.parents],
+                "compacted": True,
+                "build_fingerprint": self.merge_fp,
+                "wall_s": round(time.monotonic() - t0, 3),
+            },
+        )
+        return self._summary(
+            seg, n_distinct, n_postings, tokens, offset, d, False, t0
+        )
+
     def _merge_one(self, seg: int) -> pa.Table:
+        if any(t.size for t in self.tombs):
+            return self._merge_one_rewrite(seg)
         t0 = time.monotonic()
         d = seg_dir(self.out_dir, seg)
         if partition_complete(d, self.merge_fp):
@@ -229,45 +392,69 @@ class _MergeSegment:
 
 
 class _CopyDocstats:
-    """map_batches body: one batch row = one (src part dir, dst part id)."""
+    """map_batches body: one batch row = one (src part dir, dst part id).
+    With tombstones on the source generation, the copy becomes a filter:
+    deleted rows drop and the partition's counts recompute."""
 
-    def __init__(self, out_dir: str, merge_fp: str):
+    def __init__(
+        self,
+        out_dir: str,
+        merge_fp: str,
+        tombs_by_gen: dict[int, np.ndarray] | None = None,
+    ):
         self.out_dir = out_dir
         self.merge_fp = merge_fp
+        self.tombs_by_gen = tombs_by_gen or {}
 
     def __call__(self, batch: dict) -> pa.Table:
         rows = []
-        for src, part in zip(batch["src"], batch["part"]):
-            rows.append(self._copy_one(str(src), int(part)))
+        for src, part, gen in zip(batch["src"], batch["part"], batch["gen"]):
+            rows.append(self._copy_one(str(src), int(part), int(gen)))
         return pa.concat_tables(rows)
 
-    def _copy_one(self, src: str, part: int) -> pa.Table:
+    def _copy_one(self, src: str, part: int, gen: int) -> pa.Table:
         t0 = time.monotonic()
         d = docstat_dir(self.out_dir, part)
         if partition_complete(d, self.merge_fp):
             m = load_json(os.path.join(d, "manifest.json"))
             return self._summary(part, m["n_docs"], m["tokens"], m["bytes"], d, True)
         src_man = load_json(os.path.join(src, "manifest.json")) or {}
-        raw = open(os.path.join(src, "docstats.parquet"), "rb").read()
-        write_bytes_atomic(os.path.join(d, "docstats.parquet"), raw)
+        tomb = self.tombs_by_gen.get(gen, np.empty(0, np.int64))
+        src_pq = os.path.join(src, "docstats.parquet")
+        if tomb.size:
+            t = pq.read_table(src_pq)
+            ids = t["doc_id"].to_numpy()
+            idx = np.searchsorted(tomb, ids)
+            idx[idx >= tomb.size] = tomb.size - 1
+            t = t.filter(pa.array(tomb[idx] != ids))
+            os.makedirs(d, exist_ok=True)
+            tmp = os.path.join(d, "docstats.parquet.tmp")
+            pq.write_table(t, tmp)
+            os.replace(tmp, os.path.join(d, "docstats.parquet"))
+            n_docs = t.num_rows
+            tokens = int(t["doc_len"].to_numpy().sum()) if t.num_rows else 0
+            nbytes = int(t.nbytes)
+        else:
+            raw = open(src_pq, "rb").read()
+            write_bytes_atomic(os.path.join(d, "docstats.parquet"), raw)
+            n_docs = src_man.get("n_docs", 0)
+            tokens = src_man.get("tokens", 0)
+            nbytes = len(raw)
         write_json_atomic(
             os.path.join(d, "manifest.json"),
             {
                 "kind": "docstats",
                 "part": part,
                 "n_terms": 0,
-                "n_docs": src_man.get("n_docs", 0),
-                "tokens": src_man.get("tokens", 0),
-                "bytes": len(raw),
+                "n_docs": n_docs,
+                "tokens": tokens,
+                "bytes": nbytes,
                 "merged_from": [src],
                 "build_fingerprint": self.merge_fp,
                 "wall_s": round(time.monotonic() - t0, 3),
             },
         )
-        return self._summary(
-            part, src_man.get("n_docs", 0), src_man.get("tokens", 0),
-            len(raw), d, False,
-        )
+        return self._summary(part, n_docs, tokens, nbytes, d, False)
 
     def _summary(self, part, n_docs, tokens, nbytes, path, skipped):
         return pa.table(
@@ -290,8 +477,8 @@ def merge_indexes(parents: list[str], out_dir: str) -> dict:
     """Merge N generation indexes (ascending doc-id ranges) into one
     standard index at ``out_dir``; returns its collection manifest.
     Resumable; a completed merge short-circuits."""
-    if len(parents) < 2:
-        raise ValueError("merge_indexes needs at least two indexes")
+    if len(parents) < 1:
+        raise ValueError("merge_indexes needs at least one index")
     mans = [_collection(p) for p in parents]
     cfg0 = mans[0].get("config", {})
     for m in mans[1:]:
@@ -310,9 +497,13 @@ def merge_indexes(parents: list[str], out_dir: str) -> dict:
                 f"[{a_lo},{a_hi}] then [{b_lo},{b_hi}] — build the delta "
                 "with doc_id_base > parent max_doc_id"
             )
+    from ..state.tombstones import load_tombstones, tombstone_fingerprint
+
+    tombs = [load_tombstones(p) for p in parents]
     merge_fp = fingerprint(
         {
             "parents": [m["build_fingerprint"] for m in mans],
+            "tombstones": [tombstone_fingerprint(p) for p in parents],
             "op": "merge_indexes",
             "format_version": 4,
         }
@@ -327,7 +518,12 @@ def merge_indexes(parents: list[str], out_dir: str) -> dict:
     seg_rows = ray.data.from_items(
         [{"seg": s} for s in range(num_segments)]
     ).map_batches(
-        _MergeSegment(list(parents), out_dir, merge_fp),
+        _MergeSegment(
+            list(parents), out_dir, merge_fp,
+            tombs=tombs,
+            max_blob_docs=cfg0.get("max_blob_docs", 1_000_000),
+            store_positions=cfg0.get("store_positions", True),
+        ),
         batch_size=1,
         batch_format="numpy",
         num_cpus=1,
@@ -336,12 +532,17 @@ def merge_indexes(parents: list[str], out_dir: str) -> dict:
     # ascend generation by generation, so part order == doc-id order
     copies = []
     part = 0
-    for p in parents:
+    for gi, p in enumerate(parents):
         for src in _docstat_parts(p):
-            copies.append({"src": src, "part": part})
+            copies.append({"src": src, "part": part, "gen": gi})
             part += 1
     stat_rows = ray.data.from_items(copies).map_batches(
-        _CopyDocstats(out_dir, merge_fp),
+        _CopyDocstats(
+            out_dir, merge_fp,
+            tombs_by_gen={
+                gi: t for gi, t in enumerate(tombs) if t.size
+            },
+        ),
         batch_size=1,
         batch_format="numpy",
         num_cpus=1,
@@ -383,7 +584,17 @@ def merge_indexes(parents: list[str], out_dir: str) -> dict:
         ],
     }
     expected = sum(m["num_docs"] for m in mans)
-    if n_docs != expected:
+    if any(t.size for t in tombs):
+        # deletes drop rows; exact expectation needs per-generation
+        # presence counts — bound-check instead
+        if n_docs > expected or n_docs < expected - sum(
+            t.size for t in tombs
+        ):
+            raise RuntimeError(
+                f"merged docstat rows {n_docs} outside "
+                f"[{expected - sum(t.size for t in tombs)}, {expected}]"
+            )
+    elif n_docs != expected:
         raise RuntimeError(
             f"merged docstat rows {n_docs} != sum of generations {expected}"
         )

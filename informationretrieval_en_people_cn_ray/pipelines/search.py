@@ -57,11 +57,17 @@ class LocalSegments:
     """All segments of one index, opened lazily in-process."""
 
     def __init__(self, index_dir: str):
+        from ..state.tombstones import load_tombstones
+
         self.index_dir = index_dir
         self.manifest = load_json(os.path.join(index_dir, "collection.json"))
         if not self.manifest:
             raise FileNotFoundError(f"no collection.json under {index_dir}")
         self.num_segments = self.manifest["num_segments"]
+        # Lucene-style delete semantics: tombstoned docs are filtered out
+        # of every posting access below; dictionary df/ctf and collection
+        # stats stay as built until a compacting merge drops them
+        self.tombstones = load_tombstones(index_dir)
         self._readers: dict[int, SegmentReader] = {}
 
     def reader(self, seg: int) -> SegmentReader:
@@ -74,11 +80,16 @@ class LocalSegments:
     def postings(
         self, term: str, with_positions: bool = False
     ) -> _Posting | None:
+        from ..state.tombstones import filter_postings
+
         r = self.reader(term_seg(term, self.num_segments))
         rng = r.term_range(term)
         if rng is None:
             return None
-        return _Posting(*r.postings_merged(*rng, with_positions))
+        d, t, pos, ps, df, ctf = r.postings_merged(*rng, with_positions)
+        if self.tombstones.size:
+            d, t, pos, ps = filter_postings(self.tombstones, d, t, pos)
+        return _Posting(d, t, pos, ps, df, ctf)
 
     def prefix_terms(self, prefix: str) -> list[str]:
         out = []
@@ -92,20 +103,30 @@ class LocalSegments:
         return self.reader(term_seg(term, self.num_segments)).term_meta(term)
 
     def postings_for_docs(self, term: str, docs: np.ndarray):
+        from ..state.tombstones import filter_postings
+
         r = self.reader(term_seg(term, self.num_segments))
         rng = r.term_range(term)
         if rng is None:
             z = np.empty(0, np.int64)
             return z, z.copy()
-        return r.postings_for_docs(*rng, docs)
+        d, t = r.postings_for_docs(*rng, docs)
+        if self.tombstones.size:
+            d, t = filter_postings(self.tombstones, d, t)[:2]
+        return d, t
 
     def postings_blocks_bounded(self, term: str, min_tf: int):
+        from ..state.tombstones import filter_postings
+
         r = self.reader(term_seg(term, self.num_segments))
         rng = r.term_range(term)
         if rng is None:
             z = np.empty(0, np.int64)
             return z, z.copy(), 0, 0
-        return r.postings_blocks_bounded(*rng, min_tf)
+        d, t, dec, tot = r.postings_blocks_bounded(*rng, min_tf)
+        if self.tombstones.size:
+            d, t = filter_postings(self.tombstones, d, t)[:2]
+        return d, t, dec, tot
 
     def docstat_part_dirs(self) -> list[str]:
         return sorted(
@@ -220,12 +241,17 @@ class SegmentSearcher:
     __init__ (actor-pool ST2)."""
 
     def __init__(self, index_dir: str, segs: list[int]):
+        from ..state.tombstones import load_tombstones
+
         self.readers = {s: SegmentReader(index_dir, s) for s in segs}
+        self.tombstones = load_tombstones(index_dir)
 
     def postings_many(
         self, terms: list[tuple[str, int]], with_positions: bool = False
     ):
         """[(term, seg)] → {term: (doc_ids, tfs, positions, pos_starts, df, ctf)}"""
+        from ..state.tombstones import filter_postings
+
         out = {}
         for term, seg in terms:
             r = self.readers[seg]
@@ -233,7 +259,14 @@ class SegmentSearcher:
             if rng is None:
                 out[term] = None
             else:
-                out[term] = r.postings_merged(*rng, with_positions)
+                d, t, pos, ps, df, ctf = r.postings_merged(
+                    *rng, with_positions
+                )
+                if self.tombstones.size:
+                    d, t, pos, ps = filter_postings(
+                        self.tombstones, d, t, pos
+                    )
+                out[term] = (d, t, pos, ps, df, ctf)
         return out
 
     def prefix_terms(self, prefix: str) -> list[str]:
@@ -253,6 +286,8 @@ class SegmentSearcher:
     ):
         """[(term, seg)] → {term: (doc_ids, tfs)} over only the skip
         blocks intersecting ``docs``."""
+        from ..state.tombstones import filter_postings
+
         out = {}
         for t, seg in terms:
             r = self.readers[seg]
@@ -261,18 +296,26 @@ class SegmentSearcher:
                 z = np.empty(0, np.int64)
                 out[t] = (z, z.copy())
             else:
-                out[t] = r.postings_for_docs(*rng, docs)
+                d, tf = r.postings_for_docs(*rng, docs)
+                if self.tombstones.size:
+                    d, tf = filter_postings(self.tombstones, d, tf)[:2]
+                out[t] = (d, tf)
         return out
 
     def postings_blocks_bounded(self, term: str, seg: int, min_tf: int):
         """(doc_ids, tfs, blocks_decoded, blocks_total) of the blocks
         whose block max_tf can still reach the caller's threshold."""
+        from ..state.tombstones import filter_postings
+
         r = self.readers[seg]
         rng = r.term_range(term)
         if rng is None:
             z = np.empty(0, np.int64)
             return z, z.copy(), 0, 0
-        return r.postings_blocks_bounded(*rng, min_tf)
+        d, t, dec, tot = r.postings_blocks_bounded(*rng, min_tf)
+        if self.tombstones.size:
+            d, t = filter_postings(self.tombstones, d, t)[:2]
+        return d, t, dec, tot
 
 
 @ray.remote

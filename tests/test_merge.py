@@ -228,3 +228,136 @@ def test_multi_generation_search_equals_compacted(ray_session, dirs):
 def test_multi_generation_rejects_actor_mode(dirs):
     with pytest.raises(ValueError, match="local-mode only"):
         SearchEngine([dirs["a_i"], dirs["delta_i"]], mode="actors")
+
+
+def test_delete_docs_filters_all_query_paths(ray_session, dirs, tmp_path):
+    """Tombstoned docs vanish from boolean, phrase, ranked, pruned and
+    by-range results immediately (Lucene semantics: stats stay as built
+    until compaction)."""
+    import shutil
+
+    from informationretrieval_en_people_cn_ray.state.tombstones import (
+        delete_docs,
+        load_tombstones,
+    )
+
+    idx = str(tmp_path / "idx_del")
+    shutil.copytree(dirs["merged_i"], idx)
+    base = SearchEngine(idx, mode="local")
+    ids0, _ = base.search("data fast", k=None)
+    victims = [int(ids0[0]), int(ids0[2])]
+    assert delete_docs(idx, victims) == 2
+    assert delete_docs(idx, victims[:1]) == 2  # idempotent union
+    assert load_tombstones(idx).tolist() == sorted(victims)
+
+    eng = SearchEngine(idx, mode="local")
+    for q in QUERIES + ["data fast"]:
+        r = eng.search(q, k=None)
+        got = (r[0] if isinstance(r, tuple) else r).tolist()
+        assert not set(victims) & set(got), q
+    i_p, _ = eng.search("data fast table", prune=True, k=10)
+    assert not set(victims) & set(i_p.tolist())
+    from informationretrieval_en_people_cn_ray.queryparse import parse
+
+    i_r, _ = eng.ranked_by_range(parse("data fast table"), k=10)
+    assert not set(victims) & set(i_r.tolist())
+    # remaining result set == base minus victims (same stale stats)
+    ids1, _ = eng.search("data fast", k=None)
+    assert set(ids1.tolist()) == set(ids0.tolist()) - set(victims)
+
+
+def test_compaction_with_deletes_equals_rebuild(ray_session, dirs, tmp_path):
+    """merge_indexes over a tombstoned index physically drops the deleted
+    docs: the compacted index equals a FULL REBUILD over the remaining
+    rows (ids preserved via an explicit doc_id column)."""
+    import shutil
+
+    from informationretrieval_en_people_cn_ray.state.tombstones import (
+        delete_docs,
+        load_tombstones,
+    )
+
+    idx = str(tmp_path / "idx_del2")
+    shutil.copytree(dirs["merged_i"], idx)
+    victims = [0, 7, 33, N_A, N_A + N_B - 1]  # spans both generations
+    delete_docs(idx, victims)
+
+    compacted = str(tmp_path / "idx_compacted")
+    man = merge_indexes([idx], compacted)  # single-parent = compaction
+    assert man["num_docs"] == N_A + N_B - len(victims)
+    assert load_tombstones(compacted).size == 0
+
+    # rebuild over remaining rows, original ids carried in a doc_id column
+    remain_c = str(tmp_path / "corpus_remain")
+    os.makedirs(remain_c)
+    t = pa.concat_tables(
+        [
+            generate_corpus(N_A, seed=SEED, start=0),
+            generate_corpus(N_B, seed=SEED, start=N_A),
+        ]
+    )
+    t = t.add_column(
+        0, "doc_id", pa.array(range(N_A + N_B), pa.int64())
+    ).filter(
+        pa.array([i not in set(victims) for i in range(N_A + N_B)])
+    )
+    pq.write_table(t, os.path.join(remain_c, "part-00000.parquet"))
+    rebuilt = str(tmp_path / "idx_rebuilt")
+    build_index(
+        remain_c, rebuilt, BuildConfig(doc_id_column="doc_id", **CFG)
+    )
+    assert _read_full_index(compacted, CFG["num_segments"]) == (
+        _read_full_index(rebuilt, CFG["num_segments"])
+    )
+
+    # docstats match too (logical content; partition boundaries may differ)
+    def stats(idx_):
+        import glob
+
+        rows = []
+        for p in sorted(glob.glob(os.path.join(idx_, "docstats", "part=*"))):
+            tt = pq.read_table(os.path.join(p, "docstats.parquet"))
+            rows.extend(
+                zip(tt["doc_id"].to_pylist(), tt["doc_len"].to_pylist())
+            )
+        return sorted(rows)
+
+    assert stats(compacted) == stats(rebuilt)
+    # and the compacted index answers identically to the rebuilt one
+    ec = SearchEngine(compacted, mode="local")
+    er = SearchEngine(rebuilt, mode="local")
+    for q in QUERIES + ["data fast"]:
+        rc, rr = ec.search(q), er.search(q)
+        if isinstance(rc, tuple):
+            assert rc[0].tolist() == rr[0].tolist(), q
+            assert rc[1].tolist() == rr[1].tolist(), q
+        else:
+            assert rc.tolist() == rr.tolist(), q
+
+
+def test_compaction_drops_fully_deleted_terms(ray_session, tmp_path):
+    """A term whose every posting is tombstoned leaves the dictionary."""
+    from informationretrieval_en_people_cn_ray.state.tombstones import (
+        delete_docs,
+    )
+
+    c = str(tmp_path / "c")
+    os.makedirs(c)
+    texts = ["unique_marker common words", "common words again"]
+    pq.write_table(
+        pa.table(
+            {
+                "content": pa.array(texts, pa.string()),
+            }
+        ),
+        os.path.join(c, "part-00000.parquet"),
+    )
+    idx = str(tmp_path / "i")
+    build_index(c, idx, BuildConfig(num_segments=2, docstat_partitions=1,
+                                    stem=False))
+    delete_docs(idx, [0])
+    out = str(tmp_path / "o")
+    merge_indexes([idx], out)
+    eng = SearchEngine(out, mode="local")
+    assert eng.local.postings("unique_marker") is None
+    assert eng.local.postings("common").doc_ids.tolist() == [1]
