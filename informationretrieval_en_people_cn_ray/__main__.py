@@ -10,6 +10,15 @@ Mirrors the reference's two CLI modes (``SearchEngine.py:298-313``,
         [--query Q | --query-file F] [--k K] [--scorer bm25|dirichlet] \
         [--hydrate CORPUS --columns repo,path]
 
+plus the index-maintenance lifecycle the reference lacks:
+
+- ``extend INDEX DELTA_CORPUS DELTA_DIR OUT_DIR`` — tokenize only the
+  new documents, merge generations byte-level
+- ``delete INDEX id1,id2,...`` — tombstone documents (filtered from all
+  queries immediately)
+- ``compact INDEX [INDEX...] OUT_DIR`` — merge generations / physically
+  drop tombstoned docs
+
 This is the one module that owns a Ray session when run standalone
 (``ray job submit``-compatible); it never re-inits an existing session,
 so it also runs inside a driver-initialised cluster.
@@ -130,6 +139,45 @@ def _print_result(query, doc_ids, scores, store, hydrate_cols) -> None:
     print(json.dumps(out))
 
 
+def _cmd_extend(args: argparse.Namespace) -> int:
+    from .pipelines.merge import extend_index
+
+    _ensure_ray(args.num_cpus)
+    manifest = extend_index(
+        args.index_dir, args.delta_corpus, args.delta_dir, args.out_dir
+    )
+    print(
+        json.dumps(
+            {k: manifest[k] for k in ("num_docs", "total_tokens", "wall_s")}
+        )
+    )
+    return 0
+
+
+def _cmd_compact(args: argparse.Namespace) -> int:
+    """Merge N generations into one index; with tombstones on any input
+    this physically drops the deleted documents."""
+    from .pipelines.merge import merge_indexes
+
+    _ensure_ray(args.num_cpus)
+    manifest = merge_indexes(args.index_dirs, args.out_dir)
+    print(
+        json.dumps(
+            {k: manifest[k] for k in ("num_docs", "total_tokens", "wall_s")}
+        )
+    )
+    return 0
+
+
+def _cmd_delete(args: argparse.Namespace) -> int:
+    from .state.tombstones import delete_docs
+
+    ids = [int(x) for x in args.doc_ids.split(",") if x.strip()]
+    total = delete_docs(args.index_dir, ids)
+    print(json.dumps({"tombstones": total}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="informationretrieval_en_people_cn_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -157,6 +205,28 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--hydrate", help="corpus path for doc hydration")
     ps.add_argument("--columns", help="comma-separated hydration columns")
     ps.set_defaults(fn=_cmd_search)
+
+    pe = sub.add_parser(
+        "extend", help="add new documents to an index (delta generation)"
+    )
+    pe.add_argument("index_dir")
+    pe.add_argument("delta_corpus")
+    pe.add_argument("delta_dir")
+    pe.add_argument("out_dir")
+    pe.set_defaults(fn=_cmd_extend)
+
+    pc = sub.add_parser(
+        "compact",
+        help="merge generations into one index (applies tombstones)",
+    )
+    pc.add_argument("index_dirs", nargs="+")
+    pc.add_argument("out_dir")
+    pc.set_defaults(fn=_cmd_compact)
+
+    pd = sub.add_parser("delete", help="tombstone documents by id")
+    pd.add_argument("index_dir")
+    pd.add_argument("doc_ids", help="comma-separated doc ids")
+    pd.set_defaults(fn=_cmd_delete)
 
     args = p.parse_args(argv)
     return args.fn(args)

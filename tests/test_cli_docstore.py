@@ -79,3 +79,43 @@ def test_cli_index_and_search(ray_session, corpus_dir, tmp_path, capsys):
     assert [l["query"] for l in lines] == ["data value", "the AND data"]
     assert len(lines[0]["doc_ids"]) <= 3
     assert all(s is None for s in lines[1]["scores"])  # boolean → no scores
+
+
+def test_cli_extend_delete_compact(ray_session, corpus_dir, tmp_path, capsys):
+    """Full index-maintenance lifecycle through the CLI: build → extend
+    with a delta corpus → delete → compact; every step prints one JSON
+    line and the final index reflects build+delta minus the deletions."""
+    import pyarrow.parquet as pqt
+
+    from informationretrieval_en_people_cn_ray.__main__ import main
+    from informationretrieval_en_people_cn_ray.corpus import generate_corpus
+
+    idx = str(tmp_path / "idx")
+    assert main(["index", corpus_dir, idx, "--segments", "4"]) == 0
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["num_docs"] == 90
+
+    delta_c = str(tmp_path / "delta_corpus")
+    os.makedirs(delta_c)
+    pqt.write_table(
+        generate_corpus(10, seed=11, start=90),
+        os.path.join(delta_c, "part-00000.parquet"),
+    )
+    delta_i = str(tmp_path / "delta_idx")
+    merged_i = str(tmp_path / "merged_idx")
+    assert main(["extend", idx, delta_c, delta_i, merged_i]) == 0
+    ext = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert ext["num_docs"] == 100
+
+    assert main(["delete", merged_i, "0,5,95"]) == 0
+    assert json.loads(capsys.readouterr().out.strip()) == {"tombstones": 3}
+
+    final_i = str(tmp_path / "final_idx")
+    assert main(["compact", merged_i, final_i]) == 0
+    comp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert comp["num_docs"] == 97
+
+    # deleted ids gone from a search over the compacted index
+    assert main(["search", final_i, "--query", "th* OR a*", "--k", "200"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert not {0, 5, 95} & set(res["doc_ids"])
