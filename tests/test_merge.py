@@ -361,3 +361,38 @@ def test_compaction_drops_fully_deleted_terms(ray_session, tmp_path):
     eng = SearchEngine(out, mode="local")
     assert eng.local.postings("unique_marker") is None
     assert eng.local.postings("common").doc_ids.tolist() == [1]
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_compaction_fuzz_random_deletes(ray_session, dirs, tmp_path, seed):
+    """Random delete sets (including none and generation-spanning) keep
+    the compacted index logically identical to the tombstone-filtered
+    generational view: same boolean result sets for a term battery."""
+    import shutil
+
+    import numpy as np
+
+    from informationretrieval_en_people_cn_ray.state.tombstones import (
+        delete_docs,
+    )
+
+    rng = np.random.RandomState(seed)
+    victims = sorted(
+        int(x) for x in rng.choice(N_A + N_B, size=rng.randint(1, 25),
+                                   replace=False)
+    )
+    idx = str(tmp_path / "idx")
+    shutil.copytree(dirs["merged_i"], idx)
+    delete_docs(idx, victims)
+    out = str(tmp_path / "out")
+    man = merge_indexes([idx], out)
+    assert man["num_docs"] == N_A + N_B - len(victims)
+
+    et = SearchEngine(idx, mode="local")  # tombstone-filtered view
+    ec = SearchEngine(out, mode="local")  # physically compacted
+    for q in ["data", "table", "scan AND join", "'key order'", "me*"]:
+        rt, rc = et.search(q, k=None), ec.search(q, k=None)
+        it = (rt[0] if isinstance(rt, tuple) else rt).tolist()
+        ic = (rc[0] if isinstance(rc, tuple) else rc).tolist()
+        assert sorted(it) == sorted(ic), (q, victims[:5])
+        assert not set(victims) & set(ic)
