@@ -287,6 +287,13 @@ def _scaling(n_docs: int) -> None:
                     ]
                     for c in (lo, hi)
                 },
+                # parallel fault service of the winning legs — the host
+                # mode where single-threaded probes read healthy but the
+                # 8-concurrent-task leg crawls shows up ONLY here
+                "fault_probe_concurrent_mbps": {
+                    str(c): results[c].get("fault_probe_concurrent_mbps")
+                    for c in (lo, hi)
+                },
             }
         )
     )

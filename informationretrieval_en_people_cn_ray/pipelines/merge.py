@@ -132,7 +132,17 @@ class _MergeSegment:
         return pa.concat_tables(out)
 
     def _merge_one_rewrite(self, seg: int) -> pa.Table:
-        """Compacting path: decode → drop tombstoned docs → re-encode."""
+        """Compacting path. Generations WITHOUT tombstones byte-copy
+        exactly like the pure merge (their dictionary rows pass through
+        with shifted offsets, per-chunk stats intact); only tombstoned
+        generations pay decode → filter → re-encode — compaction cost is
+        proportional to the deleted generations' size, not the corpus.
+        Physical blob order in the output bin is (copied gens, then
+        rewritten blobs); the DICTIONARY row order — (term, gen, chunk),
+        which is doc-id order — is what readers follow, offsets are
+        arbitrary."""
+        import shutil
+
         from ..codec import (
             decode_posting_blob,
             encode_posting_blob,
@@ -148,108 +158,156 @@ class _MergeSegment:
                 seg, m["n_terms"], m["n_docs"], m["tokens"], m["bytes"],
                 d, True, t0,
             )
-        # gather (term, gen, chunk) rows in merged dictionary order
-        rows: list[tuple[str, int, int, int, int]] = []  # term, gen, chunk, off, size
-        bins: list[np.memmap | np.ndarray] = []
-        for gi, p in enumerate(self.parents):
-            sd = seg_dir(p, seg)
-            t = pq.read_table(os.path.join(sd, "terms.parquet"))
-            pb = os.path.join(sd, "postings.bin")
-            bins.append(
-                np.memmap(pb, dtype=np.uint8, mode="r")
-                if os.path.exists(pb) and os.path.getsize(pb)
-                else np.empty(0, np.uint8)
-            )
-            for term, chunk, off, size in zip(
-                t["term"].to_pylist(),
-                t["chunk"].to_pylist(),
-                t["offset"].to_pylist(),
-                t["size"].to_pylist(),
-            ):
-                rows.append((term, gi, int(chunk), int(off), int(size)))
-        rows.sort(key=lambda r: (r[0], r[1], r[2]))
-
-        out_terms: list[str] = []
-        out_chunk: list[int] = []
-        out_df: list[int] = []
-        out_ctf: list[int] = []
-        out_max_tf: list[int] = []
-        out_off: list[int] = []
-        out_size: list[int] = []
-        n_distinct = n_postings = tokens = 0
         os.makedirs(d, exist_ok=True)
         tmp_bin = os.path.join(d, "postings.bin.tmp")
+        tabs: list[pa.Table] = []  # dictionary rows (pass-through + new)
         offset = 0
         with open(tmp_bin, "wb") as out:
-            i, n = 0, len(rows)
-            while i < n:
-                j = i
-                term = rows[i][0]
-                while j < n and rows[j][0] == term:
-                    j += 1
-                ds_, tfs_, pos_ = [], [], []
-                for _, gi, _, off, size in rows[i:j]:
-                    blob = bytes(bins[gi][off : off + size])
-                    dd, tt, pp, ss = decode_posting_blob(
-                        blob, with_positions=self.store_positions
+            # 1) untombed generations: stream byte copy + row pass-through
+            for gi, p in enumerate(self.parents):
+                if self.tombs[gi].size:
+                    continue
+                sd = seg_dir(p, seg)
+                t = pq.read_table(os.path.join(sd, "terms.parquet"))
+                pb = os.path.join(sd, "postings.bin")
+                n = 0
+                if os.path.exists(pb):
+                    with open(pb, "rb") as src:
+                        shutil.copyfileobj(src, out, 1 << 20)
+                    n = os.path.getsize(pb)
+                if t.num_rows:
+                    off = t["offset"].to_numpy() + offset
+                    t = t.set_column(
+                        t.schema.get_field_index("offset"),
+                        "offset",
+                        pa.array(off, pa.int64()),
+                    ).append_column(
+                        "gen", pa.array([gi] * t.num_rows, pa.int32())
                     )
-                    if self.tombs[gi].size:
+                    tabs.append(t)
+                offset += n
+            # 2) tombed generations: decode each term's chunks, drop
+            # deleted docs, re-encode in fresh max_blob_docs chunks
+            for gi, p in enumerate(self.parents):
+                if not self.tombs[gi].size:
+                    continue
+                sd = seg_dir(p, seg)
+                t = pq.read_table(os.path.join(sd, "terms.parquet"))
+                pb = os.path.join(sd, "postings.bin")
+                bin_ = (
+                    np.memmap(pb, dtype=np.uint8, mode="r")
+                    if os.path.exists(pb) and os.path.getsize(pb)
+                    else np.empty(0, np.uint8)
+                )
+                terms = t["term"].to_pylist()
+                offs = t["offset"].to_numpy()
+                sizes = t["size"].to_numpy()
+                i, n_rows = 0, t.num_rows
+                while i < n_rows:
+                    j = i
+                    term = terms[i]
+                    while j < n_rows and terms[j] == term:
+                        j += 1
+                    ds_, tfs_, pos_ = [], [], []
+                    for r in range(i, j):
+                        blob = bytes(
+                            bin_[int(offs[r]) : int(offs[r]) + int(sizes[r])]
+                        )
+                        dd, tt, pp, ss = decode_posting_blob(
+                            blob, with_positions=self.store_positions
+                        )
                         dd, tt, pp, ss = filter_postings(
                             self.tombs[gi], dd, tt, pp
                         )
-                    if len(dd):
-                        ds_.append(dd)
-                        tfs_.append(tt)
+                        if len(dd):
+                            ds_.append(dd)
+                            tfs_.append(tt)
+                            if self.store_positions:
+                                pos_.append(pp)
+                    i = j
+                    if not ds_:
+                        continue  # term fully deleted in this generation
+                    doc_ids = np.concatenate(ds_)
+                    tfs = np.concatenate(tfs_)
+                    pos = (
+                        np.concatenate(pos_)
+                        if self.store_positions
+                        else np.empty(0, np.int64)
+                    )
+                    pos_ends = np.zeros(len(doc_ids) + 1, np.int64)
+                    np.cumsum(tfs, out=pos_ends[1:])
+                    step = self.max_blob_docs
+                    for ci, c0 in enumerate(range(0, len(doc_ids), step)):
+                        c1 = min(c0 + step, len(doc_ids))
+                        cd, ct = doc_ids[c0:c1], tfs[c0:c1]
                         if self.store_positions:
-                            pos_.append(pp)
-                i = j
-                if not ds_:
-                    continue  # term fully deleted — drop from dictionary
-                doc_ids = np.concatenate(ds_)
-                tfs = np.concatenate(tfs_)
-                pos = (
-                    np.concatenate(pos_)
-                    if self.store_positions
-                    else np.empty(0, np.int64)
-                )
-                pos_ends = np.zeros(len(doc_ids) + 1, np.int64)
-                np.cumsum(tfs, out=pos_ends[1:])
-                n_distinct += 1
-                step = self.max_blob_docs
-                for ci, c0 in enumerate(range(0, len(doc_ids), step)):
-                    c1 = min(c0 + step, len(doc_ids))
-                    cd, ct = doc_ids[c0:c1], tfs[c0:c1]
-                    if self.store_positions:
-                        cp = pos[pos_ends[c0] : pos_ends[c1]]
-                        starts = pos_ends[c0:c1] - pos_ends[c0]
-                        pb = encode_positions(cp, starts)
-                    else:
-                        pb = b""
-                    blob = encode_posting_blob(cd, ct, pb)
-                    out.write(blob)
-                    out_terms.append(term)
-                    out_chunk.append(ci)
-                    out_df.append(len(cd))
-                    ctf = int(ct.sum())
-                    out_ctf.append(ctf)
-                    out_max_tf.append(int(ct.max()) if len(ct) else 0)
-                    out_off.append(offset)
-                    out_size.append(len(blob))
-                    offset += len(blob)
-                    n_postings += len(cd)
-                    tokens += ctf
+                            cp = pos[pos_ends[c0] : pos_ends[c1]]
+                            starts = pos_ends[c0:c1] - pos_ends[c0]
+                            pbytes = encode_positions(cp, starts)
+                        else:
+                            pbytes = b""
+                        blob = encode_posting_blob(cd, ct, pbytes)
+                        out.write(blob)
+                        tabs.append(
+                            pa.table(
+                                {
+                                    "term": pa.array([term], pa.string()),
+                                    "chunk": pa.array([ci], pa.int32()),
+                                    "df": pa.array([len(cd)], pa.int64()),
+                                    "ctf": pa.array(
+                                        [int(ct.sum())], pa.int64()
+                                    ),
+                                    "max_tf": pa.array(
+                                        [int(ct.max()) if len(ct) else 0],
+                                        pa.int64(),
+                                    ),
+                                    "offset": pa.array([offset], pa.int64()),
+                                    "size": pa.array(
+                                        [len(blob)], pa.int64()
+                                    ),
+                                    "gen": pa.array([gi], pa.int32()),
+                                }
+                            )
+                        )
+                        offset += len(blob)
+        postings_bytes = offset
+        if tabs:
+            allt = pa.concat_tables(tabs).combine_chunks()
+            terms_a = np.asarray(allt["term"].to_pylist(), dtype=object)
+            gen = allt["gen"].to_numpy()
+            chunk = allt["chunk"].to_numpy()
+            order = np.lexsort((chunk, gen, terms_a))
+            allt = allt.take(pa.array(order)).drop_columns(["gen"])
+            terms_a = terms_a[order]
+            tb = np.flatnonzero(
+                np.r_[True, terms_a[1:] != terms_a[:-1]]
+            ).astype(np.int64)
+            seq = np.arange(len(terms_a), dtype=np.int64)
+            new_chunk = seq - np.repeat(
+                seq[tb], np.diff(np.r_[tb, len(terms_a)])
+            )
+            allt = allt.set_column(
+                allt.schema.get_field_index("chunk"),
+                "chunk",
+                pa.array(new_chunk.astype(np.int32), pa.int32()),
+            )
+            n_distinct = int(len(tb))
+            n_postings = int(allt["df"].to_numpy().sum())
+            tokens = int(allt["ctf"].to_numpy().sum())
+        else:
+            allt = pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "chunk": pa.array([], pa.int32()),
+                    "df": pa.array([], pa.int64()),
+                    "ctf": pa.array([], pa.int64()),
+                    "max_tf": pa.array([], pa.int64()),
+                    "offset": pa.array([], pa.int64()),
+                    "size": pa.array([], pa.int64()),
+                }
+            )
+            n_distinct = n_postings = tokens = 0
         os.replace(tmp_bin, os.path.join(d, "postings.bin"))
-        allt = pa.table(
-            {
-                "term": pa.array(out_terms, pa.string()),
-                "chunk": pa.array(out_chunk, pa.int32()),
-                "df": pa.array(out_df, pa.int64()),
-                "ctf": pa.array(out_ctf, pa.int64()),
-                "max_tf": pa.array(out_max_tf, pa.int64()),
-                "offset": pa.array(out_off, pa.int64()),
-                "size": pa.array(out_size, pa.int64()),
-            }
-        )
         tmp = os.path.join(d, "terms.parquet.tmp")
         pq.write_table(allt, tmp)
         os.replace(tmp, os.path.join(d, "terms.parquet"))
@@ -262,7 +320,7 @@ class _MergeSegment:
                 "n_chunks": allt.num_rows,
                 "n_docs": n_postings,
                 "tokens": tokens,
-                "bytes": offset,
+                "bytes": postings_bytes,
                 "merged_from": [seg_dir(p, seg) for p in self.parents],
                 "compacted": True,
                 "build_fingerprint": self.merge_fp,
@@ -270,7 +328,8 @@ class _MergeSegment:
             },
         )
         return self._summary(
-            seg, n_distinct, n_postings, tokens, offset, d, False, t0
+            seg, n_distinct, n_postings, tokens, postings_bytes, d,
+            False, t0,
         )
 
     def _merge_one(self, seg: int) -> pa.Table:

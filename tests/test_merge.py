@@ -396,3 +396,40 @@ def test_compaction_fuzz_random_deletes(ray_session, dirs, tmp_path, seed):
         ic = (rc[0] if isinstance(rc, tuple) else rc).tolist()
         assert sorted(it) == sorted(ic), (q, victims[:5])
         assert not set(victims) & set(ic)
+
+
+def test_compaction_mixed_generations(ray_session, dirs, tmp_path):
+    """Tombstones on ONE generation only: the untombed generation must
+    byte-copy through while the tombed one rewrites — output identical
+    to a rebuild over the remaining rows."""
+    import shutil
+
+    from informationretrieval_en_people_cn_ray.state.tombstones import (
+        delete_docs,
+    )
+
+    delta = str(tmp_path / "delta_tombed")
+    shutil.copytree(dirs["delta_i"], delta)
+    victims = [N_A + 1, N_A + 9]  # delta-generation ids only
+    delete_docs(delta, victims)
+    out = str(tmp_path / "compacted")
+    man = merge_indexes([dirs["a_i"], delta], out)
+    assert man["num_docs"] == N_A + N_B - len(victims)
+
+    remain_c = str(tmp_path / "remain")
+    os.makedirs(remain_c)
+    t = pa.concat_tables(
+        [
+            generate_corpus(N_A, seed=SEED, start=0),
+            generate_corpus(N_B, seed=SEED, start=N_A),
+        ]
+    )
+    t = t.add_column(
+        0, "doc_id", pa.array(range(N_A + N_B), pa.int64())
+    ).filter(pa.array([i not in set(victims) for i in range(N_A + N_B)]))
+    pq.write_table(t, os.path.join(remain_c, "part-00000.parquet"))
+    rebuilt = str(tmp_path / "rebuilt")
+    build_index(remain_c, rebuilt, BuildConfig(doc_id_column="doc_id", **CFG))
+    assert _read_full_index(out, CFG["num_segments"]) == _read_full_index(
+        rebuilt, CFG["num_segments"]
+    )
