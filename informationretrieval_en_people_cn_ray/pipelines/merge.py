@@ -676,9 +676,29 @@ def extend_index(
     The parent must have been built with layout-assigned doc_ids
     (``doc_id_column=None`` semantics — an explicit id column makes
     "next free id" the caller's contract, not ours)."""
-    parent_man = _collection(parent_dir)
-    pcfg = dict(parent_man.get("config", {}))
-    base = max_doc_id(parent_dir) + 1
+    gens = extend_generation(parent_dir, delta_corpus, delta_dir, config)
+    return merge_indexes(gens, out_dir)
+
+
+def extend_generation(
+    parent_dirs: list[str] | str,
+    delta_corpus: str,
+    delta_dir: str,
+    config: BuildConfig | None = None,
+) -> list[str]:
+    """Append a new generation WITHOUT merging (the Lucene tiered-merge
+    pattern): tokenize only ``delta_corpus`` into ``delta_dir`` with
+    layout doc_ids above every existing generation's, and return the new
+    generation list — immediately searchable via
+    ``SearchEngine(generation_list)`` (GenerationalSegments). Call
+    ``merge_indexes(generation_list, out)`` whenever the generation
+    count crosses the serving policy's threshold; until then each extend
+    costs only the delta build (no byte copy of the existing index)."""
+    parents = (
+        [parent_dirs] if isinstance(parent_dirs, str) else list(parent_dirs)
+    )
+    base = max(max_doc_id(p) for p in parents) + 1
+    pcfg = dict(_collection(parents[0]).get("config", {}))
     if config is None:
         pcfg.pop("doc_id_base", None)
         pcfg.pop("doc_id_column", None)
@@ -688,4 +708,4 @@ def extend_index(
     config.doc_id_base = base
     config.doc_id_column = None
     build_index(delta_corpus, delta_dir, config)
-    return merge_indexes([parent_dir, delta_dir], out_dir)
+    return parents + [delta_dir]

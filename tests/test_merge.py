@@ -433,3 +433,63 @@ def test_compaction_mixed_generations(ray_session, dirs, tmp_path):
     assert _read_full_index(out, CFG["num_segments"]) == _read_full_index(
         rebuilt, CFG["num_segments"]
     )
+
+
+def test_tiered_generations_without_merge(ray_session, dirs, tmp_path):
+    """Lucene-style tiered pattern: append generations WITHOUT merging —
+    each extend costs only the delta build — and serve from the
+    generation list; a later compaction of all generations equals the
+    full rebuild."""
+    from informationretrieval_en_people_cn_ray.pipelines.merge import (
+        extend_generation,
+    )
+
+    n_c, n_d = 16, 12
+    for name, n, start in (("c", n_c, N_A + N_B), ("d", n_d, N_A + N_B + n_c)):
+        cdir = str(tmp_path / f"corpus_{name}")
+        os.makedirs(cdir)
+        pq.write_table(
+            generate_corpus(n, seed=SEED, start=start),
+            os.path.join(cdir, "part-00000.parquet"),
+        )
+    gens = [dirs["a_i"], dirs["delta_i"]]
+    gens = extend_generation(
+        gens, str(tmp_path / "corpus_c"), str(tmp_path / "gen_c")
+    )
+    gens = extend_generation(
+        gens, str(tmp_path / "corpus_d"), str(tmp_path / "gen_d")
+    )
+    assert len(gens) == 4
+
+    full_c = str(tmp_path / "corpus_all")
+    os.makedirs(full_c)
+    pq.write_table(
+        pa.concat_tables(
+            [
+                generate_corpus(N_A, seed=SEED, start=0),
+                generate_corpus(N_B, seed=SEED, start=N_A),
+                generate_corpus(n_c, seed=SEED, start=N_A + N_B),
+                generate_corpus(n_d, seed=SEED, start=N_A + N_B + n_c),
+            ]
+        ),
+        os.path.join(full_c, "part-00000.parquet"),
+        row_group_size=32,
+    )
+    full_i = str(tmp_path / "idx_all")
+    build_index(full_c, full_i, BuildConfig(**CFG))
+
+    ef = SearchEngine(full_i, mode="local")
+    eg = SearchEngine(gens, mode="local")
+    for q in QUERIES + ["data fast table"]:
+        rf, rg = ef.search(q), eg.search(q)
+        if isinstance(rf, tuple):
+            assert rf[0].tolist() == rg[0].tolist(), q
+            assert rf[1].tolist() == rg[1].tolist(), q
+        else:
+            assert rf.tolist() == rg.tolist(), q
+
+    compacted = str(tmp_path / "idx_compacted_all")
+    merge_indexes(gens, compacted)
+    assert _read_full_index(compacted, CFG["num_segments"]) == (
+        _read_full_index(full_i, CFG["num_segments"])
+    )
