@@ -1837,6 +1837,29 @@ def asof_join_events_orders(
         )
     evn = ev.map_batches(_asof_ev_rows, batch_format="pyarrow")
     orn = orders.map_batches(_asof_ord_rows, batch_format="pyarrow")
+
+    # semi-join pushdown: inner-asof emits one row per EVENT, so orders
+    # whose key never appears in events can only ever feed _ASOF_EMPTY
+    # groups — drop them before any shuffle. Cuts both the shuffled rows
+    # and (the real win) the per-group map_groups invocations: at sf0.1
+    # only ~10% of order keys have events, and by_time's (key, range)
+    # group count shrinks by the same factor (measured 17.4 s → see
+    # BENCH/BASELINE.md). The broadcast is the distinct-event-key set
+    # (key-domain-bounded, same budget as the broadcast join's small
+    # side); bloom_semi_join documents the constant-size variant for key
+    # domains past broadcast budget.
+    ev_keys_ref = ray.put(_event_user_set(sf_dir))
+
+    def keep_orders_with_events(batch: pa.Table) -> pa.Table:
+        ks = ray.get(ev_keys_ref)
+        if not ks.size or batch.num_rows == 0:
+            return batch.slice(0, 0)
+        key = batch["key"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(ks, key)
+        idx[idx >= ks.size] = ks.size - 1
+        return batch.filter(pa.array(ks[idx] == key))
+
+    orn = orn.map_batches(keep_orders_with_events, batch_format="pyarrow")
     if mode == "by_key":
         return evn.union(orn).groupby("key").map_groups(
             _asof_group, batch_format="pyarrow"
@@ -2554,22 +2577,31 @@ def _sessionize_by_time(tagged, gap_us: int, bounds, R: int):
         return batch.append_column("rng", pa.array(rng, pa.int64()))
 
     def local_sessions(group: pa.Table) -> pa.Table:
+        """One TIME RANGE, every user inside it — per-user session
+        assignment fully vectorized via segmented cumsum over user-run
+        boundaries. Grouping by range alone keeps the shuffle's group
+        count at ``time_ranges`` (a 16-group map is ~16 Python calls,
+        where the old (user, range) grid paid users·ranges of them);
+        per-task memory is one time range, which is exactly the knob
+        ``time_ranges`` exists to bound."""
         group = group.combine_chunks()
         uid = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         eid = group["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         tu = group["tu"].to_numpy(zero_copy_only=False).astype(np.int64)
         rng = group["rng"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((eid, tu))
-        eid_s, tu_s = eid[order], tu[order]
-        newsess = np.ones(len(order), np.int64)
-        if len(order) > 1:
-            newsess[1:] = (tu_s[1:] - tu_s[:-1] > gap_us).astype(np.int64)
-        sidx = np.cumsum(newsess) - 1
+        order = np.lexsort((eid, tu, uid))
+        u_s, e_s, t_s = uid[order], eid[order], tu[order]
         n = len(order)
+        ub = np.r_[True, u_s[1:] != u_s[:-1]]
+        newsess = ub | np.r_[True, (t_s[1:] - t_s[:-1]) > gap_us]
+        cs = np.cumsum(newsess)
+        ustart = np.flatnonzero(ub)
+        uend = np.r_[ustart[1:] - 1, n - 1]
+        sidx = cs - np.repeat(cs[ustart], np.diff(np.r_[ustart, n]))
         ev = pa.table(
             {
-                "user_id": pa.array(uid[order], pa.int64()),
-                "event_id": pa.array(eid_s, pa.int64()),
+                "user_id": pa.array(u_s, pa.int64()),
+                "event_id": pa.array(e_s, pa.int64()),
                 "rng": pa.array(rng[order], pa.int64()),
                 "local_sidx": pa.array(sidx, pa.int64()),
                 "f_tu": pa.array(np.zeros(n, np.int64)),
@@ -2578,23 +2610,24 @@ def _sessionize_by_time(tagged, gap_us: int, bounds, R: int):
                 "is_sum": pa.array(np.zeros(n, np.int64)),
             }
         )
+        m = len(ustart)
         summ = pa.table(
             {
-                "user_id": pa.array([int(uid[0])], pa.int64()),
-                "event_id": pa.array([-1], pa.int64()),
-                "rng": pa.array([int(rng[0])], pa.int64()),
-                "local_sidx": pa.array([0], pa.int64()),
-                "f_tu": pa.array([int(tu_s[0])], pa.int64()),
-                "l_tu": pa.array([int(tu_s[-1])], pa.int64()),
-                "nsess": pa.array([int(sidx[-1]) + 1], pa.int64()),
-                "is_sum": pa.array([1], pa.int64()),
+                "user_id": pa.array(u_s[ustart], pa.int64()),
+                "event_id": pa.array(np.full(m, -1, np.int64), pa.int64()),
+                "rng": pa.array(rng[order][ustart], pa.int64()),
+                "local_sidx": pa.array(np.zeros(m, np.int64), pa.int64()),
+                "f_tu": pa.array(t_s[ustart], pa.int64()),
+                "l_tu": pa.array(t_s[uend], pa.int64()),
+                "nsess": pa.array(sidx[uend] + 1, pa.int64()),
+                "is_sum": pa.array(np.ones(m, np.int64), pa.int64()),
             }
         )
         return pa.concat_tables([ev, summ])
 
     both = (
         tagged.map_batches(tag, batch_format="pyarrow")
-        .groupby(["user_id", "rng"])
+        .groupby("rng")
         .map_groups(local_sessions, batch_format="pyarrow")
         .materialize()
     )
@@ -3229,18 +3262,27 @@ def _running_totals_by_time(tagged, bounds, R: int):
         return batch.append_column("rng", pa.array(rng, pa.int64()))
 
     def local_cumsum(group: pa.Table) -> pa.Table:
+        """One TIME RANGE, every user inside it — per-user running sums
+        via one segmented cumsum (group count = time_ranges, not
+        users·ranges; see local_sessions for the rationale)."""
         group = group.combine_chunks()
         uid = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         eid = group["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         tu = group["tu"].to_numpy(zero_copy_only=False).astype(np.int64)
         cents = group["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
         rng = group["rng"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((eid, tu))
-        run = np.cumsum(cents[order])
+        order = np.lexsort((eid, tu, uid))
+        u_s, c_s = uid[order], cents[order]
         n = len(order)
+        ub = np.r_[True, u_s[1:] != u_s[:-1]]
+        ustart = np.flatnonzero(ub)
+        uend = np.r_[ustart[1:] - 1, n - 1]
+        cs = np.cumsum(c_s)
+        base = cs[ustart] - c_s[ustart]
+        run = cs - np.repeat(base, np.diff(np.r_[ustart, n]))
         ev = pa.table(
             {
-                "user_id": pa.array(uid[order], pa.int64()),
+                "user_id": pa.array(u_s, pa.int64()),
                 "event_id": pa.array(eid[order], pa.int64()),
                 "rng": pa.array(rng[order], pa.int64()),
                 "local_run": pa.array(run, pa.int64()),
@@ -3248,21 +3290,22 @@ def _running_totals_by_time(tagged, bounds, R: int):
                 "is_sum": pa.array(np.zeros(n, np.int64)),
             }
         )
+        m = len(ustart)
         summ = pa.table(
             {
-                "user_id": pa.array([int(uid[0])], pa.int64()),
-                "event_id": pa.array([-1], pa.int64()),
-                "rng": pa.array([int(rng[0])], pa.int64()),
-                "local_run": pa.array([0], pa.int64()),
-                "total": pa.array([int(run[-1])], pa.int64()),
-                "is_sum": pa.array([1], pa.int64()),
+                "user_id": pa.array(u_s[ustart], pa.int64()),
+                "event_id": pa.array(np.full(m, -1, np.int64), pa.int64()),
+                "rng": pa.array(rng[order][ustart], pa.int64()),
+                "local_run": pa.array(np.zeros(m, np.int64), pa.int64()),
+                "total": pa.array(run[uend], pa.int64()),
+                "is_sum": pa.array(np.ones(m, np.int64), pa.int64()),
             }
         )
         return pa.concat_tables([ev, summ])
 
     both = (
         tagged.map_batches(tag, batch_format="pyarrow")
-        .groupby(["user_id", "rng"])
+        .groupby("rng")
         .map_groups(local_cumsum, batch_format="pyarrow")
         .materialize()
     )
