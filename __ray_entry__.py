@@ -155,6 +155,21 @@ def _q_phrase_prefix(sf_dir: str) -> pa.Table:
     return _ids_table(eng.search(f"'{PHRASE_PREFIX}'* AND '{PHRASE_PREFIX}'*"))
 
 
+def _q_proximity(sf_dir: str) -> pa.Table:
+    """(doc_id, min_dist) — NEAR/5 proximity search over the positional
+    index: docs where 'part' occurs within 5 tokens of 'filter', plus
+    the closest distance (the unordered generalization of the phrase
+    query, answered from the same varint position stream)."""
+    eng = _engine(sf_dir)
+    ids, dist = eng.proximity("part", "filter", within=5)
+    return pa.table(
+        {
+            "doc_id": pa.array([int(i) for i in ids], pa.int64()),
+            "min_dist": pa.array([int(d) for d in dist], pa.int64()),
+        }
+    )
+
+
 def _q_bm25_snippets(sf_dir: str) -> pa.Table:
     """(doc_id, score, snippet) — ranked hits WITH result snippets: the
     7-token window centered on the document's FIRST query-term match
@@ -448,6 +463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_search": _q_prefix,
         "phrase_search": _q_phrase,
         "phrase_prefix_search": _q_phrase_prefix,
+        "proximity_search": _q_proximity,
         "replyto_children": _q_replyto,
         # flagship stemmed pipeline (rows-only; pytest-oracle gated)
         "bm25_topk_stemmed": _q_bm25_stemmed,
@@ -946,6 +962,15 @@ group by term, doc_id
 with {_TOK_CTE}
 select term, doc_id, pos
 from tok where term in ({sample})
+""",
+        "proximity_search": f"""
+with {_TOK_CTE},
+a as (select doc_id, pos from tok where term = 'part'),
+b as (select doc_id, pos from tok where term = 'filter')
+select a.doc_id, min(abs(a.pos - b.pos))::bigint as min_dist
+from a join b on b.doc_id = a.doc_id
+group by a.doc_id
+having min(abs(a.pos - b.pos)) <= 5
 """,
         "bm25_topk": _bm25_sql(),
         "bm25_snippets": _bm25_snippets_sql(),

@@ -666,6 +666,71 @@ class SearchEngine:
                 return np.empty(0, np.int64)
         return cand[np.unique(keys >> np.int64(33))]
 
+    def proximity(
+        self, term_a: str, term_b: str, within: int = 3
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """NEAR/k proximity search: (doc_ids, min_dist) for documents
+        where some occurrence of ``term_a`` lies within ``within`` token
+        positions of some occurrence of ``term_b`` (unordered —
+        |pos_a − pos_b| ≤ within). The natural generalization of the
+        phrase query (phrase ≡ ordered distance-1 chains); the reference
+        stops at phrases, this uses the same position stream. Fully
+        vectorized: per-doc position slices gather segmented (as in
+        ``_phrase_docs_from``), nearest opposite-term occurrence via two
+        ``searchsorted`` probes on (doc, pos) composite keys, per-doc
+        minima via one ``minimum.reduceat``."""
+        ta = self.az.query_terms(term_a)
+        tb = self.az.query_terms(term_b)
+        empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+        if not ta or not tb:
+            return empty
+        plists = self._postings_map([ta[0], tb[0]], with_positions=True)
+        pa_, pb_ = plists.get(ta[0]), plists.get(tb[0])
+        if pa_ is None or pb_ is None:
+            return empty
+        cand = np.intersect1d(pa_.doc_ids, pb_.doc_ids, assume_unique=True)
+        if cand.size == 0:
+            return empty
+
+        def gather(p):
+            ridx = np.searchsorted(p.doc_ids, cand)
+            tf = p.tfs[ridx]
+            starts = p.pos_starts[ridx]
+            total = int(tf.sum())
+            out_starts = np.zeros(len(tf), dtype=np.int64)
+            np.cumsum(tf[:-1], out=out_starts[1:])
+            gidx = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(out_starts, tf)
+                + np.repeat(starts, tf)
+            )
+            return p.positions[gidx], tf, out_starts
+
+        pos_a, tf_a, a_starts = gather(pa_)
+        pos_b, tf_b, _ = gather(pb_)
+        da = np.repeat(np.arange(len(cand), dtype=np.int64), tf_a)
+        db = np.repeat(np.arange(len(cand), dtype=np.int64), tf_b)
+        ka = (da << np.int64(33)) | pos_a
+        kb = (db << np.int64(33)) | pos_b  # sorted: docs asc, pos asc
+        INF = np.int64(1) << np.int64(62)
+        idx = np.searchsorted(kb, ka)
+        r = np.minimum(idx, len(kb) - 1)
+        l = np.maximum(idx - 1, 0)
+        d_r = np.where(
+            (idx < len(kb)) & ((kb[r] >> np.int64(33)) == da),
+            (kb[r] & ((np.int64(1) << 33) - 1)) - pos_a,
+            INF,
+        )
+        d_l = np.where(
+            (idx > 0) & ((kb[l] >> np.int64(33)) == da),
+            pos_a - (kb[l] & ((np.int64(1) << 33) - 1)),
+            INF,
+        )
+        dist = np.minimum(d_r, d_l)
+        per_doc = np.minimum.reduceat(dist, a_starts)
+        hit = per_doc <= within
+        return cand[hit], per_doc[hit]
+
     def _phrase_docs(self, phrase: str) -> np.ndarray:
         anchored = self._anchored(phrase)
         plists = self._postings_map(

@@ -1,6 +1,8 @@
 """Query parser + engine vs oracle: boolean/phrase/prefix sets and
 rank-identical top-k (SURVEY.md §5.2; FIXTURES.md §4)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -389,3 +391,45 @@ def test_bm25_snippets_window(ray_session, tmp_path):
     snip = dict(zip(t["doc_id"].to_pylist(), t["snippet"].to_pylist()))
     assert snip[0] == "scan a b c"                  # pos 0: 0..+3
     assert snip[1] == "w3 w4 w5 join x1 x2 x3"      # pos 5: ±3
+
+
+def test_proximity_planted(ray_session, tmp_path):
+    """NEAR/k semantics on hand-placed positions: distances are token
+    offsets, unordered, per-doc minimum, threshold inclusive."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from informationretrieval_en_people_cn_ray.pipelines.build import (
+        BuildConfig,
+        build_index,
+    )
+    from informationretrieval_en_people_cn_ray.pipelines.search import (
+        SearchEngine,
+    )
+
+    texts = [
+        "alpha xx xx beta",        # dist 3
+        "beta alpha",              # dist 1 (unordered)
+        "alpha xx xx xx xx beta",  # dist 5
+        "alpha only here",         # no beta
+        "beta only here",          # no alpha
+        "xx alpha beta xx alpha",  # dist 1 (min of 1, 2)
+    ]
+    c = str(tmp_path / "c")
+    os.makedirs(c)
+    pq.write_table(
+        pa.table({"content": pa.array(texts, pa.string())}),
+        os.path.join(c, "p.parquet"),
+    )
+    idx = str(tmp_path / "i")
+    build_index(c, idx, BuildConfig(num_segments=2, docstat_partitions=1,
+                                    stem=False))
+    eng = SearchEngine(idx, mode="local")
+    ids, dist = eng.proximity("alpha", "beta", within=3)
+    assert dict(zip(ids.tolist(), dist.tolist())) == {0: 3, 1: 1, 5: 1}
+    ids5, dist5 = eng.proximity("alpha", "beta", within=5)
+    assert dict(zip(ids5.tolist(), dist5.tolist())) == {
+        0: 3, 1: 1, 2: 5, 5: 1
+    }
+    ids0, _ = eng.proximity("alpha", "missing", within=9)
+    assert ids0.size == 0
