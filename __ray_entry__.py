@@ -522,6 +522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, mode="by_time"
         ),
         "event_type_pivot": lambda sf: dp.event_type_pivot(sf),
+        "lang_source_rollup": lambda sf: dp.lang_source_rollup(sf),
         "regex_features": lambda sf: dp.regex_features(sf),
         "json_props_stats": lambda sf: dp.json_props_stats(sf),
         "bloom_semi_join": lambda sf: dp.bloom_semi_join(sf),
@@ -1344,6 +1345,11 @@ select user_id,
   sum(case when event_type = 'signup' then 1 else 0 end)::bigint as n_signup,
   sum(case when event_type = 'view' then 1 else 0 end)::bigint as n_view
 from events group by user_id
+""",
+        "lang_source_rollup": """
+select coalesce(lang, 'ALL') as lang, coalesce(source, 'ALL') as source,
+       count(*)::bigint as n, sum(n_chars)::bigint as chars
+from documents group by rollup(lang, source)
 """,
         "regex_features": r"""
 select doc_id,

@@ -4160,3 +4160,80 @@ def kmeans_clusters(sf_dir: str, nlist: int = 8, iters: int = 3):
             ),
         }
     )
+
+
+@unreserved
+def lang_source_rollup(sf_dir: str):
+    """(lang, source, n, chars) at every ROLLUP((lang, source)) level —
+    per-(lang, source), per-lang subtotals, and the grand total, with
+    'ALL' marking rolled-up dimensions. The OLAP report shape.
+
+    Scale shape: ONE corpus pass of per-batch dictionary-coded partials
+    and ONE |langs×sources|-bounded groupby compute the FINEST level;
+    the coarser levels are integer sums over that (tiny) aggregate —
+    rollup costs one shuffle, not one per level. Exact SQL oracle
+    (GROUP BY ROLLUP)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lang = np.asarray(batch["lang"].to_pylist(), object)
+        src = np.asarray(batch["source"].to_pylist(), object)
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.char.add(
+            np.char.add(lang.astype(str), "\x01"), src.astype(str)
+        )
+        uk, inv = np.unique(key, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        chars = np.zeros(len(uk), np.int64)
+        np.add.at(chars, inv, nch)
+        parts = np.char.partition(uk, "\x01")
+        return pa.table(
+            {
+                "lang": pa.array(parts[:, 0], pa.string()),
+                "source": pa.array(parts[:, 2], pa.string()),
+                "n": pa.array(n, pa.int64()),
+                "chars": pa.array(chars, pa.int64()),
+            }
+        )
+
+    fine = _to_table(
+        read_documents(sf_dir, ["lang", "source", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(2)
+        .groupby(["lang", "source"])
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("chars", alias_name="chars")
+        )
+    )
+    if fine.num_rows == 0:
+        return pa.table(
+            {
+                "lang": pa.array([], pa.string()),
+                "source": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "chars": pa.array([], pa.int64()),
+            }
+        )
+    lang = np.asarray(fine["lang"].to_pylist(), object)
+    src = np.asarray(fine["source"].to_pylist(), object)
+    n = fine["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ch = fine["chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ul, linv = np.unique(lang.astype(str), return_inverse=True)
+    ln = np.zeros(len(ul), np.int64)
+    lch = np.zeros(len(ul), np.int64)
+    np.add.at(ln, linv, n)
+    np.add.at(lch, linv, ch)
+    out_lang = np.concatenate([lang.astype(str), ul, ["ALL"]])
+    out_src = np.concatenate(
+        [src.astype(str), np.full(len(ul), "ALL"), ["ALL"]]
+    )
+    out_n = np.concatenate([n, ln, [n.sum()]])
+    out_ch = np.concatenate([ch, lch, [ch.sum()]])
+    return pa.table(
+        {
+            "lang": pa.array(out_lang, pa.string()),
+            "source": pa.array(out_src, pa.string()),
+            "n": pa.array(out_n.astype(np.int64), pa.int64()),
+            "chars": pa.array(out_ch.astype(np.int64), pa.int64()),
+        }
+    )

@@ -1405,3 +1405,31 @@ def test_kmeans_clusters_matches_local(ray_session):
         assert rows[c]["n"] == int(m.sum())
         if m.any():
             assert abs(rows[c]["mean_cos"] - float(best[m].mean())) <= 2e-4
+
+
+def test_lang_source_rollup_planted(ray_session, tmp_path):
+    """All three rollup levels with hand-computed integer totals."""
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "text": pa.array(["a"] * 4, pa.string()),
+                "lang": pa.array(["en", "en", "de", "en"], pa.string()),
+                "source": pa.array(["w", "x", "w", "w"], pa.string()),
+                "n_chars": pa.array([10, 20, 40, 5], pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    t = dp.lang_source_rollup(d)
+    rows = {(r["lang"], r["source"]): (r["n"], r["chars"]) for r in t.to_pylist()}
+    assert rows[("en", "w")] == (2, 15)
+    assert rows[("en", "x")] == (1, 20)
+    assert rows[("de", "w")] == (1, 40)
+    assert rows[("en", "ALL")] == (3, 35)
+    assert rows[("de", "ALL")] == (1, 40)
+    assert rows[("ALL", "ALL")] == (4, 75)
+    assert len(rows) == 6
