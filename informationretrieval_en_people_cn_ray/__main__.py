@@ -78,6 +78,20 @@ def _cmd_search(args: argparse.Namespace) -> int:
     from .sources.corpus_source import DocStore
 
     _ensure_ray(args.num_cpus)
+    if args.near:
+        a, b, k = args.near.split(",")
+        eng = SearchEngine(args.index_dir, mode="local")
+        ids, dists = eng.proximity(a, b, within=int(k))
+        print(
+            json.dumps(
+                {
+                    "query": f"{a} NEAR/{k} {b}",
+                    "doc_ids": [int(d) for d in ids],
+                    "min_dists": [int(d) for d in dists],
+                }
+            )
+        )
+        return 0
     if args.query:
         queries = [args.query]
     elif args.query_file:
@@ -202,6 +216,9 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--scorer", choices=("bm25", "dirichlet"), default="bm25")
     ps.add_argument("--no-prune", action="store_true")
     ps.add_argument("--concurrency", type=int, default=2)
+    ps.add_argument(
+        "--near", help="proximity query: termA,termB,k (NEAR/k search)"
+    )
     ps.add_argument("--hydrate", help="corpus path for doc hydration")
     ps.add_argument("--columns", help="comma-separated hydration columns")
     ps.set_defaults(fn=_cmd_search)

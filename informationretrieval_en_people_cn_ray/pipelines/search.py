@@ -1109,7 +1109,7 @@ class QueryEval:
 
 
 def search_many(
-    index_dir: str,
+    index_dir: str | list[str],
     queries: list[str],
     k: int = 10,
     scorer: str = "bm25",
@@ -1121,7 +1121,9 @@ def search_many(
     ``prune`` forwards to QueryEval (MaxScore-pruned BM25 — rank-identical
     to the unpruned scorer, so True is the default on both paths; pass
     False to force the plain scorer, matching SearchEngine.search's
-    opt-in semantics from the other direction)."""
+    opt-in semantics from the other direction). ``index_dir`` may be a
+    GENERATION LIST (unmerged extend_generation output) — each pool
+    actor opens a GenerationalSegments view."""
     import ray.data
 
     ds = ray.data.from_items([{"query": q} for q in queries])

@@ -119,3 +119,17 @@ def test_cli_extend_delete_compact(ray_session, corpus_dir, tmp_path, capsys):
     assert main(["search", final_i, "--query", "th* OR a*", "--k", "200"]) == 0
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert not {0, 5, 95} & set(res["doc_ids"])
+
+
+def test_cli_near_search(ray_session, corpus_dir, tmp_path, capsys):
+    from informationretrieval_en_people_cn_ray.__main__ import main
+
+    idx = str(tmp_path / "idx")
+    assert main(["index", corpus_dir, idx, "--segments", "4",
+                 "--no-stem"]) == 0
+    capsys.readouterr()
+    assert main(["search", idx, "--near", "the,a,8"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["query"] == "the NEAR/8 a"
+    assert len(res["doc_ids"]) == len(res["min_dists"])
+    assert all(d <= 8 for d in res["min_dists"])

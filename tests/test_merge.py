@@ -493,3 +493,29 @@ def test_tiered_generations_without_merge(ray_session, dirs, tmp_path):
     assert _read_full_index(compacted, CFG["num_segments"]) == (
         _read_full_index(full_i, CFG["num_segments"])
     )
+
+
+def test_search_many_over_generations(ray_session, dirs):
+    """The actor-pool batch query path accepts a generation list (each
+    QueryEval actor opens a GenerationalSegments view) and matches the
+    compacted index row for row."""
+    from informationretrieval_en_people_cn_ray.pipelines.search import (
+        search_many,
+    )
+
+    qset = ["data fast table", "table AND scan", "'key order'"]
+    a = (
+        search_many(dirs["merged_i"], qset, k=5, concurrency=2)
+        .to_pandas()
+        .sort_values(["query", "rank"])
+        .reset_index(drop=True)
+    )
+    b = (
+        search_many([dirs["a_i"], dirs["delta_i"]], qset, k=5, concurrency=2)
+        .to_pandas()
+        .sort_values(["query", "rank"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
