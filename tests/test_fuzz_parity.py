@@ -115,3 +115,42 @@ def test_fuzz_engine_matches_oracle_hazard_corpus(ray_session, tmp_path, seed):
             p = pick()[:2]
             got = set(int(i) for i in eng.search(f"{p}* AND {p}*"))
             assert got == oracle.prefix_set(p), p
+
+
+@pytest.mark.parametrize("seed", [404, 505])
+def test_fuzz_proximity_matches_oracle(ray_session, tmp_path, seed):
+    """Random term pairs × distances: engine NEAR/k == positions-level
+    replication over the single-process oracle index."""
+    from informationretrieval_en_people_cn_ray.pipelines.search import (
+        SearchEngine,
+    )
+
+    corpus = str(tmp_path / f"c{seed}")
+    write_corpus(corpus, 60, seed=seed, num_parquet_files=2, avg_tokens=50)
+    idx = str(tmp_path / f"i{seed}")
+    build_index(
+        corpus, idx, BuildConfig(num_segments=3, docstat_partitions=2)
+    )
+    oracle = OracleIndex.from_corpus(corpus)
+    eng = SearchEngine(idx)
+    rng = np.random.RandomState(seed)
+    vocab = sorted(oracle.postings)
+
+    def expected(a, b, k):
+        pa_ = {d: ps for d, ps in oracle.postings[a]}
+        pb_ = {d: ps for d, ps in oracle.postings[b]}
+        out = {}
+        for d in sorted(set(pa_) & set(pb_)):
+            m = min(abs(x - y) for x in pa_[d] for y in pb_[d])
+            if m <= k:
+                out[d] = m
+        return out
+
+    for _ in range(12):
+        a = vocab[int(rng.randint(len(vocab)))]
+        b = vocab[int(rng.randint(len(vocab)))]
+        k = int(rng.randint(0, 9))
+        ids, dist = eng.proximity(a, b, within=k)
+        assert dict(zip(ids.tolist(), dist.tolist())) == expected(a, b, k), (
+            a, b, k,
+        )
