@@ -1118,22 +1118,53 @@ def embedding_ivf_topk(
     )
 
 
-@unreserved
-def embed_documents(
-    sf_dir: str, dim: int = 32, concurrency: int = 2, batch_size: int = 512
-):
-    """(doc_id, embedding list<double>) — deterministic hashing-embedding
-    of the documents table through an ACTOR-POOL stage (model state built
-    once per actor in ``__init__``; SURVEY.md §2 ST3). Streams; at scale
-    the output is written partitioned, not collected."""
+_EMBEDDER_CACHE: dict = {}
+
+
+def _embed_batch(batch: pa.Table, dim: int = 32) -> pa.Table:
+    """Stateless-task embedding with the model cached per worker
+    PROCESS (the tokenizer's warm-worker pattern): plain tasks reuse
+    Ray's already-warm workers, so nothing pays a fresh actor process,
+    while the projection matrix is still built once per worker."""
     from ..stages.embedder import HashingEmbedder
 
-    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        HashingEmbedder,
-        fn_constructor_kwargs=dict(dim=dim),
+    inst = _EMBEDDER_CACHE.get(dim)
+    if inst is None:
+        inst = HashingEmbedder(dim=dim)
+        _EMBEDDER_CACHE[dim] = inst
+    return inst(batch)
+
+
+@unreserved
+def embed_documents(
+    sf_dir: str,
+    dim: int = 32,
+    concurrency: int | None = None,
+    batch_size: int = 512,
+):
+    """(doc_id, embedding list<double>) — deterministic hashing-embedding
+    of the documents table (SURVEY.md §2 ST3). Default: stateless tasks
+    over warm workers with a per-process model cache (identical output,
+    no actor-spawn latency); pass ``concurrency`` for the explicit
+    ACTOR-POOL form (model built once per actor in ``__init__`` — the
+    shape a heavyweight learned model uses). Streams; at scale the
+    output is written partitioned, not collected."""
+    from ..stages.embedder import HashingEmbedder
+
+    ds = read_documents(sf_dir, ["doc_id", "text"])
+    if concurrency:
+        return ds.map_batches(
+            HashingEmbedder,
+            fn_constructor_kwargs=dict(dim=dim),
+            batch_size=batch_size,
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
+    return ds.map_batches(
+        _embed_batch,
+        fn_kwargs=dict(dim=dim),
         batch_size=batch_size,
         batch_format="pyarrow",
-        concurrency=concurrency,
     )
 
 
