@@ -366,15 +366,13 @@ def _q_index_stats_stemmed(sf_dir: str) -> pa.Table:
     )
 
 
-def _q_incremental_term_stats(sf_dir: str) -> pa.Table:
-    """(term, df, ctf) read from the DICTIONARIES of an index built
-    INCREMENTALLY: generation 0 over the first half of documents, then
-    ``pipelines/merge.extend_index`` tokenizes ONLY the second half
-    (layout doc_ids offset via ``BuildConfig.doc_id_base``) and merges
-    the generations byte-level (no decode, no shuffle). Value-gated by
-    the same SQL oracle as ``term_stats`` — the whole incremental
-    maintenance path must reproduce corpus-wide term statistics
-    exactly."""
+def _incremental_index(sf_dir: str) -> str:
+    """Build (or reuse) the INCREMENTAL index over documents: generation
+    0 over the first half, then ``pipelines/merge.extend_index``
+    tokenizes ONLY the second half (layout doc_ids offset via
+    ``BuildConfig.doc_id_base`` — identical to the doc_id column, which
+    is the row position at every sf) and merges byte-level. Returns the
+    merged index dir; every step short-circuits when already built."""
     import pyarrow.parquet as pqt
 
     from informationretrieval_en_people_cn_ray.pipelines.build import (
@@ -416,12 +414,36 @@ def _q_incremental_term_stats(sf_dir: str) -> pa.Table:
     gen0 = os.path.join(root, "gen0")
     build_index(a_c, gen0, cfg)  # short-circuits when already built
     extend_index(gen0, b_c, os.path.join(root, "gen1"), merged)
+    return merged
+
+
+def _q_incremental_bm25(sf_dir: str) -> pa.Table:
+    """BM25 top-k answered from the INCREMENTALLY built+merged index —
+    value-gated by the SAME SQL oracle as bm25_topk, so the merge path
+    must reproduce exact ranking (doc ids AND scores), not just term
+    statistics."""
+    from informationretrieval_en_people_cn_ray.pipelines.search import (
+        SearchEngine,
+    )
+
+    eng = SearchEngine(_incremental_index(sf_dir), mode="local")
+    ids, scores = eng.search(Q_TEXT, k=BM25_K, scorer="bm25")
+    return _ranked_table(ids, scores)
+
+
+def _q_incremental_term_stats(sf_dir: str) -> pa.Table:
+    """(term, df, ctf) read from the DICTIONARIES of the incremental
+    index (``_incremental_index``) — value-gated by the term_stats-style
+    oracle (with the index's M5 length filter)."""
+    import pyarrow.parquet as pqt
+
+    merged = _incremental_index(sf_dir)
     tabs = [
         pqt.read_table(
             os.path.join(merged, f"seg={seg:05d}", "terms.parquet"),
             columns=["term", "df", "ctf"],
         )
-        for seg in range(cfg.num_segments)
+        for seg in range(4)
     ]
     allt = pa.concat_tables(tabs)
     # giant terms span several chunk rows; the logical stats are the sums
@@ -451,6 +473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": _q_token_count,
         "sink_roundtrip": _q_sink_roundtrip,
         "incremental_term_stats": _q_incremental_term_stats,
+        "incremental_bm25_topk": _q_incremental_bm25,
         "doc_lengths_index": _q_doc_lengths_from_index,
         "postings_sample": _q_postings,
         "positions_sample": _q_positions,
@@ -974,6 +997,7 @@ group by a.doc_id
 having min(abs(a.pos - b.pos)) <= 5
 """,
         "bm25_topk": _bm25_sql(),
+        "incremental_bm25_topk": _bm25_sql(),
         "bm25_snippets": _bm25_snippets_sql(),
         "bm25_topk_by_range": _bm25_sql(),
         "dirichlet_topk": _dirichlet_sql(),
