@@ -431,6 +431,49 @@ def _q_incremental_bm25(sf_dir: str) -> pa.Table:
     return _ranked_table(ids, scores)
 
 
+DELETED_DOC_IDS = (1, 3, 5)  # fixed victims, present at every sf
+
+
+def _q_compacted_term_stats(sf_dir: str) -> pa.Table:
+    """(term, df, ctf) AFTER deleting fixed documents and physically
+    compacting: tombstone DELETED_DOC_IDS on (a copy of) the incremental
+    index, run the compacting merge, read the rewritten dictionaries.
+    Value-gated by the term_stats oracle over documents MINUS the
+    victims — the decode→filter→re-encode path must reproduce corpus
+    statistics exactly."""
+    import shutil
+
+    import pyarrow.parquet as pqt
+
+    from informationretrieval_en_people_cn_ray.pipelines.merge import (
+        merge_indexes,
+    )
+    from informationretrieval_en_people_cn_ray.state.tombstones import (
+        delete_docs,
+    )
+
+    merged = _incremental_index(sf_dir)
+    root = os.path.dirname(merged)
+    tombed = os.path.join(root, "tombed")
+    compacted = os.path.join(root, "compacted")
+    if not os.path.exists(os.path.join(tombed, "collection.json")):
+        shutil.copytree(merged, tombed, dirs_exist_ok=True)
+    delete_docs(tombed, list(DELETED_DOC_IDS))  # idempotent union
+    merge_indexes([tombed], compacted)  # short-circuits by fingerprint
+    tabs = [
+        pqt.read_table(
+            os.path.join(compacted, f"seg={seg:05d}", "terms.parquet"),
+            columns=["term", "df", "ctf"],
+        )
+        for seg in range(4)
+    ]
+    allt = pa.concat_tables(tabs)
+    agg = allt.group_by("term").aggregate([("df", "sum"), ("ctf", "sum")])
+    return pa.table(
+        {"term": agg["term"], "df": agg["df_sum"], "ctf": agg["ctf_sum"]}
+    )
+
+
 def _q_incremental_term_stats(sf_dir: str) -> pa.Table:
     """(term, df, ctf) read from the DICTIONARIES of the incremental
     index (``_incremental_index``) — value-gated by the term_stats-style
@@ -474,6 +517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sink_roundtrip": _q_sink_roundtrip,
         "incremental_term_stats": _q_incremental_term_stats,
         "incremental_bm25_topk": _q_incremental_bm25,
+        "compacted_term_stats": _q_compacted_term_stats,
         "doc_lengths_index": _q_doc_lengths_from_index,
         "postings_sample": _q_postings,
         "positions_sample": _q_positions,
@@ -961,6 +1005,20 @@ from tok group by term
 with {_TOK_CTE}
 select term, count(distinct doc_id) as df, count(*) as ctf
 from tok group by term
+""",
+        "compacted_term_stats": f"""
+with docs_kept as (
+  select * from documents where doc_id not in (1, 3, 5)
+),
+tok as (
+  select doc_id,
+         unnest({_TOK}) as term,
+         generate_subscripts({_TOK}, 1) as pos
+  from docs_kept
+)
+select term, count(distinct doc_id) as df, count(*) as ctf
+from tok where length(term) > 1 and length(term) <= 128
+group by term
 """,
         # the index applies the reference's term-length filter (M5:
         # 1 < len <= 128) — the oracle mirrors it on the raw token stream
