@@ -78,9 +78,13 @@ def _cmd_search(args: argparse.Namespace) -> int:
     from .sources.corpus_source import DocStore
 
     _ensure_ray(args.num_cpus)
+    # comma-separated paths = unmerged generation list (GenerationalSegments)
+    index_dir = (
+        args.index_dir.split(",") if "," in args.index_dir else args.index_dir
+    )
     if args.near:
         a, b, k = args.near.split(",")
-        eng = SearchEngine(args.index_dir, mode="local")
+        eng = SearchEngine(index_dir, mode="local")
         ids, dists = eng.proximity(a, b, within=int(k))
         print(
             json.dumps(
@@ -106,7 +110,7 @@ def _cmd_search(args: argparse.Namespace) -> int:
     if len(queries) > 1:
         # batch path: Dataset of queries over the actor pool
         tbl = search_many(
-            args.index_dir,
+            index_dir,
             queries,
             k=args.k,
             scorer=args.scorer,
@@ -124,7 +128,7 @@ def _cmd_search(args: argparse.Namespace) -> int:
             )
         return 0
 
-    eng = SearchEngine(args.index_dir, mode="local")
+    eng = SearchEngine(index_dir, mode="local")
     res = eng.search(
         queries[0], k=args.k, scorer=args.scorer, prune=not args.no_prune
     )
@@ -208,7 +212,10 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("--doc-id-column", default=None)
     pi.set_defaults(fn=_cmd_index)
 
-    ps = sub.add_parser("search", help="query a built index")
+    ps = sub.add_parser(
+        "search",
+        help="query a built index (or comma-separated generation list)",
+    )
     ps.add_argument("index_dir")
     ps.add_argument("--query")
     ps.add_argument("--query-file")

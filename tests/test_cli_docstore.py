@@ -133,3 +133,29 @@ def test_cli_near_search(ray_session, corpus_dir, tmp_path, capsys):
     assert res["query"] == "the NEAR/8 a"
     assert len(res["doc_ids"]) == len(res["min_dists"])
     assert all(d <= 8 for d in res["min_dists"])
+
+
+def test_cli_search_generation_list(ray_session, corpus_dir, tmp_path, capsys):
+    """search accepts comma-separated generation dirs and matches the
+    merged index's answer."""
+    import pyarrow.parquet as pqt
+
+    from informationretrieval_en_people_cn_ray.__main__ import main
+    from informationretrieval_en_people_cn_ray.corpus import generate_corpus
+
+    idx = str(tmp_path / "g0")
+    assert main(["index", corpus_dir, idx, "--segments", "4"]) == 0
+    delta_c = str(tmp_path / "dc")
+    os.makedirs(delta_c)
+    pqt.write_table(
+        generate_corpus(10, seed=11, start=90),
+        os.path.join(delta_c, "part-00000.parquet"),
+    )
+    d_i, m_i = str(tmp_path / "g1"), str(tmp_path / "m")
+    assert main(["extend", idx, delta_c, d_i, m_i]) == 0
+    capsys.readouterr()
+    assert main(["search", f"{idx},{d_i}", "--query", "data AND the"]) == 0
+    gens_res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert main(["search", m_i, "--query", "data AND the"]) == 0
+    merged_res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert gens_res["doc_ids"] == merged_res["doc_ids"]
