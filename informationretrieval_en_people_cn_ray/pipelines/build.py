@@ -269,6 +269,21 @@ def _build_index_inner(
 
     post = [r for r in rows if r["kind"] == "postings"]
     stats = [r for r in rows if r["kind"] == "docstats"]
+    # segments whose hash received NO terms (tiny delta generations)
+    # still need artifacts — readers and merges address every seg
+    from ..stages.segments import write_empty_segment
+
+    written = {int(r["seg"]) for r in post}
+    for seg in range(config.num_segments):
+        if seg not in written:
+            write_empty_segment(out_dir, seg, build_fp)
+            rows.append(
+                {
+                    "seg": seg, "kind": "postings", "n_terms": 0,
+                    "n_docs": 0, "tokens": 0, "bytes": 0,
+                    "path": "", "skipped": False,
+                }
+            )
     n_docs = sum(r["n_docs"] for r in stats)
     total_tokens = sum(r["tokens"] for r in stats)
     manifest = {

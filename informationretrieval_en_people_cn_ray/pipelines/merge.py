@@ -168,7 +168,10 @@ class _MergeSegment:
                 if self.tombs[gi].size:
                     continue
                 sd = seg_dir(p, seg)
-                t = pq.read_table(os.path.join(sd, "terms.parquet"))
+                tp = os.path.join(sd, "terms.parquet")
+                if not os.path.exists(tp):
+                    continue  # pre-backfill index with an empty segment
+                t = pq.read_table(tp)
                 pb = os.path.join(sd, "postings.bin")
                 n = 0
                 if os.path.exists(pb):
@@ -192,7 +195,10 @@ class _MergeSegment:
                 if not self.tombs[gi].size:
                     continue
                 sd = seg_dir(p, seg)
-                t = pq.read_table(os.path.join(sd, "terms.parquet"))
+                tp = os.path.join(sd, "terms.parquet")
+                if not os.path.exists(tp):
+                    continue  # pre-backfill index with an empty segment
+                t = pq.read_table(tp)
                 pb = os.path.join(sd, "postings.bin")
                 bin_ = (
                     np.memmap(pb, dtype=np.uint8, mode="r")
@@ -354,7 +360,10 @@ class _MergeSegment:
         with open(tmp_bin, "wb") as out:
             for gi, p in enumerate(self.parents):
                 sd = seg_dir(p, seg)
-                t = pq.read_table(os.path.join(sd, "terms.parquet"))
+                tp = os.path.join(sd, "terms.parquet")
+                if not os.path.exists(tp):
+                    continue  # pre-backfill index with an empty segment
+                t = pq.read_table(tp)
                 pb = os.path.join(sd, "postings.bin")
                 n = 0
                 if os.path.exists(pb):

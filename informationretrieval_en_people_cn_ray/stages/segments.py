@@ -293,6 +293,52 @@ class SegmentBuilder:
         )
 
 
+EMPTY_TERMS_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("chunk", pa.int32()),
+        ("df", pa.int64()),
+        ("ctf", pa.int64()),
+        ("max_tf", pa.int64()),
+        ("offset", pa.int64()),
+        ("size", pa.int64()),
+    ]
+)
+
+
+def write_empty_segment(out_dir: str, seg: int, build_fp: str) -> None:
+    """Materialize an EMPTY posting segment (no terms hashed here — e.g.
+    a tiny delta generation whose vocabulary misses some segments). The
+    reduce only runs for segments that received rows, but readers and
+    merges address every ``seg < num_segments``; idempotent like every
+    partition write."""
+    d = seg_dir(out_dir, seg)
+    from ..state.manifest import partition_complete
+
+    if partition_complete(d, build_fp):
+        return
+    os.makedirs(d, exist_ok=True)
+    write_bytes_atomic(os.path.join(d, "postings.bin"), b"")
+    tmp = os.path.join(d, "terms.parquet.tmp")
+    pq.write_table(EMPTY_TERMS_SCHEMA.empty_table(), tmp)
+    os.replace(tmp, os.path.join(d, "terms.parquet"))
+    write_json_atomic(
+        os.path.join(d, "manifest.json"),
+        {
+            "kind": "postings",
+            "seg": seg,
+            "n_terms": 0,
+            "n_chunks": 0,
+            "n_docs": 0,
+            "tokens": 0,
+            "bytes": 0,
+            "input_runs": 0,
+            "build_fingerprint": build_fp,
+            "wall_s": 0.0,
+        },
+    )
+
+
 class SegmentReader:
     """Query-side state for ONE segment: term dictionary (sorted arrays,
     binary-searched) + memory-mapped postings. Mirrors the reference's

@@ -519,3 +519,54 @@ def test_search_many_over_generations(ray_session, dirs):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_document_update_recipe(ray_session, dirs, tmp_path):
+    """UPDATE = tombstone the old version + extend with the new one (the
+    standard segment-index recipe): the new content is searchable, the
+    old content is gone, and compaction makes it physical."""
+    import shutil
+
+    from informationretrieval_en_people_cn_ray.pipelines.merge import (
+        extend_generation,
+    )
+    from informationretrieval_en_people_cn_ray.state.tombstones import (
+        delete_docs,
+    )
+
+    import numpy as np
+
+    idx = str(tmp_path / "base")
+    shutil.copytree(dirs["merged_i"], idx)
+    eng0 = SearchEngine(idx, mode="local")
+    # pick the corpus's most frequent term straight from the dictionary
+    # (already stemmed — query via the postings API, stemming is not
+    # idempotent so it cannot round-trip through the parser)
+    r0 = eng0.local.reader(0)
+    hot = str(r0.terms[int(np.argmax(r0.df))])
+    victim_ids = eng0.local.postings(hot).doc_ids
+    assert victim_ids.size > 0
+    victim = int(victim_ids[0])
+    delete_docs(idx, [victim])
+
+    new_c = str(tmp_path / "new_version")
+    os.makedirs(new_c)
+    pq.write_table(
+        pa.table(
+            {"content": pa.array(["freshly updated zzznew content"])}
+        ),
+        os.path.join(new_c, "p.parquet"),
+    )
+    gens = extend_generation(idx, new_c, str(tmp_path / "gen_new"))
+    eng = SearchEngine(gens, mode="local")
+    # old version invisible
+    assert victim not in set(eng.local.postings(hot).doc_ids.tolist())
+    # new version findable, with a brand-new doc id above all others
+    hits = eng.search("zzznew AND zzznew")
+    assert hits.size == 1 and int(hits[0]) == N_A + N_B
+    # compaction preserves both facts
+    compacted = str(tmp_path / "compacted")
+    merge_indexes(gens, compacted)
+    ec = SearchEngine(compacted, mode="local")
+    assert victim not in set(ec.local.postings(hot).doc_ids.tolist())
+    assert ec.search("zzznew AND zzznew").tolist() == [N_A + N_B]
