@@ -583,6 +583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": lambda sf: dp.weighted_sample(sf),
         "unigram_logprob": lambda sf: dp.unigram_logprob(sf),
         "gopher_filter": lambda sf: dp.gopher_filter(sf),
+        "type_token_ratio": lambda sf: dp.type_token_ratio(sf),
         "curated_corpus": lambda sf: dp.curated_corpus(sf),
         "running_totals": lambda sf: dp.running_totals(sf),
         "running_totals_by_time": lambda sf: dp.running_totals(
@@ -1395,6 +1396,15 @@ select tok.doc_id, count(*)::bigint as n_tokens,
        sum(lp.lp_e4)::bigint as logprob_e4
 from tok join lp on lp.term = tok.term
 group by tok.doc_id
+""",
+        "type_token_ratio": f"""
+with {_TOK_CTE},
+g as (select doc_id, count(*)::bigint as n_tokens,
+             count(distinct term)::bigint as n_distinct
+      from tok group by doc_id)
+select doc_id, n_tokens, n_distinct,
+       round(n_distinct::double / n_tokens::double, 4) as ttr
+from g
 """,
         "gopher_filter": f"""
 with {_gopher_ctes()}

@@ -4268,3 +4268,49 @@ def lang_source_rollup(sf_dir: str):
             "chars": pa.array(out_ch.astype(np.int64), pa.int64()),
         }
     )
+
+
+@unreserved
+def type_token_ratio(sf_dir: str):
+    """(doc_id, n_tokens, n_distinct, ttr) — lexical diversity per
+    document (type-token ratio): the low-diversity / boilerplate signal
+    next to the Gopher gate. Zero-token docs are omitted (no ratio).
+    Fully vectorized: one lexsort over (doc, token-code) per batch, run
+    boundaries count the distinct types. Zero shuffle, exact SQL
+    oracle."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        lens, doc_idx, codes, uniq = _batch_token_codes(batch)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.asarray(lens, np.int64)
+        nz = lens > 0
+        if not nz.any():
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "n_distinct": pa.array([], pa.int64()),
+                    "ttr": pa.array([], pa.float64()),
+                }
+            )
+        order = np.lexsort((codes, doc_idx))
+        d_s, c_s = doc_idx[order], codes[order]
+        new = np.r_[True, (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])]
+        n_distinct = np.zeros(len(lens), np.int64)
+        np.add.at(n_distinct, d_s, new.astype(np.int64))
+        # identical IEEE expression as the oracle: distinct::double / n
+        ttr = n_distinct[nz].astype(np.float64) / lens[nz].astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[nz], pa.int64()),
+                "n_tokens": pa.array(lens[nz], pa.int64()),
+                "n_distinct": pa.array(n_distinct[nz], pa.int64()),
+                "ttr": pa.array(
+                    [round4(float(x)) for x in ttr], pa.float64()
+                ),
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )

@@ -1433,3 +1433,17 @@ def test_lang_source_rollup_planted(ray_session, tmp_path):
     assert rows[("de", "ALL")] == (1, 40)
     assert rows[("ALL", "ALL")] == (4, 75)
     assert len(rows) == 6
+
+
+def test_type_token_ratio_planted(ray_session, pmi_dir):
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    t = dp._to_table(dp.type_token_ratio(pmi_dir))
+    rows = {r["doc_id"]: r for r in t.to_pylist()}
+    # "a b a b" -> 4 tokens 2 types; "b c" -> 2/2; "" omitted; "a a" -> 2/1
+    assert 2 not in rows
+    assert (rows[0]["n_tokens"], rows[0]["n_distinct"]) == (4, 2)
+    assert rows[0]["ttr"] == 0.5
+    assert rows[1]["ttr"] == 1.0
+    assert (rows[3]["n_tokens"], rows[3]["n_distinct"]) == (2, 1)
+    assert rows[3]["ttr"] == 0.5
