@@ -434,6 +434,30 @@ def _q_incremental_bm25(sf_dir: str) -> pa.Table:
 DELETED_DOC_IDS = (1, 3, 5)  # fixed victims, present at every sf
 
 
+def _read_dict_stats(index_dir: str) -> pa.Table:
+    """(term, df, ctf) summed over every segment's dictionary chunks;
+    num_segments comes from the index's own collection.json."""
+    import json as _json
+
+    import pyarrow.parquet as pqt
+
+    with open(os.path.join(index_dir, "collection.json")) as f:
+        n_seg = _json.load(f)["num_segments"]
+    tabs = [
+        pqt.read_table(
+            os.path.join(index_dir, f"seg={seg:05d}", "terms.parquet"),
+            columns=["term", "df", "ctf"],
+        )
+        for seg in range(n_seg)
+    ]
+    allt = pa.concat_tables(tabs)
+    # giant terms span several chunk rows; the logical stats are the sums
+    agg = allt.group_by("term").aggregate([("df", "sum"), ("ctf", "sum")])
+    return pa.table(
+        {"term": agg["term"], "df": agg["df_sum"], "ctf": agg["ctf_sum"]}
+    )
+
+
 def _q_compacted_term_stats(sf_dir: str) -> pa.Table:
     """(term, df, ctf) AFTER deleting fixed documents and physically
     compacting: tombstone DELETED_DOC_IDS on (a copy of) the incremental
@@ -442,8 +466,6 @@ def _q_compacted_term_stats(sf_dir: str) -> pa.Table:
     victims — the decode→filter→re-encode path must reproduce corpus
     statistics exactly."""
     import shutil
-
-    import pyarrow.parquet as pqt
 
     from informationretrieval_en_people_cn_ray.pipelines.merge import (
         merge_indexes,
@@ -460,44 +482,14 @@ def _q_compacted_term_stats(sf_dir: str) -> pa.Table:
         shutil.copytree(merged, tombed, dirs_exist_ok=True)
     delete_docs(tombed, list(DELETED_DOC_IDS))  # idempotent union
     merge_indexes([tombed], compacted)  # short-circuits by fingerprint
-    tabs = [
-        pqt.read_table(
-            os.path.join(compacted, f"seg={seg:05d}", "terms.parquet"),
-            columns=["term", "df", "ctf"],
-        )
-        for seg in range(4)
-    ]
-    allt = pa.concat_tables(tabs)
-    agg = allt.group_by("term").aggregate([("df", "sum"), ("ctf", "sum")])
-    return pa.table(
-        {"term": agg["term"], "df": agg["df_sum"], "ctf": agg["ctf_sum"]}
-    )
+    return _read_dict_stats(compacted)
 
 
 def _q_incremental_term_stats(sf_dir: str) -> pa.Table:
     """(term, df, ctf) read from the DICTIONARIES of the incremental
     index (``_incremental_index``) — value-gated by the term_stats-style
     oracle (with the index's M5 length filter)."""
-    import pyarrow.parquet as pqt
-
-    merged = _incremental_index(sf_dir)
-    tabs = [
-        pqt.read_table(
-            os.path.join(merged, f"seg={seg:05d}", "terms.parquet"),
-            columns=["term", "df", "ctf"],
-        )
-        for seg in range(4)
-    ]
-    allt = pa.concat_tables(tabs)
-    # giant terms span several chunk rows; the logical stats are the sums
-    agg = allt.group_by("term").aggregate([("df", "sum"), ("ctf", "sum")])
-    return pa.table(
-        {
-            "term": agg["term"],
-            "df": agg["df_sum"],
-            "ctf": agg["ctf_sum"],
-        }
-    )
+    return _read_dict_stats(_incremental_index(sf_dir))
 
 
 # ---------------------------------------------------------------------------

@@ -83,7 +83,14 @@ def _cmd_search(args: argparse.Namespace) -> int:
         args.index_dir.split(",") if "," in args.index_dir else args.index_dir
     )
     if args.near:
-        a, b, k = args.near.split(",")
+        parts = args.near.split(",")
+        if len(parts) != 3 or not parts[2].strip().isdigit():
+            print(
+                "--near expects termA,termB,k (k a non-negative integer)",
+                file=sys.stderr,
+            )
+            return 2
+        a, b, k = parts
         eng = SearchEngine(index_dir, mode="local")
         ids, dists = eng.proximity(a, b, within=int(k))
         print(

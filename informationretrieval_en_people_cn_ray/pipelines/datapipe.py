@@ -960,7 +960,6 @@ def embedding_lsh_topk(sf_dir: str, k: int = 10, seed: int = 42):
     )
 
 
-@unreserved
 def _emb_unit_mat(batch: pa.Table) -> np.ndarray:
     """Unit-normalized float64 embedding matrix for a batch — flatten()
     honors slice offsets; one vectorized cast, no row loop."""
@@ -1044,6 +1043,7 @@ def _kmeans_train(sf_dir: str, nlist: int, iters: int) -> np.ndarray:
     return cent
 
 
+@unreserved
 def embedding_ivf_topk(
     sf_dir: str,
     k: int = 10,
@@ -4207,6 +4207,20 @@ def lang_source_rollup(sf_dir: str):
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # NULL dimensions would render as the string "None" here while
+        # the SQL oracle's rollup treats them as their own NULL group —
+        # and a real 'ALL' value would collide with the subtotal marker;
+        # fail loudly instead of silently diverging
+        for c in ("lang", "source"):
+            if batch[c].null_count or pc.any(
+                pc.equal(batch[c], "ALL")
+            ).as_py():
+                raise ValueError(
+                    f"lang_source_rollup: column {c!r} contains NULL or "
+                    "the reserved label 'ALL'"
+                )
         lang = np.asarray(batch["lang"].to_pylist(), object)
         src = np.asarray(batch["source"].to_pylist(), object)
         nch = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)

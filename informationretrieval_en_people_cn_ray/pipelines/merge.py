@@ -100,16 +100,65 @@ def max_doc_id(index_dir: str) -> int:
     return _docstat_bounds(index_dir)[1]
 
 
+_EMPTY_DICT_TABLE = pa.table(
+    {
+        "term": pa.array([], pa.string()),
+        "chunk": pa.array([], pa.int32()),
+        "df": pa.array([], pa.int64()),
+        "ctf": pa.array([], pa.int64()),
+        "max_tf": pa.array([], pa.int64()),
+        "offset": pa.array([], pa.int64()),
+        "size": pa.array([], pa.int64()),
+    }
+)
+
+
+def _finalize_dictionary(tabs: list[pa.Table]):
+    """Merge per-generation dictionary rows (each carrying a ``gen``
+    column) into the output dictionary: stable order (term asc, then
+    generation — older doc ids first, readers concatenate chunks in row
+    order — then the generation's own chunk ordinal), chunk ordinals
+    renumbered 0..k within each term. Returns
+    (table, n_distinct, n_posting_entries, tokens)."""
+    if not tabs:
+        return _EMPTY_DICT_TABLE, 0, 0, 0
+    allt = pa.concat_tables(tabs).combine_chunks()
+    terms = np.asarray(allt["term"].to_pylist(), dtype=object)
+    gen = allt["gen"].to_numpy()
+    chunk = allt["chunk"].to_numpy()
+    order = np.lexsort((chunk, gen, terms))
+    allt = allt.take(pa.array(order)).drop_columns(["gen"])
+    terms = terms[order]
+    tb = np.flatnonzero(np.r_[True, terms[1:] != terms[:-1]]).astype(np.int64)
+    seq = np.arange(len(terms), dtype=np.int64)
+    new_chunk = seq - np.repeat(seq[tb], np.diff(np.r_[tb, len(terms)]))
+    allt = allt.set_column(
+        allt.schema.get_field_index("chunk"),
+        "chunk",
+        pa.array(new_chunk.astype(np.int32), pa.int32()),
+    )
+    return (
+        allt,
+        int(len(tb)),
+        int(allt["df"].to_numpy().sum()),
+        int(allt["ctf"].to_numpy().sum()),
+    )
+
+
 class _MergeSegment:
     """map_batches body: one batch row = one segment ordinal to merge.
 
-    Two paths: with no tombstones the merge is pure byte concatenation;
-    with tombstones it becomes a COMPACTION — every chunk blob decodes,
-    deleted docs drop out, df/ctf/max_tf recompute, and the term
-    re-encodes in fresh ``max_blob_docs`` chunks (terms whose postings
-    empty out leave the dictionary entirely). Tombstone arrays ship once
-    in the task closure; at a tombstone volume where that matters,
-    compact more often."""
+    Two gather paths feeding one shared finalize: with no tombstones the
+    merge is pure byte concatenation; with tombstones it becomes a
+    COMPACTION — tombstoned generations decode → drop deleted docs →
+    re-encode in fresh ``max_blob_docs`` chunks (terms whose postings
+    empty out leave the dictionary), while generations WITHOUT
+    tombstones still byte-copy, so compaction cost is proportional to
+    the deleted generations' size, not the corpus. Physical blob order
+    in the output bin is arbitrary — readers follow the dictionary rows,
+    which ``_finalize_dictionary`` keeps in doc-id order. Tombstone
+    arrays ship once in the task closure; at a tombstone volume where
+    that matters, compact more often."""
 
     def __init__(
         self,
@@ -131,18 +180,35 @@ class _MergeSegment:
         out = [self._merge_one(int(s)) for s in batch["seg"]]
         return pa.concat_tables(out)
 
-    def _merge_one_rewrite(self, seg: int) -> pa.Table:
-        """Compacting path. Generations WITHOUT tombstones byte-copy
-        exactly like the pure merge (their dictionary rows pass through
-        with shifted offsets, per-chunk stats intact); only tombstoned
-        generations pay decode → filter → re-encode — compaction cost is
-        proportional to the deleted generations' size, not the corpus.
-        Physical blob order in the output bin is (copied gens, then
-        rewritten blobs); the DICTIONARY row order — (term, gen, chunk),
-        which is doc-id order — is what readers follow, offsets are
-        arbitrary."""
+    def _copy_gen(self, gi: int, seg: int, out, base: int):
+        """Byte-copy one generation's segment into ``out``; returns
+        (dictionary rows with shifted offsets + gen column, bytes)."""
         import shutil
 
+        sd = seg_dir(self.parents[gi], seg)
+        tp = os.path.join(sd, "terms.parquet")
+        if not os.path.exists(tp):
+            return None, 0  # pre-backfill index with an empty segment
+        t = pq.read_table(tp)
+        pb = os.path.join(sd, "postings.bin")
+        n = 0
+        if os.path.exists(pb):
+            with open(pb, "rb") as src:
+                shutil.copyfileobj(src, out, 1 << 20)
+            n = os.path.getsize(pb)
+        if not t.num_rows:
+            return None, n
+        off = t["offset"].to_numpy() + base
+        t = t.set_column(
+            t.schema.get_field_index("offset"),
+            "offset",
+            pa.array(off, pa.int64()),
+        ).append_column("gen", pa.array([gi] * t.num_rows, pa.int32()))
+        return t, n
+
+    def _rewrite_gen(self, gi: int, seg: int, out, base: int):
+        """Decode one TOMBSTONED generation's segment, drop deleted docs,
+        re-encode; returns (dictionary row tables, bytes written)."""
         from ..codec import (
             decode_posting_blob,
             encode_posting_blob,
@@ -150,197 +216,87 @@ class _MergeSegment:
         )
         from ..state.tombstones import filter_postings
 
-        t0 = time.monotonic()
-        d = seg_dir(self.out_dir, seg)
-        if partition_complete(d, self.merge_fp):
-            m = load_json(os.path.join(d, "manifest.json"))
-            return self._summary(
-                seg, m["n_terms"], m["n_docs"], m["tokens"], m["bytes"],
-                d, True, t0,
-            )
-        os.makedirs(d, exist_ok=True)
-        tmp_bin = os.path.join(d, "postings.bin.tmp")
-        tabs: list[pa.Table] = []  # dictionary rows (pass-through + new)
-        offset = 0
-        with open(tmp_bin, "wb") as out:
-            # 1) untombed generations: stream byte copy + row pass-through
-            for gi, p in enumerate(self.parents):
-                if self.tombs[gi].size:
-                    continue
-                sd = seg_dir(p, seg)
-                tp = os.path.join(sd, "terms.parquet")
-                if not os.path.exists(tp):
-                    continue  # pre-backfill index with an empty segment
-                t = pq.read_table(tp)
-                pb = os.path.join(sd, "postings.bin")
-                n = 0
-                if os.path.exists(pb):
-                    with open(pb, "rb") as src:
-                        shutil.copyfileobj(src, out, 1 << 20)
-                    n = os.path.getsize(pb)
-                if t.num_rows:
-                    off = t["offset"].to_numpy() + offset
-                    t = t.set_column(
-                        t.schema.get_field_index("offset"),
-                        "offset",
-                        pa.array(off, pa.int64()),
-                    ).append_column(
-                        "gen", pa.array([gi] * t.num_rows, pa.int32())
-                    )
-                    tabs.append(t)
-                offset += n
-            # 2) tombed generations: decode each term's chunks, drop
-            # deleted docs, re-encode in fresh max_blob_docs chunks
-            for gi, p in enumerate(self.parents):
-                if not self.tombs[gi].size:
-                    continue
-                sd = seg_dir(p, seg)
-                tp = os.path.join(sd, "terms.parquet")
-                if not os.path.exists(tp):
-                    continue  # pre-backfill index with an empty segment
-                t = pq.read_table(tp)
-                pb = os.path.join(sd, "postings.bin")
-                bin_ = (
-                    np.memmap(pb, dtype=np.uint8, mode="r")
-                    if os.path.exists(pb) and os.path.getsize(pb)
-                    else np.empty(0, np.uint8)
+        sd = seg_dir(self.parents[gi], seg)
+        tp = os.path.join(sd, "terms.parquet")
+        if not os.path.exists(tp):
+            return [], 0
+        t = pq.read_table(tp)
+        pb = os.path.join(sd, "postings.bin")
+        bin_ = (
+            np.memmap(pb, dtype=np.uint8, mode="r")
+            if os.path.exists(pb) and os.path.getsize(pb)
+            else np.empty(0, np.uint8)
+        )
+        terms = t["term"].to_pylist()
+        offs = t["offset"].to_numpy()
+        sizes = t["size"].to_numpy()
+        tabs: list[pa.Table] = []
+        offset = base
+        i, n_rows = 0, t.num_rows
+        while i < n_rows:
+            j = i
+            term = terms[i]
+            while j < n_rows and terms[j] == term:
+                j += 1
+            ds_, tfs_, pos_ = [], [], []
+            for r in range(i, j):
+                blob = bytes(
+                    bin_[int(offs[r]) : int(offs[r]) + int(sizes[r])]
                 )
-                terms = t["term"].to_pylist()
-                offs = t["offset"].to_numpy()
-                sizes = t["size"].to_numpy()
-                i, n_rows = 0, t.num_rows
-                while i < n_rows:
-                    j = i
-                    term = terms[i]
-                    while j < n_rows and terms[j] == term:
-                        j += 1
-                    ds_, tfs_, pos_ = [], [], []
-                    for r in range(i, j):
-                        blob = bytes(
-                            bin_[int(offs[r]) : int(offs[r]) + int(sizes[r])]
-                        )
-                        dd, tt, pp, ss = decode_posting_blob(
-                            blob, with_positions=self.store_positions
-                        )
-                        dd, tt, pp, ss = filter_postings(
-                            self.tombs[gi], dd, tt, pp
-                        )
-                        if len(dd):
-                            ds_.append(dd)
-                            tfs_.append(tt)
-                            if self.store_positions:
-                                pos_.append(pp)
-                    i = j
-                    if not ds_:
-                        continue  # term fully deleted in this generation
-                    doc_ids = np.concatenate(ds_)
-                    tfs = np.concatenate(tfs_)
-                    pos = (
-                        np.concatenate(pos_)
-                        if self.store_positions
-                        else np.empty(0, np.int64)
+                dd, tt, pp, ss = decode_posting_blob(
+                    blob, with_positions=self.store_positions
+                )
+                dd, tt, pp, ss = filter_postings(self.tombs[gi], dd, tt, pp)
+                if len(dd):
+                    ds_.append(dd)
+                    tfs_.append(tt)
+                    if self.store_positions:
+                        pos_.append(pp)
+            i = j
+            if not ds_:
+                continue  # term fully deleted in this generation
+            doc_ids = np.concatenate(ds_)
+            tfs = np.concatenate(tfs_)
+            pos = (
+                np.concatenate(pos_)
+                if self.store_positions
+                else np.empty(0, np.int64)
+            )
+            pos_ends = np.zeros(len(doc_ids) + 1, np.int64)
+            np.cumsum(tfs, out=pos_ends[1:])
+            step = self.max_blob_docs
+            for ci, c0 in enumerate(range(0, len(doc_ids), step)):
+                c1 = min(c0 + step, len(doc_ids))
+                cd, ct = doc_ids[c0:c1], tfs[c0:c1]
+                if self.store_positions:
+                    cp = pos[pos_ends[c0] : pos_ends[c1]]
+                    starts = pos_ends[c0:c1] - pos_ends[c0]
+                    pbytes = encode_positions(cp, starts)
+                else:
+                    pbytes = b""
+                blob = encode_posting_blob(cd, ct, pbytes)
+                out.write(blob)
+                tabs.append(
+                    pa.table(
+                        {
+                            "term": pa.array([term], pa.string()),
+                            "chunk": pa.array([ci], pa.int32()),
+                            "df": pa.array([len(cd)], pa.int64()),
+                            "ctf": pa.array([int(ct.sum())], pa.int64()),
+                            "max_tf": pa.array(
+                                [int(ct.max()) if len(ct) else 0],
+                                pa.int64(),
+                            ),
+                            "offset": pa.array([offset], pa.int64()),
+                            "size": pa.array([len(blob)], pa.int64()),
+                            "gen": pa.array([gi], pa.int32()),
+                        }
                     )
-                    pos_ends = np.zeros(len(doc_ids) + 1, np.int64)
-                    np.cumsum(tfs, out=pos_ends[1:])
-                    step = self.max_blob_docs
-                    for ci, c0 in enumerate(range(0, len(doc_ids), step)):
-                        c1 = min(c0 + step, len(doc_ids))
-                        cd, ct = doc_ids[c0:c1], tfs[c0:c1]
-                        if self.store_positions:
-                            cp = pos[pos_ends[c0] : pos_ends[c1]]
-                            starts = pos_ends[c0:c1] - pos_ends[c0]
-                            pbytes = encode_positions(cp, starts)
-                        else:
-                            pbytes = b""
-                        blob = encode_posting_blob(cd, ct, pbytes)
-                        out.write(blob)
-                        tabs.append(
-                            pa.table(
-                                {
-                                    "term": pa.array([term], pa.string()),
-                                    "chunk": pa.array([ci], pa.int32()),
-                                    "df": pa.array([len(cd)], pa.int64()),
-                                    "ctf": pa.array(
-                                        [int(ct.sum())], pa.int64()
-                                    ),
-                                    "max_tf": pa.array(
-                                        [int(ct.max()) if len(ct) else 0],
-                                        pa.int64(),
-                                    ),
-                                    "offset": pa.array([offset], pa.int64()),
-                                    "size": pa.array(
-                                        [len(blob)], pa.int64()
-                                    ),
-                                    "gen": pa.array([gi], pa.int32()),
-                                }
-                            )
-                        )
-                        offset += len(blob)
-        postings_bytes = offset
-        if tabs:
-            allt = pa.concat_tables(tabs).combine_chunks()
-            terms_a = np.asarray(allt["term"].to_pylist(), dtype=object)
-            gen = allt["gen"].to_numpy()
-            chunk = allt["chunk"].to_numpy()
-            order = np.lexsort((chunk, gen, terms_a))
-            allt = allt.take(pa.array(order)).drop_columns(["gen"])
-            terms_a = terms_a[order]
-            tb = np.flatnonzero(
-                np.r_[True, terms_a[1:] != terms_a[:-1]]
-            ).astype(np.int64)
-            seq = np.arange(len(terms_a), dtype=np.int64)
-            new_chunk = seq - np.repeat(
-                seq[tb], np.diff(np.r_[tb, len(terms_a)])
-            )
-            allt = allt.set_column(
-                allt.schema.get_field_index("chunk"),
-                "chunk",
-                pa.array(new_chunk.astype(np.int32), pa.int32()),
-            )
-            n_distinct = int(len(tb))
-            n_postings = int(allt["df"].to_numpy().sum())
-            tokens = int(allt["ctf"].to_numpy().sum())
-        else:
-            allt = pa.table(
-                {
-                    "term": pa.array([], pa.string()),
-                    "chunk": pa.array([], pa.int32()),
-                    "df": pa.array([], pa.int64()),
-                    "ctf": pa.array([], pa.int64()),
-                    "max_tf": pa.array([], pa.int64()),
-                    "offset": pa.array([], pa.int64()),
-                    "size": pa.array([], pa.int64()),
-                }
-            )
-            n_distinct = n_postings = tokens = 0
-        os.replace(tmp_bin, os.path.join(d, "postings.bin"))
-        tmp = os.path.join(d, "terms.parquet.tmp")
-        pq.write_table(allt, tmp)
-        os.replace(tmp, os.path.join(d, "terms.parquet"))
-        write_json_atomic(
-            os.path.join(d, "manifest.json"),
-            {
-                "kind": "postings",
-                "seg": seg,
-                "n_terms": n_distinct,
-                "n_chunks": allt.num_rows,
-                "n_docs": n_postings,
-                "tokens": tokens,
-                "bytes": postings_bytes,
-                "merged_from": [seg_dir(p, seg) for p in self.parents],
-                "compacted": True,
-                "build_fingerprint": self.merge_fp,
-                "wall_s": round(time.monotonic() - t0, 3),
-            },
-        )
-        return self._summary(
-            seg, n_distinct, n_postings, tokens, postings_bytes, d,
-            False, t0,
-        )
+                )
+                offset += len(blob)
+        return tabs, offset - base
 
     def _merge_one(self, seg: int) -> pa.Table:
-        if any(t.size for t in self.tombs):
-            return self._merge_one_rewrite(seg)
         t0 = time.monotonic()
         d = seg_dir(self.out_dir, seg)
         if partition_complete(d, self.merge_fp):
@@ -349,77 +305,28 @@ class _MergeSegment:
                 seg, m["n_terms"], m["n_docs"], m["tokens"], m["bytes"],
                 d, True, t0,
             )
-        import shutil
-
-        tabs: list[pa.Table] = []
-        base = 0
+        compacting = any(t.size for t in self.tombs)
         os.makedirs(d, exist_ok=True)
         tmp_bin = os.path.join(d, "postings.bin.tmp")
-        # stream the concatenation — a segment's bin at corpus scale must
-        # never be resident in task memory
+        tabs: list[pa.Table] = []
+        offset = 0
         with open(tmp_bin, "wb") as out:
-            for gi, p in enumerate(self.parents):
-                sd = seg_dir(p, seg)
-                tp = os.path.join(sd, "terms.parquet")
-                if not os.path.exists(tp):
-                    continue  # pre-backfill index with an empty segment
-                t = pq.read_table(tp)
-                pb = os.path.join(sd, "postings.bin")
-                n = 0
-                if os.path.exists(pb):
-                    with open(pb, "rb") as src:
-                        shutil.copyfileobj(src, out, 1 << 20)
-                    n = os.path.getsize(pb)
-                if t.num_rows:
-                    off = t["offset"].to_numpy() + base
-                    t = t.set_column(
-                        t.schema.get_field_index("offset"),
-                        "offset",
-                        pa.array(off, pa.int64()),
-                    ).append_column(
-                        "gen", pa.array([gi] * t.num_rows, pa.int32())
-                    )
+            # untombed generations byte-copy (both modes) ...
+            for gi in range(len(self.parents)):
+                if self.tombs[gi].size:
+                    continue
+                t, n = self._copy_gen(gi, seg, out, offset)
+                if t is not None:
                     tabs.append(t)
-                base += n
-        postings_bytes = base
-        if tabs:
-            allt = pa.concat_tables(tabs).combine_chunks()
-            terms = np.asarray(allt["term"].to_pylist(), dtype=object)
-            gen = allt["gen"].to_numpy()
-            chunk = allt["chunk"].to_numpy()
-            # stable dictionary order: term asc, then generation (older
-            # doc ids first — readers concatenate chunks in row order),
-            # then the generation's own chunk ordinal
-            order = np.lexsort((chunk, gen, terms))
-            allt = allt.take(pa.array(order)).drop_columns(["gen"])
-            terms = terms[order]
-            # renumber chunk ordinals 0..k within each term
-            tb = np.flatnonzero(
-                np.r_[True, terms[1:] != terms[:-1]]
-            ).astype(np.int64)
-            seq = np.arange(len(terms), dtype=np.int64)
-            new_chunk = seq - np.repeat(seq[tb], np.diff(np.r_[tb, len(terms)]))
-            allt = allt.set_column(
-                allt.schema.get_field_index("chunk"),
-                "chunk",
-                pa.array(new_chunk.astype(np.int32), pa.int32()),
-            )
-            n_distinct = int(len(tb))
-            n_postings = int(allt["df"].to_numpy().sum())
-            tokens = int(allt["ctf"].to_numpy().sum())
-        else:
-            allt = pa.table(
-                {
-                    "term": pa.array([], pa.string()),
-                    "chunk": pa.array([], pa.int32()),
-                    "df": pa.array([], pa.int64()),
-                    "ctf": pa.array([], pa.int64()),
-                    "max_tf": pa.array([], pa.int64()),
-                    "offset": pa.array([], pa.int64()),
-                    "size": pa.array([], pa.int64()),
-                }
-            )
-            n_distinct = n_postings = tokens = 0
+                offset += n
+            # ... tombstoned generations decode → filter → re-encode
+            for gi in range(len(self.parents)):
+                if not self.tombs[gi].size:
+                    continue
+                gt, n = self._rewrite_gen(gi, seg, out, offset)
+                tabs.extend(gt)
+                offset += n
+        allt, n_distinct, n_postings, tokens = _finalize_dictionary(tabs)
         os.replace(tmp_bin, os.path.join(d, "postings.bin"))
         tmp = os.path.join(d, "terms.parquet.tmp")
         pq.write_table(allt, tmp)
@@ -433,14 +340,15 @@ class _MergeSegment:
                 "n_chunks": allt.num_rows,
                 "n_docs": n_postings,
                 "tokens": tokens,
-                "bytes": postings_bytes,
+                "bytes": offset,
                 "merged_from": [seg_dir(p, seg) for p in self.parents],
+                "compacted": compacting,
                 "build_fingerprint": self.merge_fp,
                 "wall_s": round(time.monotonic() - t0, 3),
             },
         )
         return self._summary(
-            seg, n_distinct, n_postings, tokens, postings_bytes, d, False, t0
+            seg, n_distinct, n_postings, tokens, offset, d, False, t0
         )
 
     def _summary(self, seg, n_terms, n_docs, tokens, nbytes, path, skipped, t0):
@@ -703,6 +611,8 @@ def extend_generation(
     ``merge_indexes(generation_list, out)`` whenever the generation
     count crosses the serving policy's threshold; until then each extend
     costs only the delta build (no byte copy of the existing index)."""
+    from dataclasses import replace
+
     parents = (
         [parent_dirs] if isinstance(parent_dirs, str) else list(parent_dirs)
     )
@@ -714,7 +624,7 @@ def extend_generation(
         config = BuildConfig(**{
             k: v for k, v in pcfg.items() if k in BuildConfig.__annotations__
         })
-    config.doc_id_base = base
-    config.doc_id_column = None
+    # never mutate the caller's config object
+    config = replace(config, doc_id_base=base, doc_id_column=None)
     build_index(delta_corpus, delta_dir, config)
     return parents + [delta_dir]

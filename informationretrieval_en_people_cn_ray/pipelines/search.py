@@ -162,6 +162,21 @@ class GenerationalSegments:
                         f"generations disagree on {key}: "
                         f"{c.get(key)!r} vs {c0.get(key)!r}"
                     )
+        # the whole correctness contract is ascending DISJOINT doc-id
+        # ranges (postings concatenate in generation order) — validate
+        # like merge_indexes does instead of returning silently wrong
+        # results for e.g. two independently built indexes
+        from .merge import _docstat_bounds
+
+        bounds = [_docstat_bounds(d) for d in self.index_dirs]
+        for (a_lo, a_hi), (b_lo, b_hi) in zip(bounds, bounds[1:]):
+            if b_lo <= a_hi:
+                raise ValueError(
+                    "generation doc-id ranges overlap or are out of "
+                    f"order: [{a_lo},{a_hi}] then [{b_lo},{b_hi}] — "
+                    "generations must be built with doc_id_base above "
+                    "every earlier generation's max doc id"
+                )
         n_docs = sum(g.manifest["num_docs"] for g in self.gens)
         tokens = sum(g.manifest["total_tokens"] for g in self.gens)
         self.manifest = {
