@@ -63,6 +63,9 @@ DOC_OPS = [
     "ngram_jaccard", "dedup_clusters", "decontaminate", "split_assign",
     "stratified_sample", "top_ngrams", "doclen_quantiles",
     "topk_per_group", "hash_sample", "curated_corpus",
+    # session-2 additions
+    "pmi_bigrams", "weighted_sample", "unigram_logprob",
+    "type_token_ratio", "lang_source_rollup", "poisson_sample",
 ]
 
 
