@@ -4115,7 +4115,7 @@ def unigram_logprob(sf_dir: str):
 
 
 @unreserved
-def kmeans_clusters(sf_dir: str, nlist: int = 8, iters: int = 3):
+def kmeans_clusters(sf_dir: str, nlist: int = 8, iters: int = 2):
     """(cluster, n, mean_cos) — spherical k-means clustering report over
     the embedding table: cluster sizes and mean within-cluster cosine to
     the centroid (cohesion). The corpus-bucketing / topic-sharding
