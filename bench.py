@@ -179,21 +179,27 @@ def _headline(cpus: int, n_docs: int) -> dict:
         )
         for gen_d in (f"{out_dir}.delta", f"{out_dir}.merged"):
             shutil.rmtree(gen_d, ignore_errors=True)
-        t0 = time.monotonic()
-        extend_index(
-            out_dir, delta_c, f"{out_dir}.delta", f"{out_dir}.merged"
-        )
-        extend_s = time.monotonic() - t0
-        incr = {
-            "incr_delta_docs": n_delta,
-            "incr_extend_s": round(extend_s, 3),
-            "incr_files_per_sec": round(n_delta / extend_s, 1),
-            # a full rebuild of (n+delta) docs at this run's measured
-            # build rate, over the measured extend time
-            "incr_speedup_vs_rebuild": round(
-                ((n_docs + n_delta) / (n_docs / build_s)) / extend_s, 2
-            ),
-        }
+        try:
+            t0 = time.monotonic()
+            extend_index(
+                out_dir, delta_c, f"{out_dir}.delta", f"{out_dir}.merged"
+            )
+            extend_s = time.monotonic() - t0
+            incr = {
+                "incr_delta_docs": n_delta,
+                "incr_extend_s": round(extend_s, 3),
+                "incr_files_per_sec": round(n_delta / extend_s, 1),
+                # a full rebuild of (n+delta) docs at this run's measured
+                # build rate, over the measured extend time
+                "incr_speedup_vs_rebuild": round(
+                    ((n_docs + n_delta) / (n_docs / build_s)) / extend_s, 2
+                ),
+            }
+        finally:
+            # measured — don't leave per-parameterization artifacts behind
+            shutil.rmtree(delta_c, ignore_errors=True)
+            shutil.rmtree(f"{out_dir}.delta", ignore_errors=True)
+            shutil.rmtree(f"{out_dir}.merged", ignore_errors=True)
 
     return {
         **incr,

@@ -74,16 +74,26 @@ def _docstat_parts(index_dir: str) -> list[str]:
     )
 
 
-def _docstat_bounds(index_dir: str) -> tuple[int, int]:
+def _docstat_bounds(index_dir: str) -> tuple[int, int] | None:
     """(min, max) doc_id of an index from parquet row-group statistics —
-    no data read; used to verify generation ranges are disjoint."""
+    no data read; used to verify generation ranges are disjoint.
+
+    Row groups with 0 rows carry no statistics (a compaction that
+    tombstones every doc in a partition writes a 0-row docstats file) —
+    skip them; only a NON-empty row group without stats is an error.
+    Returns ``None`` for an index with zero live docs (range-less)."""
     parts = _docstat_parts(index_dir)
+    if not parts:
+        raise ValueError(f"no docstat partitions under {index_dir}")
     lo, hi = None, None
     for p in parts:
         md = pq.ParquetFile(os.path.join(p, "docstats.parquet")).metadata
         for rg in range(md.num_row_groups):
-            for ci in range(md.row_group(rg).num_columns):
-                col = md.row_group(rg).column(ci)
+            rgm = md.row_group(rg)
+            if rgm.num_rows == 0:
+                continue
+            for ci in range(rgm.num_columns):
+                col = rgm.column(ci)
                 if col.path_in_schema != "doc_id":
                     continue
                 st = col.statistics
@@ -92,12 +102,16 @@ def _docstat_bounds(index_dir: str) -> tuple[int, int]:
                 lo = st.min if lo is None else min(lo, st.min)
                 hi = st.max if hi is None else max(hi, st.max)
     if lo is None:
-        raise ValueError(f"no docstat partitions under {index_dir}")
+        return None
     return int(lo), int(hi)
 
 
 def max_doc_id(index_dir: str) -> int:
-    return _docstat_bounds(index_dir)[1]
+    """Max live doc_id; -1 for an index whose docs were all deleted and
+    compacted away (the next layout-assigned id is then 0 — safe: the
+    compaction already applied and cleared every tombstone)."""
+    b = _docstat_bounds(index_dir)
+    return -1 if b is None else b[1]
 
 
 _EMPTY_DICT_TABLE = pa.table(
@@ -406,10 +420,12 @@ class _CopyDocstats:
             os.makedirs(d, exist_ok=True)
             tmp = os.path.join(d, "docstats.parquet.tmp")
             pq.write_table(t, tmp)
-            os.replace(tmp, os.path.join(d, "docstats.parquet"))
+            dst = os.path.join(d, "docstats.parquet")
+            os.replace(tmp, dst)
             n_docs = t.num_rows
             tokens = int(t["doc_len"].to_numpy().sum()) if t.num_rows else 0
-            nbytes = int(t.nbytes)
+            # on-disk size, matching the plain-copy branch's accounting
+            nbytes = os.path.getsize(dst)
         else:
             raw = open(src_pq, "rb").read()
             write_bytes_atomic(os.path.join(d, "docstats.parquet"), raw)
@@ -465,7 +481,8 @@ def merge_indexes(parents: list[str], out_dir: str) -> dict:
                     f"generation configs disagree on {key}: "
                     f"{c.get(key)!r} vs {cfg0.get(key)!r}"
                 )
-    bounds = [_docstat_bounds(p) for p in parents]
+    # empty generations (all docs compacted away) have no range to check
+    bounds = [b for b in (_docstat_bounds(p) for p in parents) if b]
     for (a_lo, a_hi), (b_lo, b_hi) in zip(bounds, bounds[1:]):
         if b_lo <= a_hi:
             raise ValueError(

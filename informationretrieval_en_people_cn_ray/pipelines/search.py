@@ -168,7 +168,10 @@ class GenerationalSegments:
         # results for e.g. two independently built indexes
         from .merge import _docstat_bounds
 
-        bounds = [_docstat_bounds(d) for d in self.index_dirs]
+        # generations with zero live docs carry no range — skip them
+        bounds = [
+            b for b in (_docstat_bounds(d) for d in self.index_dirs) if b
+        ]
         for (a_lo, a_hi), (b_lo, b_hi) in zip(bounds, bounds[1:]):
             if b_lo <= a_hi:
                 raise ValueError(

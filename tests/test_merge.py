@@ -570,3 +570,81 @@ def test_document_update_recipe(ray_session, dirs, tmp_path):
     ec = SearchEngine(compacted, mode="local")
     assert victim not in set(ec.local.postings(hot).doc_ids.tolist())
     assert ec.search("zzznew AND zzznew").tolist() == [N_A + N_B]
+
+
+def test_compaction_survives_fully_emptied_docstat_partition(
+    ray_session, tmp_path
+):
+    """A compaction that tombstones EVERY doc in one docstat partition
+    writes a 0-row docstats.parquet (no row-group stats) — the compacted
+    index must still report doc-id bounds, re-merge, extend, and open as
+    a generation (ADVICE r3: merge.py _docstat_bounds raised)."""
+    from informationretrieval_en_people_cn_ray.pipelines.merge import (
+        extend_generation,
+    )
+    from informationretrieval_en_people_cn_ray.pipelines.search import (
+        GenerationalSegments,
+    )
+    from informationretrieval_en_people_cn_ray.state.tombstones import (
+        delete_docs,
+    )
+
+    c = str(tmp_path / "c")
+    os.makedirs(c)
+    pq.write_table(
+        generate_corpus(8, seed=3, start=0),
+        os.path.join(c, "part-00000.parquet"),
+    )
+    idx = str(tmp_path / "i")
+    build_index(c, idx, BuildConfig(num_segments=2, docstat_partitions=2))
+    delete_docs(idx, [4, 5, 6, 7])  # wipes the second partition entirely
+    out = str(tmp_path / "o")
+    man = merge_indexes([idx], out)
+    assert man["num_docs"] == 4
+
+    assert max_doc_id(out) == 3
+    # re-merge (no-op compaction) still accepts the empty partition
+    out2 = str(tmp_path / "o2")
+    assert merge_indexes([out], out2)["num_docs"] == 4
+    # generational open + extend above the surviving max id
+    GenerationalSegments([out])
+    gens = extend_generation(
+        out, c, str(tmp_path / "gen"),
+    )
+    eng = SearchEngine(gens, mode="local")
+    from informationretrieval_en_people_cn_ray.pipelines.merge import (
+        _docstat_bounds,
+    )
+
+    assert _docstat_bounds(gens[-1]) == (4, 11)
+    assert eng.search("data OR fast OR table").size > 0
+
+
+def test_compaction_of_fully_deleted_index(ray_session, tmp_path):
+    """Deleting EVERY doc then compacting yields a live, empty index:
+    max_doc_id == -1, searches return nothing, and a later extend
+    restarts layout ids at 0."""
+    from informationretrieval_en_people_cn_ray.pipelines.merge import (
+        extend_generation,
+    )
+    from informationretrieval_en_people_cn_ray.state.tombstones import (
+        delete_docs,
+    )
+
+    c = str(tmp_path / "c")
+    os.makedirs(c)
+    pq.write_table(
+        generate_corpus(6, seed=4, start=0),
+        os.path.join(c, "part-00000.parquet"),
+    )
+    idx = str(tmp_path / "i")
+    build_index(c, idx, BuildConfig(num_segments=2, docstat_partitions=2))
+    delete_docs(idx, list(range(6)))
+    out = str(tmp_path / "o")
+    man = merge_indexes([idx], out)
+    assert man["num_docs"] == 0
+    assert max_doc_id(out) == -1
+    assert SearchEngine(out, mode="local").search("data OR fast").size == 0
+    gens = extend_generation(out, c, str(tmp_path / "gen"))
+    eng = SearchEngine(gens, mode="local")
+    assert eng.search("data OR fast").size > 0
