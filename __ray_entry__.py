@@ -417,6 +417,15 @@ def _incremental_index(sf_dir: str) -> str:
     return merged
 
 
+def _incremental_generations(sf_dir: str) -> list[str]:
+    """The UNMERGED [gen0, gen1] generation list behind
+    ``_incremental_index`` (which also materializes the compacted
+    merge)."""
+    merged = _incremental_index(sf_dir)
+    root = os.path.dirname(merged)
+    return [os.path.join(root, "gen0"), os.path.join(root, "gen1")]
+
+
 def _q_incremental_bm25(sf_dir: str) -> pa.Table:
     """BM25 top-k answered from the INCREMENTALLY built+merged index —
     value-gated by the SAME SQL oracle as bm25_topk, so the merge path
@@ -427,6 +436,22 @@ def _q_incremental_bm25(sf_dir: str) -> pa.Table:
     )
 
     eng = SearchEngine(_incremental_index(sf_dir), mode="local")
+    ids, scores = eng.search(Q_TEXT, k=BM25_K, scorer="bm25")
+    return _ranked_table(ids, scores)
+
+
+def _q_incremental_bm25_actors(sf_dir: str) -> pa.Table:
+    """BM25 top-k through the GENERATION-AWARE SegmentSearcher actor
+    pool over the UNMERGED [gen0, gen1] list — scatter-gather serving
+    on a freshly extended, not-yet-compacted index, value-gated by the
+    SAME SQL oracle as bm25_topk (ids AND scores must be exact)."""
+    from informationretrieval_en_people_cn_ray.pipelines.search import (
+        SearchEngine,
+    )
+
+    eng = SearchEngine(
+        _incremental_generations(sf_dir), mode="actors", num_actors=2
+    )
     ids, scores = eng.search(Q_TEXT, k=BM25_K, scorer="bm25")
     return _ranked_table(ids, scores)
 
@@ -509,6 +534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sink_roundtrip": _q_sink_roundtrip,
         "incremental_term_stats": _q_incremental_term_stats,
         "incremental_bm25_topk": _q_incremental_bm25,
+        "incremental_bm25_topk_actors": _q_incremental_bm25_actors,
         "compacted_term_stats": _q_compacted_term_stats,
         "doc_lengths_index": _q_doc_lengths_from_index,
         "postings_sample": _q_postings,
@@ -1049,6 +1075,7 @@ having min(abs(a.pos - b.pos)) <= 5
 """,
         "bm25_topk": _bm25_sql(),
         "incremental_bm25_topk": _bm25_sql(),
+        "incremental_bm25_topk_actors": _bm25_sql(),
         "bm25_snippets": _bm25_snippets_sql(),
         "bm25_topk_by_range": _bm25_sql(),
         "dirichlet_topk": _dirichlet_sql(),

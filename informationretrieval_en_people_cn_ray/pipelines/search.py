@@ -256,13 +256,38 @@ class GenerationalSegments:
 @ray.remote
 class SegmentSearcher:
     """One actor owns a subset of segments; state mmapped once in
-    __init__ (actor-pool ST2)."""
+    __init__ (actor-pool ST2). Accepts a GENERATION LIST too (a freshly
+    extended, not-yet-compacted index): the actor then holds one reader
+    per (segment, generation) and concatenates each term's postings in
+    generation order — the same per-segment byte-concat invariant
+    ``merge_indexes`` materializes (pipelines/merge.py:17-28), so
+    scatter-gather serving works on an uncompacted index. Reference
+    counterpart: the query-side state load ``SearchEngine.load_index``
+    (``SearchEngine.py:39-63``)."""
 
-    def __init__(self, index_dir: str, segs: list[int]):
+    def __init__(self, index_dirs: str | list[str], segs: list[int]):
         from ..state.tombstones import load_tombstones
 
-        self.readers = {s: SegmentReader(index_dir, s) for s in segs}
-        self.tombstones = load_tombstones(index_dir)
+        dirs = (
+            [index_dirs] if isinstance(index_dirs, str) else list(index_dirs)
+        )
+        # generation order == ascending disjoint doc-id ranges
+        # (GenerationalSegments validates on the driver before actors
+        # spawn), so per-term concatenation in list order stays sorted
+        self.readers = {s: [SegmentReader(d, s) for d in dirs] for s in segs}
+        tombs = [load_tombstones(d) for d in dirs]
+        t = np.concatenate(tombs)
+        self.tombstones = np.sort(t) if len(tombs) > 1 else t
+
+    def _parts(self, seg: int, term: str):
+        """Per-generation postings_merged tuples for ``term``, skipping
+        generations whose dictionary lacks it."""
+        parts = []
+        for r in self.readers[seg]:
+            rng = r.term_range(term)
+            if rng is not None:
+                parts.append((r, rng))
+        return parts
 
     def postings_many(
         self, terms: list[tuple[str, int]], with_positions: bool = False
@@ -272,32 +297,59 @@ class SegmentSearcher:
 
         out = {}
         for term, seg in terms:
-            r = self.readers[seg]
-            rng = r.term_range(term)
-            if rng is None:
+            got = [
+                r.postings_merged(*rng, with_positions)
+                for r, rng in self._parts(seg, term)
+            ]
+            if not got:
                 out[term] = None
+                continue
+            if len(got) == 1:
+                d, t, pos, ps, df, ctf = got[0]
             else:
-                d, t, pos, ps, df, ctf = r.postings_merged(
-                    *rng, with_positions
+                d = np.concatenate([g[0] for g in got])
+                t = np.concatenate([g[1] for g in got])
+                pos = (
+                    np.concatenate([g[2] for g in got])
+                    if with_positions
+                    else None
                 )
-                if self.tombstones.size:
-                    d, t, pos, ps = filter_postings(
-                        self.tombstones, d, t, pos
-                    )
-                out[term] = (d, t, pos, ps, df, ctf)
+                ps = np.zeros(len(d), dtype=np.int64)
+                if len(t):
+                    np.cumsum(t[:-1], out=ps[1:])
+                df = sum(g[4] for g in got)
+                ctf = sum(g[5] for g in got)
+            if self.tombstones.size:
+                d, t, pos, ps = filter_postings(self.tombstones, d, t, pos)
+            out[term] = (d, t, pos, ps, df, ctf)
         return out
 
     def prefix_terms(self, prefix: str) -> list[str]:
         out = []
-        for r in self.readers.values():
-            lo, hi = r.prefix_range(prefix)
-            out.extend(r.terms[lo:hi].tolist())
+        for gens in self.readers.values():
+            for r in gens:
+                lo, hi = r.prefix_range(prefix)
+                out.extend(r.terms[lo:hi].tolist())
         return out
 
     def term_meta_many(self, terms: list[tuple[str, int]]):
         """[(term, seg)] → {term: (df, ctf, max_tf) | None} — dictionary
-        lookups only, no blob decode."""
-        return {t: self.readers[seg].term_meta(t) for t, seg in terms}
+        lookups only, no blob decode; generations combine as
+        (sum df, sum ctf, max max_tf)."""
+        out = {}
+        for t, seg in terms:
+            ms = [r.term_meta(t) for r in self.readers[seg]]
+            ms = [m for m in ms if m is not None]
+            out[t] = (
+                None
+                if not ms
+                else (
+                    sum(m[0] for m in ms),
+                    sum(m[1] for m in ms),
+                    max(m[2] for m in ms),
+                )
+            )
+        return out
 
     def postings_for_docs_many(
         self, terms: list[tuple[str, int]], docs: np.ndarray
@@ -308,16 +360,17 @@ class SegmentSearcher:
 
         out = {}
         for t, seg in terms:
-            r = self.readers[seg]
-            rng = r.term_range(t)
-            if rng is None:
+            parts = self._parts(seg, t)
+            if not parts:
                 z = np.empty(0, np.int64)
                 out[t] = (z, z.copy())
-            else:
-                d, tf = r.postings_for_docs(*rng, docs)
-                if self.tombstones.size:
-                    d, tf = filter_postings(self.tombstones, d, tf)[:2]
-                out[t] = (d, tf)
+                continue
+            got = [r.postings_for_docs(*rng, docs) for r, rng in parts]
+            d = np.concatenate([g[0] for g in got])
+            tf = np.concatenate([g[1] for g in got])
+            if self.tombstones.size:
+                d, tf = filter_postings(self.tombstones, d, tf)[:2]
+            out[t] = (d, tf)
         return out
 
     def postings_blocks_bounded(self, term: str, seg: int, min_tf: int):
@@ -325,12 +378,15 @@ class SegmentSearcher:
         whose block max_tf can still reach the caller's threshold."""
         from ..state.tombstones import filter_postings
 
-        r = self.readers[seg]
-        rng = r.term_range(term)
-        if rng is None:
+        parts = self._parts(seg, term)
+        if not parts:
             z = np.empty(0, np.int64)
             return z, z.copy(), 0, 0
-        d, t, dec, tot = r.postings_blocks_bounded(*rng, min_tf)
+        got = [r.postings_blocks_bounded(*rng, min_tf) for r, rng in parts]
+        d = np.concatenate([g[0] for g in got])
+        t = np.concatenate([g[1] for g in got])
+        dec = sum(g[2] for g in got)
+        tot = sum(g[3] for g in got)
         if self.tombstones.size:
             d, t = filter_postings(self.tombstones, d, t)[:2]
         return d, t, dec, tot
@@ -488,15 +544,14 @@ class SearchEngine:
     ):
         self.adjacency = adjacency
         if isinstance(index_dir, (list, tuple)):
-            if mode == "actors":
-                raise ValueError(
-                    "multi-generation search is local-mode only — compact "
-                    "with pipelines.merge.merge_indexes (a byte-level copy)"
-                    " for actor-pool serving"
-                )
+            # validates config agreement + ascending disjoint doc-id
+            # ranges BEFORE any actor spawns; actor mode then hands the
+            # generation list to each SegmentSearcher, which concatenates
+            # per-term postings in generation order
             self.local: LocalSegments | GenerationalSegments = (
                 GenerationalSegments(list(index_dir))
             )
+            index_dir = list(index_dir)
         else:
             self.local = LocalSegments(index_dir)
         self.manifest = self.local.manifest
@@ -554,7 +609,7 @@ class SearchEngine:
         out: list[str] = []
         for r in ray.get(futs):
             out.extend(r)
-        return sorted(out)
+        return sorted(dict.fromkeys(out))  # chunks/generations repeat terms
 
     def _term_meta(
         self, terms: list[str]

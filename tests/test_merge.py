@@ -225,9 +225,58 @@ def test_multi_generation_search_equals_compacted(ray_session, dirs):
     assert i5.tolist() == i6.tolist() and s5.tolist() == s6.tolist()
 
 
-def test_multi_generation_rejects_actor_mode(dirs):
-    with pytest.raises(ValueError, match="local-mode only"):
-        SearchEngine([dirs["a_i"], dirs["delta_i"]], mode="actors")
+def test_multi_generation_actor_mode_matches_local(ray_session, dirs):
+    """Scatter-gather SegmentSearcher serving over an UNMERGED
+    generation list: every query class answers identically to local
+    mode (and therefore to the compacted index)."""
+    gens = [dirs["a_i"], dirs["delta_i"]]
+    el = SearchEngine(gens, mode="local")
+    ea = SearchEngine(gens, mode="actors", num_actors=2)
+    assert ea.N == el.N and ea.avgdl == el.avgdl
+    for q in QUERIES + ["data fast table", "'key order' AND table"]:
+        a, b = el.search(q, k=10), ea.search(q, k=10)
+        if isinstance(a, tuple):
+            assert a[0].tolist() == b[0].tolist(), q
+            assert a[1].tolist() == b[1].tolist(), q
+        else:
+            assert a.tolist() == b.tolist(), q
+    # pruned (block-max) + dirichlet + by-range paths through actors
+    i1, s1 = ea.search("data fast table", prune=True, k=10)
+    i2, s2 = el.search("data fast table", prune=False, k=10)
+    assert i1.tolist() == i2.tolist() and s1.tolist() == s2.tolist()
+    i3, s3 = ea.search("data fast table", scorer="dirichlet", k=10)
+    i4, s4 = el.search("data fast table", scorer="dirichlet", k=10)
+    assert i3.tolist() == i4.tolist() and s3.tolist() == s4.tolist()
+    from informationretrieval_en_people_cn_ray.queryparse import parse
+
+    i5, s5 = ea.ranked_by_range(parse("data fast table"), k=10)
+    i6, s6 = el.ranked_by_range(parse("data fast table"), k=10)
+    assert i5.tolist() == i6.tolist() and s5.tolist() == s6.tolist()
+
+
+def test_multi_generation_actor_mode_with_deletes(ray_session, dirs, tmp_path):
+    """Tombstones on individual generations are honored by the
+    generation-aware actor path (merged per-actor tombstone set)."""
+    import shutil
+
+    from informationretrieval_en_people_cn_ray.state.tombstones import (
+        delete_docs,
+    )
+
+    a_i = str(tmp_path / "a_i")
+    d_i = str(tmp_path / "d_i")
+    shutil.copytree(dirs["a_i"], a_i)
+    shutil.copytree(dirs["delta_i"], d_i)
+    delete_docs(a_i, [1, 5])
+    delete_docs(d_i, [N_A + 2])
+    el = SearchEngine([a_i, d_i], mode="local")
+    ea = SearchEngine([a_i, d_i], mode="actors", num_actors=2)
+    for q in QUERIES + ["data fast table"]:
+        a, b = el.search(q, k=None), ea.search(q, k=None)
+        ga = (a[0] if isinstance(a, tuple) else a).tolist()
+        gb = (b[0] if isinstance(b, tuple) else b).tolist()
+        assert ga == gb, q
+        assert not {1, 5, N_A + 2} & set(gb), q
 
 
 def test_delete_docs_filters_all_query_paths(ray_session, dirs, tmp_path):
