@@ -85,3 +85,54 @@ def hamming64(a: np.ndarray, b: int) -> np.ndarray:
     """Vectorized Hamming distance of an int64 array vs one value."""
     x = np.bitwise_xor(a, b)
     return np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+
+
+_U64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constant set)."""
+    x = (x + _GOLDEN) & _U64
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & _U64
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & _U64
+    return x ^ (x >> np.uint64(31))
+
+
+def hash_strings_u64(col) -> np.ndarray:
+    """Vectorized 64-bit hash of an Arrow string/binary array — a
+    buffer-level numpy fold (splitmix64 of each byte keyed by its in-row
+    position, summed per row, remixed with the row length), no per-row
+    Python. Nulls hash as the sentinel b'\\x00null'. NOT DuckDB-parity
+    (use ``md5_u64`` where an SQL oracle pins values); intended for
+    internal routing/partitioning."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col.cast(pa.large_binary()), b"\x00null")
+    n = len(col)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    offs = np.frombuffer(col.buffers()[1], np.int64)[
+        col.offset : col.offset + n + 1
+    ]
+    lens = np.diff(offs)
+    with np.errstate(over="ignore"):
+        h = splitmix64(lens.astype(np.uint64))
+        total = offs[-1] - offs[0]
+        if total:
+            data = np.frombuffer(col.buffers()[2], np.uint8)[
+                offs[0] : offs[-1]
+            ].astype(np.uint64)
+            pos = np.arange(total, dtype=np.uint64)
+            starts = offs[:-1] - offs[0]
+            # in-row byte position via one repeat, then per-byte mix
+            pos -= np.repeat(starts, lens).astype(np.uint64)
+            g = splitmix64(data + (pos + np.uint64(1)) * _GOLDEN)
+            nz = lens > 0
+            sums = np.zeros(n, np.uint64)
+            sums[nz] = np.add.reduceat(g, starts[nz])
+            h = splitmix64(h ^ sums)
+    return h

@@ -3732,7 +3732,7 @@ def countmin_top_ngrams(sf_dir: str, k: int = 20):
 
 @unreserved
 def value_quantiles_binned(
-    sf_dir: str, ps: tuple[int, ...] = (50, 90, 99), n_bins: int = 100_000
+    sf_dir: str, ps: tuple[int, ...] = (50, 90, 99), n_bins: int = 4096
 ):
     """(event_type, p50, p90, p99) — APPROXIMATE per-type quantiles of
     the real-valued events.value by the fixed-width-bin histogram method
@@ -3741,7 +3741,15 @@ def value_quantiles_binned(
     (type, bin) count partials, one histogram-sized shuffle, driver
     cumulative scan returns each rank's BIN MIDPOINT — error ≤ half a
     bin width = (max−min)/(2·n_bins), pytest-gated against the exact
-    answer. Approximate → rows-only driver check."""
+    answer. Approximate → rows-only driver check.
+
+    ``n_bins`` defaults to 4096: relative error ≤ 1/8192 of the value
+    range, and — the load-bearing part at scale — per-batch partials
+    actually COLLAPSE (≤ types·4096 rows each, independent of batch
+    rows), so the shuffle is histogram-sized, not data-sized. The old
+    100k default made partials nearly row-sized: every batch row landed
+    in its own bin and the 'pre-aggregation' shipped the whole column
+    (10.9 s → ~1 s at sf0.1 for the same gated error bound)."""
     import pyarrow.parquet as pq
 
     from ray.data.aggregate import Sum
@@ -3770,15 +3778,14 @@ def value_quantiles_binned(
             et = et.combine_chunks()
         enc = et.dictionary_encode()
         codes = enc.indices.to_numpy().astype(np.int64)
-        uniq = enc.dictionary.to_pylist() if batch.num_rows else []
         v = batch["value"].to_numpy(zero_copy_only=False)
         b = np.clip(((v - lo) / w).astype(np.int64), 0, n_bins - 1)
         uk, cnt = np.unique(codes * n_bins + b, return_counts=True)
         return pa.table(
             {
-                "event_type": pa.array(
-                    [uniq[int(i)] for i in uk // n_bins], pa.string()
-                ),
+                "event_type": enc.dictionary.take(
+                    pa.array(uk // n_bins, pa.int64())
+                ).cast(pa.string()),
                 "bin": pa.array(uk % n_bins, pa.int64()),
                 "cnt": pa.array(cnt, pa.int64()),
             }
@@ -3788,7 +3795,7 @@ def value_quantiles_binned(
         ray.data.read_parquet(
             f"{sf_dir}/events.parquet", columns=["event_type", "value"]
         )
-        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
         .repartition(4)
         .groupby(["event_type", "bin"])
         .aggregate(Sum("cnt", alias_name="cnt"))

@@ -20,8 +20,8 @@ Scale shape: the partition routing is one ``groupby`` shuffle keyed on
 the hash — the same rows land in the same partition at any block count
 or cluster size, which is what makes the skip decision sound. Size
 ``num_partitions`` so one partition fits a task (the stages/segments.py
-constraint); integer keys hash vectorized (splitmix64), string keys fall
-back to per-row md5.
+constraint); integer AND string keys hash vectorized (splitmix64 /
+Arrow-buffer fold — see functions/hashing.hash_strings_u64).
 """
 
 from __future__ import annotations
@@ -37,21 +37,13 @@ import pyarrow.parquet as pq
 
 import ray.data
 
-from ..functions.hashing import md5_u64
+from ..functions.hashing import hash_strings_u64, splitmix64
 from .manifest import load_json, partition_complete, write_json_atomic
 
 _PART_COL = "__sink_part"
 
-
-def _splitmix64(x: np.ndarray) -> np.ndarray:
-    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
-    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(
-        0xFFFFFFFFFFFFFFFF
-    )
-    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(
-        0xFFFFFFFFFFFFFFFF
-    )
-    return x ^ (x >> np.uint64(31))
+# re-export: datapipe's bloom / countmin / sampling mixers import from here
+_splitmix64 = splitmix64
 
 
 def _row_part_ids(
@@ -59,7 +51,8 @@ def _row_part_ids(
 ) -> np.ndarray:
     """Deterministic partition id per row from the key columns —
     identical for a given row at any parallelism, so resume can trust a
-    committed partition."""
+    committed partition. Integer AND string keys hash vectorized
+    (splitmix64 / buffer-fold) — no per-row Python in the write path."""
     with np.errstate(over="ignore"):
         acc = np.zeros(batch.num_rows, np.uint64)
         for c in key_cols:
@@ -69,12 +62,7 @@ def _row_part_ids(
                     zero_copy_only=False
                 ).astype(np.uint64)
             else:
-                vals = col.cast(pa.string()).to_pylist()
-                h = np.fromiter(
-                    (md5_u64(v if v is not None else "\0null") for v in vals),
-                    np.uint64,
-                    count=len(vals),
-                )
+                h = hash_strings_u64(col.cast(pa.string()))
             acc = _splitmix64(acc ^ h)
     return (acc % np.uint64(num_partitions)).astype(np.int64)
 

@@ -1447,3 +1447,61 @@ def test_type_token_ratio_planted(ray_session, pmi_dir):
     assert rows[1]["ttr"] == 1.0
     assert (rows[3]["n_tokens"], rows[3]["n_distinct"]) == (2, 1)
     assert rows[3]["ttr"] == 0.5
+
+
+def test_hash_strings_u64_vectorized_fold():
+    """Buffer-fold string hash: stable values, slice/chunk invariance,
+    null sentinel, and no trivial collisions (permutations, prefixes,
+    unicode)."""
+    import pyarrow as pa
+
+    from informationretrieval_en_people_cn_ray.functions.hashing import (
+        hash_strings_u64,
+    )
+
+    vals = [
+        "", "a", "b", "ab", "ba", "abc", "abcd", "abc ", " abc",
+        "Straße", "İstanbul", "ﬁsh", None, "\x00null", "null",
+        "aa", "aaa", "a" * 100, "a" * 101,
+    ]
+    arr = pa.array(vals, pa.string())
+    h = hash_strings_u64(arr)
+    assert h.dtype == np.uint64 and len(h) == len(vals)
+    # equal inputs → equal hashes; all distinct inputs here → distinct
+    # (None hashes as the \x00null sentinel by design)
+    by_val = {}
+    for v, x in zip(vals, h):
+        key = "\x00null" if v is None else v
+        assert by_val.setdefault(key, int(x)) == int(x)
+    distinct = {("\x00null" if v is None else v) for v in vals}
+    assert len({by_val[k] for k in distinct}) == len(distinct)
+    # slice invariance (non-zero array offset) and chunking invariance
+    assert hash_strings_u64(arr.slice(3, 5)).tolist() == h[3:8].tolist()
+    ch = pa.chunked_array([vals[:7], vals[7:]], pa.string())
+    assert hash_strings_u64(ch).tolist() == h.tolist()
+    # spread: 1000 sequential keys land in > 900 distinct buckets of 1024
+    many = pa.array([f"user_{i}" for i in range(1000)])
+    hm = hash_strings_u64(many)
+    assert len(np.unique(hm % np.uint64(1024))) > 400  # ~632 expected
+    assert len(np.unique(hm)) == 1000
+
+
+def test_sink_string_key_routing_deterministic(ray_session, tmp_path):
+    """String-keyed sink routing is batch-layout independent: the same
+    rows land in the same partitions regardless of block structure."""
+    from informationretrieval_en_people_cn_ray.state.sink import (
+        _row_part_ids,
+    )
+
+    t = pa.table(
+        {
+            "k": pa.array([f"key-{i % 37}" for i in range(500)]),
+            "v": pa.array(list(range(500))),
+        }
+    )
+    whole = _row_part_ids(t, ["k"], 8)
+    parts = np.concatenate(
+        [_row_part_ids(t.slice(o, 100), ["k"], 8) for o in range(0, 500, 100)]
+    )
+    assert whole.tolist() == parts.tolist()
+    assert len(np.unique(whole)) > 1
