@@ -541,7 +541,19 @@ class SearchEngine:
         num_actors: int = 2,
         stem: bool | None = None,
         adjacency=None,  # AdjacencyIndex for ReplyTo-style queries
+        exact_delete_stats: bool = False,
     ):
+        """``exact_delete_stats=True`` opts out of the default Lucene
+        delete semantics (results filter immediately, SCORES keep the
+        as-built collection/term statistics until a compacting merge):
+        N / total-token / avgdl subtract the tombstoned docs at init and
+        per-term df/ctf recompute from the tombstone-filtered posting —
+        so post-delete BM25/Dirichlet scores equal a fresh rebuild over
+        the surviving docs WITHOUT compaction, at the cost of the
+        MaxScore pruned path (dictionary upper bounds assume as-built
+        df; with live df < as-built df the idf grows, the stale bound
+        can under-estimate and pruning would be unsafe — it falls back
+        to the plain rank-identical scorer while tombstones exist)."""
         self.adjacency = adjacency
         if isinstance(index_dir, (list, tuple)):
             # validates config agreement + ascending disjoint doc-id
@@ -561,6 +573,23 @@ class SearchEngine:
         self.N = self.manifest["num_docs"]
         self.C = self.manifest["total_tokens"]
         self.avgdl = self.manifest["avgdl"]
+        tomb_sets = (
+            [g.tombstones for g in self.local.gens]
+            if isinstance(self.local, GenerationalSegments)
+            else [self.local.tombstones]
+        )
+        tombs = np.concatenate(tomb_sets)
+        self._exact_stats = bool(exact_delete_stats) and tombs.size > 0
+        if self._exact_stats:
+            # subtract the tombstoned docs' counts/lengths from the
+            # collection stats (doc ids are still physically present in
+            # the docstat arrays until compaction, so lookups are exact)
+            idx = np.searchsorted(self.stats.doc_ids, tombs)
+            ok = idx < self.stats.doc_ids.size
+            ok[ok] &= self.stats.doc_ids[idx[ok]] == tombs[ok]
+            self.N -= int(ok.sum())
+            self.C -= int(self.stats.doc_lens[idx[ok]].sum())
+            self.avgdl = (self.C / self.N) if self.N else 0.0
         self.mode = mode
         self.actors = []
         self._shards: list | None = None  # DocStatsShard actors, lazy
@@ -578,6 +607,17 @@ class SearchEngine:
             for a, c in zip(self.actors, chunks):
                 for s in c:
                     self._actor_of_seg[s] = a
+
+    # ---- per-term statistics under the two delete-semantics modes -----
+
+    def _df(self, p: _Posting) -> int:
+        """Document frequency for scoring: as-built (Lucene stale-stats
+        semantics) or live (``exact_delete_stats`` — the filtered posting
+        IS the live list, so its length is the rebuilt index's df)."""
+        return p.doc_ids.size if self._exact_stats else p.df
+
+    def _ctf(self, p: _Posting) -> int:
+        return int(p.tfs.sum()) if self._exact_stats else p.ctf
 
     # ---- posting access (mode-dispatched) -----------------------------
 
@@ -903,7 +943,7 @@ class SearchEngine:
         terms = [t for t in qterms if plists.get(t) is not None]
         if cutoff is not None:
             limit = self.C * cutoff
-            terms = [t for t in terms if plists[t].ctf <= limit]
+            terms = [t for t in terms if self._ctf(plists[t]) <= limit]
         # candidates: union of the token nodes' result sets — exactly the
         # reference's ranked path (``SearchEngine.py:274-276``: union of
         # children's basic_search results), NOT the union of scoring-term
@@ -919,12 +959,13 @@ class SearchEngine:
             p = plists[t]
             if scorer == "bm25":
                 bm25_accumulate(
-                    scores, cand, p.doc_ids, p.tfs, lens, p.df,
+                    scores, cand, p.doc_ids, p.tfs, lens, self._df(p),
                     self.N, self.avgdl, k1, b,
                 )
             elif scorer == "dirichlet":
                 dirichlet_accumulate(
-                    scores, cand, p.doc_ids, p.tfs, lens, p.ctf, self.C, mu
+                    scores, cand, p.doc_ids, p.tfs, lens, self._ctf(p),
+                    self.C, mu,
                 )
             else:
                 raise ValueError(f"unknown scorer {scorer}")
@@ -965,6 +1006,12 @@ class SearchEngine:
         """
         if any(t.kind != "keyword" for t in plan.tokens):
             # pruning reasons over keyword posting lists only
+            return self.ranked(plan, k=k, scorer="bm25", k1=k1, b=b)
+        if self._exact_stats:
+            # dictionary upper bounds assume as-built df; live df is
+            # smaller → idf larger → the stale bound can under-estimate
+            # and skipping would be unsound. Plain scorer is
+            # rank-identical; pruning resumes after compaction.
             return self.ranked(plan, k=k, scorer="bm25", k1=k1, b=b)
         qterms = self.az.query_terms(plan.text)
         meta = self._term_meta(qterms)
@@ -1101,7 +1148,7 @@ class SearchEngine:
         if not cand_arrays:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         score_lists = [
-            (plists[t].doc_ids, plists[t].tfs, plists[t].df)
+            (plists[t].doc_ids, plists[t].tfs, self._df(plists[t]))
             for t in qterms
             if plists.get(t) is not None
         ]

@@ -697,3 +697,106 @@ def test_compaction_of_fully_deleted_index(ray_session, tmp_path):
     gens = extend_generation(out, c, str(tmp_path / "gen"))
     eng = SearchEngine(gens, mode="local")
     assert eng.search("data OR fast").size > 0
+
+
+@pytest.mark.parametrize("seed", [7, 8])
+def test_exact_delete_stats_equals_rebuild(ray_session, dirs, tmp_path, seed):
+    """SearchEngine(exact_delete_stats=True) over a tombstoned index
+    scores EXACTLY like a fresh rebuild over the surviving docs — ids
+    AND float-identical scores for BM25, Dirichlet, pruned (falls back,
+    still identical) and by-range paths — without compaction."""
+    import random
+    import shutil
+
+    from informationretrieval_en_people_cn_ray.state.tombstones import (
+        delete_docs,
+    )
+
+    rng = random.Random(seed)
+    victims = sorted(rng.sample(range(N_A + N_B), 17))
+    idx = str(tmp_path / "idx")
+    shutil.copytree(dirs["merged_i"], idx)
+    delete_docs(idx, victims)
+
+    remain_c = str(tmp_path / "remain")
+    os.makedirs(remain_c)
+    t = pa.concat_tables(
+        [
+            generate_corpus(N_A, seed=SEED, start=0),
+            generate_corpus(N_B, seed=SEED, start=N_A),
+        ]
+    )
+    t = t.add_column(
+        0, "doc_id", pa.array(range(N_A + N_B), pa.int64())
+    ).filter(pa.array([i not in set(victims) for i in range(N_A + N_B)]))
+    pq.write_table(t, os.path.join(remain_c, "part-00000.parquet"))
+    rebuilt = str(tmp_path / "rebuilt")
+    build_index(remain_c, rebuilt, BuildConfig(doc_id_column="doc_id", **CFG))
+
+    ex = SearchEngine(idx, mode="local", exact_delete_stats=True)
+    rb = SearchEngine(rebuilt, mode="local")
+    assert ex.N == rb.N and ex.C == rb.C and ex.avgdl == rb.avgdl
+    for q in ["data fast table", "merge sort key", "data", "'key order'"]:
+        for kw in (
+            dict(scorer="bm25"),
+            dict(scorer="dirichlet"),
+            dict(scorer="bm25", prune=True),
+        ):
+            a = ex.search(q, k=10, **kw)
+            b = rb.search(q, k=10, **kw)
+            if isinstance(a, tuple):
+                assert a[0].tolist() == b[0].tolist(), (q, kw)
+                assert a[1].tolist() == b[1].tolist(), (q, kw)
+            else:
+                assert a.tolist() == b.tolist(), (q, kw)
+    from informationretrieval_en_people_cn_ray.queryparse import parse
+
+    i1, s1 = ex.ranked_by_range(parse("data fast table"), k=10)
+    i2, s2 = rb.ranked_by_range(parse("data fast table"), k=10)
+    assert i1.tolist() == i2.tolist() and s1.tolist() == s2.tolist()
+    # and DEFAULT mode keeps Lucene semantics: same ids, stale-stat scores
+    st = SearchEngine(idx, mode="local")
+    ia, sa = st.search("data fast table", k=10)
+    assert not set(victims) & set(ia.tolist())
+    assert st.N == N_A + N_B  # as-built
+
+
+def test_exact_delete_stats_over_generations(ray_session, dirs, tmp_path):
+    """exact_delete_stats composes with a generation list (per-gen
+    tombstones subtract from the combined stats)."""
+    import shutil
+
+    from informationretrieval_en_people_cn_ray.state.tombstones import (
+        delete_docs,
+    )
+
+    a_i, d_i = str(tmp_path / "a"), str(tmp_path / "d")
+    shutil.copytree(dirs["a_i"], a_i)
+    shutil.copytree(dirs["delta_i"], d_i)
+    delete_docs(a_i, [2, 3])
+    delete_docs(d_i, [N_A + 1])
+    victims = {2, 3, N_A + 1}
+
+    remain_c = str(tmp_path / "remain")
+    os.makedirs(remain_c)
+    t = pa.concat_tables(
+        [
+            generate_corpus(N_A, seed=SEED, start=0),
+            generate_corpus(N_B, seed=SEED, start=N_A),
+        ]
+    )
+    t = t.add_column(
+        0, "doc_id", pa.array(range(N_A + N_B), pa.int64())
+    ).filter(pa.array([i not in victims for i in range(N_A + N_B)]))
+    pq.write_table(t, os.path.join(remain_c, "part-00000.parquet"))
+    rebuilt = str(tmp_path / "rebuilt")
+    build_index(remain_c, rebuilt, BuildConfig(doc_id_column="doc_id", **CFG))
+
+    ex = SearchEngine([a_i, d_i], mode="local", exact_delete_stats=True)
+    rb = SearchEngine(rebuilt, mode="local")
+    assert ex.N == rb.N and ex.C == rb.C and ex.avgdl == rb.avgdl
+    for q in ["data fast table", "merge sort key"]:
+        a = ex.search(q, k=10)
+        b = rb.search(q, k=10)
+        assert a[0].tolist() == b[0].tolist(), q
+        assert a[1].tolist() == b[1].tolist(), q
