@@ -800,3 +800,85 @@ def test_exact_delete_stats_over_generations(ray_session, dirs, tmp_path):
         b = rb.search(q, k=10)
         assert a[0].tolist() == b[0].tolist(), q
         assert a[1].tolist() == b[1].tolist(), q
+
+
+def test_reader_never_sees_torn_state_during_compaction(
+    ray_session, dirs, tmp_path
+):
+    """A reader serving a generation list WHILE a compaction commits
+    must never observe a torn state: (1) compaction writes into a NEW
+    directory, so the generation dirs it reads are immutable and every
+    generation-list answer during the merge equals the pre-merge answer;
+    (2) the output index only becomes openable when collection.json —
+    written LAST — exists, and from that moment it answers identically
+    too (partition manifests commit before the collection manifest)."""
+    import shutil
+    import threading
+
+    from informationretrieval_en_people_cn_ray.state.tombstones import (
+        delete_docs,
+    )
+
+    a_i, d_i = str(tmp_path / "a"), str(tmp_path / "d")
+    shutil.copytree(dirs["a_i"], a_i)
+    shutil.copytree(dirs["delta_i"], d_i)
+    delete_docs(a_i, [0, 9])  # give the merge real tombstone work
+    gens = [a_i, d_i]
+    out = str(tmp_path / "compacted")
+
+    baseline = {}
+    eng0 = SearchEngine(gens, mode="local")
+    for q in QUERIES:
+        r = eng0.search(q, k=None)
+        baseline[q] = (r[0] if isinstance(r, tuple) else r).tolist()
+    # expected answers of the COMPACTED index (scores legitimately
+    # differ from the stale-stats generation list: compaction recomputes
+    # collection/term statistics) — the merge is deterministic given
+    # (parents, tombstones), so a reference run pins them
+    ref = str(tmp_path / "ref_compacted")
+    merge_indexes(gens, ref)
+    er = SearchEngine(ref, mode="local")
+    expected_c = {}
+    for q in QUERIES:
+        r = er.search(q, k=None)
+        expected_c[q] = (r[0] if isinstance(r, tuple) else r).tolist()
+
+    errors: list[str] = []
+    done = threading.Event()
+
+    def reader():
+        # fresh engine per iteration — exercises open-from-disk mid-merge
+        while not done.is_set():
+            try:
+                e = SearchEngine(gens, mode="local")
+                for q in QUERIES:
+                    r = e.search(q, k=None)
+                    got = (r[0] if isinstance(r, tuple) else r).tolist()
+                    if got != baseline[q]:
+                        errors.append(f"gen-list drift on {q!r}")
+                try:
+                    ec = SearchEngine(out, mode="local")
+                except FileNotFoundError:
+                    continue  # not committed yet — the only legal failure
+                for q in QUERIES:
+                    r = ec.search(q, k=None)
+                    got = (r[0] if isinstance(r, tuple) else r).tolist()
+                    if got != expected_c[q]:
+                        errors.append(f"compacted drift on {q!r}")
+            except Exception as ex:  # torn state would surface here
+                errors.append(f"{type(ex).__name__}: {ex}")
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        merge_indexes(gens, out)
+    finally:
+        done.set()
+        t.join()
+    assert not errors, errors[:5]
+    # post-commit: the concurrent compaction equals the reference one
+    ec = SearchEngine(out, mode="local")
+    for q in QUERIES:
+        r = ec.search(q, k=None)
+        got = (r[0] if isinstance(r, tuple) else r).tolist()
+        assert got == expected_c[q], q
