@@ -170,6 +170,43 @@ def _q_proximity(sf_dir: str) -> pa.Table:
     )
 
 
+WILDCARD = "s*a*"  # matches scan/small/spark/stream in the test vocab
+SPELL_WORD = "par"  # misspelling → part(1), spark(2), a(2)
+FACET_QUERY = "scan AND join"
+
+
+def _q_wildcard(sf_dir: str) -> pa.Table:
+    """Docs containing any dictionary term matching the ``*``-wildcard
+    (engine grammar extension: leading/infix/multiple stars; expansion
+    runs where the dictionary lives), intersected with a keyword —
+    exercised through the full boolean path."""
+    eng = _engine(sf_dir)
+    return _ids_table(eng.search(f"{WILDCARD} AND data"))
+
+
+def _q_spell_suggest(sf_dir: str) -> pa.Table:
+    """(term, dist, df) — dictionary spell suggestion: index terms within
+    2 edits of the query word ranked (dist asc, df desc, term asc); the
+    per-segment dictionary scan ships only candidates."""
+    eng = _engine(sf_dir)
+    rows = eng.suggest(SPELL_WORD, k=10, max_dist=2)
+    return pa.table(
+        {
+            "term": pa.array([t for t, _, _ in rows], pa.string()),
+            "dist": pa.array([d for _, d, _ in rows], pa.int64()),
+            "df": pa.array([f for _, _, f in rows], pa.int64()),
+        }
+    )
+
+
+def _q_facet_counts(sf_dir: str) -> pa.Table:
+    """(lang, source, n_docs) — metadata facets over a boolean result
+    set: engine match → broadcast id membership → facet-sized groupby."""
+    eng = _engine(sf_dir)
+    ids = eng.search(FACET_QUERY)
+    return dp._to_table(dp.facet_counts(sf_dir, ids))
+
+
 def _q_bm25_snippets(sf_dir: str) -> pa.Table:
     """(doc_id, score, snippet) — ranked hits WITH result snippets: the
     7-token window centered on the document's FIRST query-term match
@@ -549,6 +586,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": _q_phrase,
         "phrase_prefix_search": _q_phrase_prefix,
         "proximity_search": _q_proximity,
+        "wildcard_search": _q_wildcard,
+        "spell_suggest": _q_spell_suggest,
+        "facet_counts": _q_facet_counts,
         "replyto_children": _q_replyto,
         # flagship stemmed pipeline (rows-only; pytest-oracle gated)
         "bm25_topk_stemmed": _q_bm25_stemmed,
@@ -619,6 +659,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users": lambda sf: dp.hll_distinct_users(sf),
         "media_decode": lambda sf: dp.media_decode(sf),
         "media_pipeline": lambda sf: dp.media_pipeline(sf),
+        "dedup_spans": lambda sf: dp.dedup_spans(sf),
+        "rep_ngram_frac": lambda sf: dp.rep_ngram_frac(sf),
+        "event_value_delta": lambda sf: dp.event_value_delta(sf),
+        "embedding_pq_topk": lambda sf: dp.embedding_pq_topk(sf),
     }
 
 
@@ -1481,10 +1525,79 @@ select doc_id, n_chars from documents
 where ((md5_number_lower('poisson:' || doc_id::varchar)
         & 9223372036854775807) % 1000000) * 400 < n_chars * 1000000
 """,
+        "wildcard_search": f"""
+with {_TOK_CTE}
+(select distinct doc_id from tok
+ where term like '{WILDCARD.replace("*", "%")}'
+   and len(term) between 2 and 128)
+intersect select doc_id from tok where term = 'data'
+""",
+        "spell_suggest": f"""
+with {_TOK_CTE},
+vocab as (
+  select term, count(distinct doc_id) as df
+  from tok where length(term) > 1 and length(term) <= 128
+  group by term
+)
+select term, levenshtein(term, '{SPELL_WORD}')::bigint as dist,
+       df::bigint as df
+from vocab
+where levenshtein(term, '{SPELL_WORD}') <= 2 and term <> '{SPELL_WORD}'
+order by dist, df desc, term
+limit 10
+""",
+        "facet_counts": f"""
+with {_TOK_CTE},
+m as (select doc_id from tok where term = 'scan'
+      intersect select doc_id from tok where term = 'join')
+select d.lang, d.source, count(*)::bigint as n_docs
+from documents d join m on d.doc_id = m.doc_id
+group by d.lang, d.source
+""",
+        "dedup_spans": f"""
+with {_TOK_CTE},
+spans as (
+  select doc_id, (pos - 1) // {dp.SPAN_W} as chunk_idx,
+         string_agg(term, ' ' order by pos) as span
+  from tok group by doc_id, (pos - 1) // {dp.SPAN_W}
+),
+flagged as (
+  select doc_id,
+         (row_number() over (partition by span order by doc_id, chunk_idx)
+          > 1)::int as dup
+  from spans
+)
+select doc_id, count(*)::bigint as n_spans, sum(dup)::bigint as n_dup_spans
+from flagged group by doc_id
+""",
+        "rep_ngram_frac": f"""
+with {_TOK_CTE},
+g as (
+  select doc_id,
+         term || ' ' || lead(term, 1) over w || ' ' || lead(term, 2) over w
+              || ' ' || lead(term, 3) over w || ' ' || lead(term, 4) over w
+           as gram
+  from tok
+  window w as (partition by doc_id order by pos)
+)
+select doc_id, count(*)::bigint as n_grams,
+       round((count(*) - count(distinct gram)) / count(*)::double, 4)
+         as rep_frac
+from g where gram is not null
+group by doc_id
+""",
+        "event_value_delta": """
+select event_id, user_id,
+  round(value - lag(value) over
+          (partition by user_id order by ts, event_id), 4) as delta
+from events
+qualify lag(value) over
+          (partition by user_id order by ts, event_id) is not null
+""",
         # rows-only (bloom_semi_join is approximate: one-sided error,
         # FP-rate pytest-gated) (approximate / stateful / stemmer-dependent):
         # bm25_topk_stemmed, reference_queryset_stemmed,
         # index_segment_stats_stemmed, embedding_lsh_topk,
-        # embedding_ivf_topk, embed_then_topk, media_decode,
-        # hll_distinct_users
+        # embedding_ivf_topk, embedding_pq_topk, embed_then_topk,
+        # media_decode, media_pipeline, hll_distinct_users
     }

@@ -71,6 +71,28 @@ def _cmd_index(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_suggest(args: argparse.Namespace) -> int:
+    from .pipelines.search import SearchEngine
+
+    _ensure_ray(args.num_cpus)
+    index_dir = (
+        args.index_dir.split(",") if "," in args.index_dir else args.index_dir
+    )
+    eng = SearchEngine(index_dir, mode="local")
+    rows = eng.suggest(args.word, k=args.k, max_dist=args.max_dist)
+    print(
+        json.dumps(
+            {
+                "word": args.word,
+                "suggestions": [
+                    {"term": t, "dist": d, "df": f} for t, d, f in rows
+                ],
+            }
+        )
+    )
+    return 0
+
+
 def _cmd_search(args: argparse.Namespace) -> int:
     import numpy as np
 
@@ -258,6 +280,15 @@ def main(argv: list[str] | None = None) -> int:
     pd.add_argument("index_dir")
     pd.add_argument("doc_ids", help="comma-separated doc ids")
     pd.set_defaults(fn=_cmd_delete)
+
+    pg = sub.add_parser(
+        "suggest", help="spell suggestions from the index dictionary"
+    )
+    pg.add_argument("index_dir", help="index dir (or comma-separated generations)")
+    pg.add_argument("word")
+    pg.add_argument("--k", type=int, default=10)
+    pg.add_argument("--max-dist", type=int, default=2)
+    pg.set_defaults(fn=_cmd_suggest)
 
     args = p.parse_args(argv)
     return args.fn(args)

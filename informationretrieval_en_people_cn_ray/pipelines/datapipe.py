@@ -4335,3 +4335,453 @@ def type_token_ratio(sf_dir: str):
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         f, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# span-level dedup + repetition signals (C4/Gopher-style span hygiene)
+
+SPAN_W = 10  # tokens per dedup span
+_SPAN_IDX_BITS = 21  # chunk_idx < 2^21 → docs up to ~20M tokens
+
+
+@unreserved
+def dedup_spans(sf_dir: str, span_w: int = SPAN_W):
+    """(doc_id, n_spans, n_dup_spans) — corpus-wide SPAN dedup (the
+    C4-style "drop text reused elsewhere" signal at sub-document
+    granularity): each document's token stream splits into consecutive
+    ``span_w``-token spans (trailing partial span included); a span
+    occurrence is a DUPLICATE unless it is the globally first occurrence
+    of its text, first = smallest (doc_id, chunk_idx).
+
+    Distributed shape (the 100 TB shape, not a driver loop):
+
+    - map_batches: tokenize, join each span's tokens, ship only
+      (doc_id, chunk_idx, sha256(span)) — the shuffle key is a fixed
+      32-byte digest, never the text;
+    - one data-sized ``groupby(sha)`` with a ``Min`` aggregate over the
+      packed key ``doc_id << 21 | chunk_idx`` picks each span's winner
+      without materializing groups (no map_groups over millions of tiny
+      groups);
+    - winner counts and per-doc span counts union into ONE output-sized
+      ``groupby(doc_id)``; dup count = spans − wins.
+
+    Exact SQL oracle (string_agg spans + row_number over span)."""
+    from ray.data.aggregate import Min, Sum
+
+    if span_w < 1:
+        raise ValueError("span_w must be >= 1")
+
+    def spans(batch: pa.Table) -> pa.Table:
+        from ..text import tokenize_batch
+
+        lens, toks = tokenize_batch(batch["text"].to_pylist())
+        toks = toks.to_pylist()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_doc: list[int] = []
+        out_idx: list[int] = []
+        out_sha: list[str] = []
+        off = 0
+        for did, n in zip(ids.tolist(), lens):
+            end = off + n
+            for ci in range(0, (n + span_w - 1) // span_w):
+                s = off + ci * span_w
+                out_doc.append(did)
+                out_idx.append(ci)
+                # clamp the trailing partial span to THIS doc's tokens —
+                # toks is flat across the whole batch
+                out_sha.append(
+                    sha256_hex(" ".join(toks[s : min(s + span_w, end)]))
+                )
+            off = end
+        if out_idx and max(out_idx) >= (1 << _SPAN_IDX_BITS):
+            raise ValueError(
+                f"document exceeds {span_w << _SPAN_IDX_BITS} tokens — "
+                "raise _SPAN_IDX_BITS"
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "chunk_idx": pa.array(out_idx, pa.int64()),
+                "sha": pa.array(out_sha, pa.string()),
+            }
+        )
+
+    ds = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        spans, batch_format="pyarrow"
+    )
+
+    def packed(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = batch["chunk_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "sha": batch["sha"],
+                "m": pa.array((d << _SPAN_IDX_BITS) | c, pa.int64()),
+            }
+        )
+
+    wins = (
+        ds.map_batches(packed, batch_format="pyarrow")
+        .repartition(8)
+        .groupby("sha")
+        .aggregate(Min("m", alias_name="m"))
+    )
+
+    def win_rows(batch: pa.Table) -> pa.Table:
+        m = batch["m"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = m >> _SPAN_IDX_BITS
+        # per-batch partial combine before the doc-keyed shuffle
+        u, n = np.unique(doc, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(u, pa.int64()),
+                "n_spans": pa.array(np.zeros(len(u), np.int64), pa.int64()),
+                "n_wins": pa.array(n, pa.int64()),
+            }
+        )
+
+    def span_rows(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, n = np.unique(d, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(u, pa.int64()),
+                "n_spans": pa.array(n, pa.int64()),
+                "n_wins": pa.array(np.zeros(len(u), np.int64), pa.int64()),
+            }
+        )
+
+    both = ds.map_batches(span_rows, batch_format="pyarrow").union(
+        wins.map_batches(win_rows, batch_format="pyarrow")
+    )
+    agg = both.groupby("doc_id").aggregate(
+        Sum("n_spans", alias_name="n_spans"),
+        Sum("n_wins", alias_name="n_wins"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ns = batch["n_spans"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nw = batch["n_wins"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_spans": pa.array(ns, pa.int64()),
+                "n_dup_spans": pa.array(ns - nw, pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+REP_NGRAM_N = 5  # Gopher-style duplicate 5-gram repetition signal
+
+
+@unreserved
+def rep_ngram_frac(sf_dir: str, n: int = REP_NGRAM_N):
+    """(doc_id, n_grams, rep_frac) — WITHIN-document repetition signal
+    (Gopher repetition filters): the fraction of a doc's ``n``-gram
+    occurrences that are repeats of an earlier identical n-gram,
+    rep_frac = (n_grams − distinct) / n_grams. Docs with fewer than
+    ``n`` tokens have no complete gram and are omitted (matches the
+    oracle's ``WHERE gram IS NOT NULL``).
+
+    Pure per-document metric → ZERO shuffle: one map_batches, grams
+    compared as (doc, code₀..codeₙ₋₁) int rows (batch dictionary codes
+    are injective on term strings), distinct counted via one np.unique
+    over the packed row view."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        lens, doc_idx, codes, uniq = _batch_token_codes(batch)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.asarray(lens, np.int64)
+        starts = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=starts[1:])
+        ok = lens >= n
+        if not ok.any():
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_grams": pa.array([], pa.int64()),
+                    "rep_frac": pa.array([], pa.float64()),
+                }
+            )
+        # gram start positions: every in-doc offset 0..len-n (vectorized
+        # as a delete of the last n-1 positions of each doc)
+        n_grams = np.where(ok, lens - (n - 1), 0)
+        gstart_parts = [
+            np.arange(starts[i], starts[i] + n_grams[i])
+            for i in np.nonzero(ok)[0]
+        ]
+        g0 = np.concatenate(gstart_parts)
+        rows = np.empty((len(g0), n + 1), np.int64)
+        rows[:, 0] = doc_idx[g0]
+        for j in range(n):
+            rows[:, j + 1] = codes[g0 + j]
+        uniq_rows = np.unique(
+            np.ascontiguousarray(rows).view([("", np.int64)] * (n + 1))
+        )
+        udoc = uniq_rows.view(np.int64).reshape(-1, n + 1)[:, 0]
+        n_distinct = np.zeros(len(lens), np.int64)
+        np.add.at(n_distinct, udoc, 1)
+        ng = n_grams[ok].astype(np.float64)
+        frac = (n_grams[ok] - n_distinct[ok]) / ng
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[ok], pa.int64()),
+                "n_grams": pa.array(n_grams[ok], pa.int64()),
+                "rep_frac": pa.array(
+                    [round4(float(x)) for x in frac], pa.float64()
+                ),
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# search-result facets + per-user event deltas
+
+
+@unreserved
+def facet_counts(sf_dir: str, doc_ids: np.ndarray):
+    """(lang, source, n_docs) — metadata facets over a search result set
+    (the result-page "refine by" counts): ``doc_ids`` (a sorted id array
+    from a boolean/ranked search) is BROADCAST via ``ray.put`` — the
+    small side never shuffles; membership is a per-batch searchsorted;
+    facet counts pre-combine per batch before one facet-sized groupby."""
+    from ray.data.aggregate import Sum
+
+    ids_ref = ray.put(np.asarray(sorted(doc_ids), np.int64))
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = ray.get(ids_ref)
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if ids.size:
+            pos = np.clip(np.searchsorted(ids, d), 0, ids.size - 1)
+            keep = ids[pos] == d
+        else:
+            keep = np.zeros(len(d), bool)
+        t = batch.filter(pa.array(keep))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "source": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["lang", "source"]).aggregate([("doc_id", "count")])
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "source": g["source"],
+                "n_docs": g["doc_id_count"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        read_documents(sf_dir, ["doc_id", "lang", "source"])
+        .map_batches(f, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+
+@unreserved
+def event_value_delta(sf_dir: str):
+    """(event_id, user_id, delta) — per-user LAG delta: each event's
+    ``value`` minus the user's previous event's value in (ts, event_id)
+    order; a user's first event has no predecessor and is omitted
+    (matches the oracle's QUALIFY). One ``groupby(user_id)`` shuffle;
+    the per-group pass is a vectorized lexsort + diff — the same by-key
+    shape as sessionize (a skew-safe by-time variant would partition the
+    time axis exactly like running_totals_by_time; per-user histories
+    here are small)."""
+
+    def rows(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        tu = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "value": batch["value"],
+                "tu": pa.array(tu, pa.int64()),
+            }
+        )
+
+    def per_user(group: pa.Table) -> pa.Table:
+        group = group.combine_chunks()
+        uid = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = group["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        val = group["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tu = group["tu"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, tu))
+        eid_s, val_s, uid_s = eid[order], val[order], uid[order]
+        if len(order) < 2:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "delta": pa.array([], pa.float64()),
+                }
+            )
+        delta = val_s[1:] - val_s[:-1]
+        return pa.table(
+            {
+                "event_id": pa.array(eid_s[1:], pa.int64()),
+                "user_id": pa.array(uid_s[1:], pa.int64()),
+                "delta": pa.array(
+                    [round4(float(x)) for x in delta], pa.float64()
+                ),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_id", "ts", "value"],
+        )
+        .map_batches(rows, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# product-quantization ANN (compressed-index scale path)
+
+PQ_M = 16  # subspaces
+PQ_KSUB = 16  # centroids per subspace
+PQ_TRAIN_SAMPLE = 4096
+PQ_TRAIN_ITERS = 4
+PQ_RERANK_FACTOR = 8  # ADC shortlist = factor × k, exact-reranked
+
+
+def _pq_train(sf_dir: str, m: int, ksub: int, iters: int):
+    """Per-subspace codebooks trained on a BOUNDED head sample (standard
+    PQ practice: train on a sample, encode the full corpus) — the
+    codebook is the only driver-resident state, O(m·ksub·dim/m) floats
+    regardless of corpus size. Deterministic: sample = lowest-vec_id rows
+    of the leading row groups, init = first ksub sample rows per
+    subspace, plain Lloyd with empty cells keeping their centroid."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    parts = []
+    got = 0
+    for rg in range(pf.num_row_groups):
+        t = pf.read_row_group(rg, columns=["vec_id", "embedding"])
+        parts.append(t)
+        got += t.num_rows
+        if got >= PQ_TRAIN_SAMPLE:
+            break
+    head = pa.concat_tables(parts)
+    order = np.argsort(head["vec_id"].to_numpy(), kind="stable")
+    head = head.take(pa.array(order[:PQ_TRAIN_SAMPLE]))
+    X = _emb_unit_mat(head)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = np.empty((m, ksub, sub), np.float64)
+    for j in range(m):
+        Xj = X[:, j * sub : (j + 1) * sub]
+        C = Xj[:ksub].copy()
+        for _ in range(iters):
+            d2 = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(ksub):
+                sel = assign == c
+                if sel.any():
+                    C[c] = Xj[sel].mean(axis=0)
+        books[j] = C
+    return books
+
+
+@unreserved
+def embedding_pq_topk(
+    sf_dir: str,
+    k: int = 10,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    rerank_factor: int = PQ_RERANK_FACTOR,
+):
+    """(vec_id, cos) — product-quantization ANN top-k with exact rerank
+    (the standard ADC+rerank pipeline): vectors compress to ``m`` uint8
+    codes (16 B here vs dim×4 B floats — the 100 TB memory story: the
+    scan state is the CODES, dim·4/m× smaller than raw), the query
+    expands once into m×ksub inner-product lookup tables, the scan
+    scores every vector as a table-lookup sum (ADC, no float vector
+    touched), and only the ``rerank_factor × k`` ADC shortlist gets
+    exact cosines (in a persisted deployment: point reads of the
+    shortlist's float rows against the stored code index). Encode + ADC
+    run in one streaming ``map_batches``; each batch ships only its
+    shortlist. Approximate → rows-only driver check; recall vs the
+    brute-force baseline is pytest-gated. Deterministic end to end
+    (sample init, no RNG)."""
+    books = _pq_train(sf_dir, m, ksub, PQ_TRAIN_ITERS)
+    q = _query_vector(sf_dir)
+    q = q / (np.linalg.norm(q) or 1.0)
+    sub = books.shape[2]
+    # luts[j, c] = <q_j, codebook[j][c]> — ADC score = Σ_j luts[j, code_j]
+    luts = np.einsum("jkd,jd->jk", books, q.reshape(m, sub))
+    b_ref = ray.put(books)
+    l_ref = ray.put(luts)
+    q_ref = ray.put(q)
+    R = max(k, rerank_factor * k)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        B, L, qv = ray.get(b_ref), ray.get(l_ref), ray.get(q_ref)
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "adc": pa.array([], pa.float64()),
+                    "cos": pa.array([], pa.float64()),
+                }
+            )
+        X = _emb_unit_mat(batch)
+        n = X.shape[0]
+        codes = np.empty((n, m), np.int64)
+        for j in range(m):
+            Xj = X[:, j * sub : (j + 1) * sub]
+            # ||x-c||² argmin == argmax(<x,c> - ||c||²/2), one matmul
+            score = Xj @ B[j].T - 0.5 * (B[j] * B[j]).sum(axis=1)
+            codes[:, j] = np.argmax(score, axis=1)
+        adc = L[np.arange(m)[None, :], codes].sum(axis=1)
+        ids = batch["vec_id"].to_numpy()
+        sel = np.arange(n)
+        if n > R:
+            sel = np.lexsort((ids, -adc))[:R]
+        cos = X[sel] @ qv  # shortlist-sized exact rerank input
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[sel], pa.int64()),
+                "adc": pa.array(adc[sel], pa.float64()),
+                "cos": pa.array(cos, pa.float64()),
+            }
+        )
+
+    t = _to_table(
+        read_embeddings(sf_dir, ["vec_id", "embedding"]).map_batches(
+            scan, batch_format="pyarrow"
+        )
+    )
+    ids = t["vec_id"].to_numpy()
+    adc = t["adc"].to_numpy()
+    cos = t["cos"].to_numpy()
+    short = np.lexsort((ids, -adc))[:R]  # global ADC shortlist ...
+    fin = short[np.lexsort((ids[short], -cos[short]))][:k]  # ... reranked
+    return pa.table(
+        {
+            "vec_id": pa.array(ids[fin], pa.int64()),
+            "cos": pa.array(
+                [round4(float(x)) for x in cos[fin]], pa.float64()
+            ),
+        }
+    )

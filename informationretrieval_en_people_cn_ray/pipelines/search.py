@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import glob
 import os
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -39,6 +40,50 @@ from ..stages.postings import term_seg
 from ..stages.segments import SegmentReader
 from ..state.manifest import load_json
 from ..text import Analyzer, MAX_STEM_LEN, MIN_STEM_LEN
+
+
+def _wildcard_regex(pattern: str) -> re.Pattern:
+    """``*``-wildcard → anchored regex (each literal piece escaped)."""
+    return re.compile(
+        "^" + ".*".join(re.escape(p) for p in pattern.split("*")) + "$"
+    )
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Unit-cost edit distance (matches DuckDB's ``levenshtein``)."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return la or lb
+    prev = list(range(lb + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] * (lb + 1)
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+        prev = cur
+    return prev[lb]
+
+
+def _spell_scan(terms, word: str, max_dist: int) -> dict[str, int]:
+    """{term: dist ≤ max_dist} over one dictionary slice. Runs WHERE the
+    dictionary lives (per segment reader / per SegmentSearcher actor), so
+    only candidate terms ever travel to the driver — the scan itself is
+    embarrassingly parallel across segments. Length prefilter first:
+    |len(t) − len(word)| is a true edit-distance lower bound."""
+    out: dict[str, int] = {}
+    lw = len(word)
+    for t in dict.fromkeys(terms):
+        if abs(len(t) - lw) > max_dist:
+            continue
+        d = levenshtein(t, word)
+        if d <= max_dist:
+            out[t] = d
+    return out
+
+
+def _wildcard_scan(terms, rx: re.Pattern) -> list[str]:
+    return [t for t in dict.fromkeys(terms) if rx.match(t)]
 
 
 class _Posting:
@@ -98,6 +143,25 @@ class LocalSegments:
             lo, hi = r.prefix_range(prefix)
             out.extend(r.terms[lo:hi].tolist())
         return sorted(dict.fromkeys(out))  # chunked terms repeat rows
+
+    def wildcard_terms(self, pattern: str) -> list[str]:
+        """Dictionary terms matching a ``*``-wildcard — narrowed to the
+        pattern's literal-prefix range first, regex-filtered in place
+        (never ships the full dictionary)."""
+        rx = _wildcard_regex(pattern)
+        lit = pattern.split("*", 1)[0]
+        out: list[str] = []
+        for seg in range(self.num_segments):
+            r = self.reader(seg)
+            lo, hi = r.prefix_range(lit)
+            out.extend(_wildcard_scan(r.terms[lo:hi].tolist(), rx))
+        return sorted(dict.fromkeys(out))
+
+    def spell_candidates(self, word: str, max_dist: int) -> dict[str, int]:
+        out: dict[str, int] = {}
+        for seg in range(self.num_segments):
+            out.update(_spell_scan(self.reader(seg).terms.tolist(), word, max_dist))
+        return out
 
     def term_meta(self, term: str) -> tuple[int, int, int] | None:
         return self.reader(term_seg(term, self.num_segments)).term_meta(term)
@@ -220,6 +284,18 @@ class GenerationalSegments:
             out.extend(g.prefix_terms(prefix))
         return sorted(dict.fromkeys(out))
 
+    def wildcard_terms(self, pattern: str) -> list[str]:
+        out: list[str] = []
+        for g in self.gens:
+            out.extend(g.wildcard_terms(pattern))
+        return sorted(dict.fromkeys(out))
+
+    def spell_candidates(self, word: str, max_dist: int) -> dict[str, int]:
+        out: dict[str, int] = {}
+        for g in self.gens:
+            out.update(g.spell_candidates(word, max_dist))
+        return out
+
     def term_meta(self, term: str) -> tuple[int, int, int] | None:
         ms = [g.term_meta(term) for g in self.gens]
         ms = [m for m in ms if m is not None]
@@ -330,6 +406,26 @@ class SegmentSearcher:
             for r in gens:
                 lo, hi = r.prefix_range(prefix)
                 out.extend(r.terms[lo:hi].tolist())
+        return out
+
+    def wildcard_terms(self, pattern: str) -> list[str]:
+        """Wildcard dictionary scan over THIS actor's segments only —
+        the expansion parallelizes across the pool and only matching
+        terms return to the driver."""
+        rx = _wildcard_regex(pattern)
+        lit = pattern.split("*", 1)[0]
+        out: list[str] = []
+        for gens in self.readers.values():
+            for r in gens:
+                lo, hi = r.prefix_range(lit)
+                out.extend(_wildcard_scan(r.terms[lo:hi].tolist(), rx))
+        return out
+
+    def spell_candidates(self, word: str, max_dist: int) -> dict[str, int]:
+        out: dict[str, int] = {}
+        for gens in self.readers.values():
+            for r in gens:
+                out.update(_spell_scan(r.terms.tolist(), word, max_dist))
         return out
 
     def term_meta_many(self, terms: list[tuple[str, int]]):
@@ -651,6 +747,15 @@ class SearchEngine:
             out.extend(r)
         return sorted(dict.fromkeys(out))  # chunks/generations repeat terms
 
+    def _wildcard_terms(self, pattern: str) -> list[str]:
+        if self.mode != "actors":
+            return self.local.wildcard_terms(pattern)
+        futs = [a.wildcard_terms.remote(pattern) for a in self.actors]
+        out: list[str] = []
+        for r in ray.get(futs):
+            out.extend(r)
+        return sorted(dict.fromkeys(out))
+
     def _term_meta(
         self, terms: list[str]
     ) -> dict[str, tuple[int, int, int] | None]:
@@ -729,6 +834,49 @@ class SearchEngine:
         if not arrs:
             return np.empty(0, np.int64)
         return np.unique(np.concatenate(arrs))
+
+    def _wildcard_docs(self, pattern: str) -> np.ndarray:
+        """Docs containing ANY dictionary term matching the ``*``-pattern
+        (engine extension beyond the reference grammar — a lone trailing
+        star keeps the reference's prefix semantics). The pattern is
+        lowercased but NOT stemmed: wildcard pieces aren't words, so they
+        match the dictionary's surface forms directly."""
+        terms = self._wildcard_terms(pattern.lower())
+        plists = self._postings_map(terms)
+        arrs = [p.doc_ids for p in plists.values() if p is not None]
+        if not arrs:
+            return np.empty(0, np.int64)
+        return np.unique(np.concatenate(arrs))
+
+    def suggest(
+        self, word: str, k: int = 10, max_dist: int = 2
+    ) -> list[tuple[str, int, int]]:
+        """Spell suggestion from the index dictionary: the top-k terms
+        within ``max_dist`` edits of ``lower(word)`` (the word itself
+        excluded), ranked (distance asc, df desc, term asc) — a total
+        order, so results are deterministic. The dictionary scan runs
+        where the dictionary lives (per segment, per actor in actor
+        mode); only candidates and their (df) dictionary rows travel.
+        Returns [(term, dist, df)]."""
+        w = word.lower()
+        if self.mode != "actors":
+            cands = self.local.spell_candidates(w, max_dist)
+        else:
+            cands: dict[str, int] = {}
+            for r in ray.get(
+                [a.spell_candidates.remote(w, max_dist) for a in self.actors]
+            ):
+                for t, d in r.items():
+                    cands[t] = min(d, cands.get(t, d))
+        cands.pop(w, None)
+        meta = self._term_meta(list(cands))
+        ranked = sorted(
+            (
+                (dist, -(meta[t][0] if meta.get(t) else 0), t)
+                for t, dist in cands.items()
+            ),
+        )[:k]
+        return [(t, dist, -negdf) for dist, negdf, t in ranked]
 
     def _anchored(self, phrase: str) -> list[tuple[int, str]]:
         terms = [self.az.term(t) for t in self.az.tokens(phrase)]
@@ -881,6 +1029,8 @@ class SearchEngine:
             return self._keyword_docs(tok.value)
         if tok.kind == "prefix":
             return self._prefix_docs(tok.value)
+        if tok.kind == "wildcard":
+            return self._wildcard_docs(tok.value)
         if tok.kind == "phrase":
             return self._phrase_docs(tok.value)
         if tok.kind == "phrase_prefix":

@@ -74,8 +74,15 @@ def classify(raw: str) -> Token:
         if raw.endswith("'") and len(raw) >= 2:
             return Token("phrase", raw[1:-1])
         raise QueryParseError(f"unterminated phrase: {raw}")
-    if raw.endswith("*") and len(raw) > 1:
+    if raw.endswith("*") and len(raw) > 1 and raw.count("*") == 1:
         return Token("prefix", raw[:-1])
+    if "*" in raw:
+        # engine extension beyond the reference grammar: general wildcard
+        # terms (leading / infix / multiple stars) — `*ow`, `s*a*`. A
+        # lone trailing star keeps the reference's prefix semantics above.
+        if raw.strip("*") == "":
+            raise QueryParseError(f"wildcard needs at least one literal: {raw}")
+        return Token("wildcard", raw)
     return Token("keyword", raw)
 
 

@@ -80,6 +80,22 @@ def test_cli_index_and_search(ray_session, corpus_dir, tmp_path, capsys):
     assert len(lines[0]["doc_ids"]) <= 3
     assert all(s is None for s in lines[1]["scores"])  # boolean → no scores
 
+    # spell suggestion from the same index dictionary
+    rc = main(["suggest", idx, "dat", "--k", "5"])
+    assert rc == 0
+    sug = json.loads(capsys.readouterr().out.strip())
+    assert sug["word"] == "dat"
+    assert sug["suggestions"], "expected candidates within 2 edits of 'dat'"
+    assert all(
+        set(s) == {"term", "dist", "df"} and s["dist"] <= 2
+        for s in sug["suggestions"]
+    )
+    # wildcard term through the standard search surface
+    rc = main(["search", idx, "--query", "d*t* AND the", "--k", "5"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip())
+    assert res["doc_ids"], "wildcard boolean query should match docs"
+
 
 def test_cli_extend_delete_compact(ray_session, corpus_dir, tmp_path, capsys):
     """Full index-maintenance lifecycle through the CLI: build → extend

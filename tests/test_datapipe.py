@@ -1505,3 +1505,164 @@ def test_sink_string_key_routing_deterministic(ray_session, tmp_path):
     )
     assert whole.tolist() == parts.tolist()
     assert len(np.unique(whole)) > 1
+
+
+# ---------------- span dedup / repetition / deltas / PQ ----------------
+
+
+@pytest.fixture(scope="module")
+def span_dir(tmp_path_factory):
+    """Docs with PLANTED cross-doc duplicate spans: doc 0 and doc 1 share
+    their first 10-token span; doc 2 repeats doc 0's trailing partial
+    span; doc 3 repeats a 5-gram within itself."""
+    d = str(tmp_path_factory.mktemp("span"))
+    s10 = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
+    texts = [
+        s10 + " tail one two",  # spans: s10 | "tail one two"
+        s10 + " other trailing words",  # first span dups doc 0's
+        "lead in words tail one two",  # no span dup (different split)
+        "x1 x2 x3 x4 x5 x1 x2 x3 x4 x5 x1 x2",  # in-doc 5-gram repeats
+        "tail one two",  # dups doc 0's TRAILING partial span
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["s"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    return d
+
+
+def test_dedup_spans_planted(ray_session, span_dir):
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    t = (
+        dp._to_table(dp.dedup_spans(span_dir))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = list(map(tuple, t.values.tolist()))
+    assert got == [
+        (0, 2, 0),  # wins both its spans
+        (1, 2, 1),  # first span is doc 0's s10
+        (2, 1, 0),  # same words, different span alignment → no dup
+        (3, 2, 0),  # 12 tokens → 2 spans, distinct at span granularity
+        (4, 1, 1),  # equals doc 0's trailing "tail one two" span
+    ]
+
+
+def test_dedup_spans_vs_duckdb(ray_session, span_dir):
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+    import __ray_entry__ as E
+
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        f"'{span_dir}/documents.parquet'"
+    )
+    exp = (
+        con.sql(E.oracle_sql()["dedup_spans"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = (
+        dp._to_table(dp.dedup_spans(span_dir))
+        .to_pandas()[["doc_id", "n_spans", "n_dup_spans"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.values.tolist() == exp.values.tolist()
+
+
+def test_rep_ngram_frac_planted(ray_session, span_dir):
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    t = (
+        dp._to_table(dp.rep_ngram_frac(span_dir))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    # doc 3: tokens x1..x5 x1..x5 x1 x2 → 8 grams, distinct 5 → 3/8
+    assert t.loc[3, "n_grams"] == 8
+    assert t.loc[3, "rep_frac"] == pytest.approx(0.375)
+    # doc 0: 13 tokens, all grams distinct
+    assert t.loc[0, "n_grams"] == 9
+    assert t.loc[0, "rep_frac"] == 0.0
+    # docs shorter than 5 tokens are omitted
+    assert 4 not in t.index
+
+
+def test_event_value_delta_vs_duckdb(ray_session, tmp_path):
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+    import __ray_entry__ as E
+
+    rng = np.random.default_rng(7)
+    n = 400
+    # heavy ties: few users, coarse timestamps → exercises the
+    # (ts, event_id) tiebreak
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    ts = t0 + rng.integers(0, 50, n).astype("timedelta64[s]").astype(
+        "timedelta64[us]"
+    )
+    tab = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(rng.integers(0, 9, n), pa.int64()),
+            "event_type": pa.array(["view"] * n, pa.string()),
+            "value": pa.array(
+                np.round(rng.normal(0, 10, n), 3), pa.float64()
+            ),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    d = str(tmp_path)
+    pq.write_table(tab, os.path.join(d, "events.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"create view events as select * from '{d}/events.parquet'"
+    )
+    exp = (
+        con.sql(E.oracle_sql()["event_value_delta"])
+        .df()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    got = (
+        dp._to_table(dp.event_value_delta(d))
+        .to_pandas()[["event_id", "user_id", "delta"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert got["event_id"].tolist() == exp["event_id"].tolist()
+    assert got["user_id"].tolist() == exp["user_id"].tolist()
+    assert np.allclose(got["delta"], exp["delta"], atol=0)
+
+
+def test_embedding_pq_recall(ray_session):
+    """PQ ADC top-k must overlap the exact brute-force top-k (recall
+    gate) and be deterministic across runs."""
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    sf = "/root/testdata/sf0.001"
+    exact = dp.embedding_topk(sf, k=10)
+    exact_ids = set(
+        dp._to_table(exact)
+        .to_pandas()
+        .sort_values("cos", ascending=False)["vec_id"]
+        .head(10)
+        .tolist()
+    )
+    a = dp.embedding_pq_topk(sf, k=10).to_pandas()
+    b = dp.embedding_pq_topk(sf, k=10).to_pandas()
+    assert a.values.tolist() == b.values.tolist()  # deterministic
+    recall = len(set(a["vec_id"]) & exact_ids) / 10.0
+    assert recall >= 0.6, (recall, sorted(a["vec_id"]), sorted(exact_ids))

@@ -433,3 +433,81 @@ def test_proximity_planted(ray_session, tmp_path):
     }
     ids0, _ = eng.proximity("alpha", "missing", within=9)
     assert ids0.size == 0
+
+
+# ---------------- wildcard + spell suggestion (engine extensions) ------
+
+
+def test_parse_wildcard():
+    p = parse("s*a* AND data")
+    assert p.kind == "boolean"
+    assert p.groups[0].positive[0].kind == "wildcard"
+    assert p.groups[0].positive[0].value == "s*a*"
+    p = parse("*ow")
+    assert p.tokens[0].kind == "wildcard"
+    # lone trailing star keeps the reference's prefix semantics
+    assert parse("isra*").tokens[0].kind == "prefix"
+    with pytest.raises(QueryParseError):
+        parse("** AND x")
+
+
+def _wc_regex(pat):
+    import re
+
+    return re.compile("^" + ".*".join(map(re.escape, pat.split("*"))) + "$")
+
+
+def test_wildcard_docs_vs_oracle(engine, oracle):
+    for pat in ["s*a*", "*ow", "d*t*", "*a*", "th*e"]:
+        rx = _wc_regex(pat)
+        terms = [t for t in oracle.postings if rx.match(t)]
+        exp = sorted({d for t in terms for d in oracle.term_docs(t)})
+        got = engine._wildcard_docs(pat)
+        assert got.tolist() == exp, pat
+
+
+def test_suggest_vs_oracle(engine, oracle):
+    from informationretrieval_en_people_cn_ray.pipelines.search import (
+        levenshtein,
+    )
+
+    for w in ["dat", "valu", "resul", "the"]:
+        exp = sorted(
+            (levenshtein(t, w), -oracle.df(t), t)
+            for t in oracle.postings
+            if t != w and levenshtein(t, w) <= 2
+        )[:10]
+        exp = [(t, d, -ndf) for d, ndf, t in exp]
+        assert engine.suggest(w, k=10, max_dist=2) == exp, w
+
+
+def test_wildcard_suggest_actor_mode(ray_session, engine):
+    from informationretrieval_en_people_cn_ray.pipelines.search import (
+        SearchEngine,
+    )
+
+    eng2 = SearchEngine(engine.local.index_dir, mode="actors", num_actors=2)
+    for pat in ["s*a*", "*ow", "*a*"]:
+        assert (
+            eng2._wildcard_docs(pat).tolist()
+            == engine._wildcard_docs(pat).tolist()
+        )
+    for w in ["dat", "the"]:
+        assert eng2.suggest(w, k=10, max_dist=2) == engine.suggest(
+            w, k=10, max_dist=2
+        )
+    # through the full boolean path too
+    q = "s*a* AND data"
+    assert _ids(eng2.search(q)) == _ids(engine.search(q))
+
+
+def test_levenshtein_basics():
+    from informationretrieval_en_people_cn_ray.pipelines.search import (
+        levenshtein,
+    )
+
+    assert levenshtein("", "abc") == 3
+    assert levenshtein("abc", "abc") == 0
+    assert levenshtein("kitten", "sitting") == 3
+    assert levenshtein("par", "spark") == 2
+    assert levenshtein("ab", "ba") == 2  # plain Levenshtein, no transposition
