@@ -4451,8 +4451,12 @@ def dedup_spans(sf_dir: str, span_w: int = SPAN_W):
             }
         )
 
-    both = ds.map_batches(span_rows, batch_format="pyarrow").union(
-        wins.map_batches(win_rows, batch_format="pyarrow")
+    both = (
+        ds.map_batches(span_rows, batch_format="pyarrow")
+        .union(wins.map_batches(win_rows, batch_format="pyarrow"))
+        # both inputs are per-doc partials (tiny blocks); coalesce before
+        # the final output-sized shuffle
+        .repartition(4)
     )
     agg = both.groupby("doc_id").aggregate(
         Sum("n_spans", alias_name="n_spans"),
@@ -4581,9 +4585,13 @@ def facet_counts(sf_dir: str, doc_ids: np.ndarray):
             }
         )
 
+    # facet partials are |langs×sources|-sized per block; coalescing
+    # before the two-key sort shuffle removes most of its per-block
+    # overhead (same fix as term_stats)
     return (
         read_documents(sf_dir, ["doc_id", "lang", "source"])
         .map_batches(f, batch_format="pyarrow")
+        .repartition(4)
         .groupby(["lang", "source"])
         .aggregate(Sum("n_docs", alias_name="n_docs"))
     )
