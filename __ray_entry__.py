@@ -175,6 +175,20 @@ SPELL_WORD = "par"  # misspelling → part(1), spark(2), a(2)
 FACET_QUERY = "scan AND join"
 
 
+FILTER_LANG = "en"
+
+
+def _q_bm25_filtered(sf_dir: str) -> pa.Table:
+    """bm25_topk restricted to lang='en' docs — metadata-filtered ranked
+    search: the candidate set intersects a broadcastable id filter
+    (collection/term statistics stay global, so scores equal the
+    unfiltered query's for the surviving docs)."""
+    eng = _engine(sf_dir)
+    allowed = dp.doc_ids_where(sf_dir, "lang", FILTER_LANG)
+    ids, scores = eng.search(Q_TEXT, k=BM25_K, scorer="bm25", allowed=allowed)
+    return _ranked_table(ids, scores)
+
+
 def _q_wildcard(sf_dir: str) -> pa.Table:
     """Docs containing any dictionary term matching the ``*``-wildcard
     (engine grammar extension: leading/infix/multiple stars; expansion
@@ -577,6 +591,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings_sample": _q_postings,
         "positions_sample": _q_positions,
         "bm25_topk": _q_bm25,
+        "bm25_topk_filtered": _q_bm25_filtered,
         "bm25_snippets": _q_bm25_snippets,
         "bm25_topk_by_range": _q_bm25_by_range,
         "dirichlet_topk": _q_dirichlet,
@@ -670,7 +685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # DuckDB oracles
 
 
-def _bm25_sql() -> str:
+def _bm25_sql(extra_join: str = "") -> str:
     vals = ", ".join(f"('{t}')" for t in Q_TERMS)
     return f"""
 with {_TOK_CTE},
@@ -699,6 +714,7 @@ select f.doc_id,
 from tf f
 join tstats t on f.term = t.term
 join dl d on f.doc_id = d.doc_id
+{extra_join}
 cross join stats s
 group by f.doc_id
 order by sum(
@@ -1118,6 +1134,12 @@ group by a.doc_id
 having min(abs(a.pos - b.pos)) <= 5
 """,
         "bm25_topk": _bm25_sql(),
+        "bm25_topk_filtered": _bm25_sql(
+            extra_join=(
+                "join documents dd on dd.doc_id = f.doc_id "
+                f"and dd.lang = '{FILTER_LANG}'"
+            )
+        ),
         "incremental_bm25_topk": _bm25_sql(),
         "incremental_bm25_topk_actors": _bm25_sql(),
         "bm25_snippets": _bm25_snippets_sql(),

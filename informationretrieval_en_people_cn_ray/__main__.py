@@ -71,6 +71,15 @@ def _cmd_index(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_check(args: argparse.Namespace) -> int:
+    from .pipelines.fsck import check_index
+
+    _ensure_ray(args.num_cpus)
+    report = check_index(args.index_dir, deep=args.deep)
+    print(json.dumps(report))
+    return 0 if report["ok"] else 1
+
+
 def _cmd_suggest(args: argparse.Namespace) -> int:
     from .pipelines.search import SearchEngine
 
@@ -280,6 +289,13 @@ def main(argv: list[str] | None = None) -> int:
     pd.add_argument("index_dir")
     pd.add_argument("doc_ids", help="comma-separated doc ids")
     pd.set_defaults(fn=_cmd_delete)
+
+    pk = sub.add_parser("check", help="index integrity check (fsck)")
+    pk.add_argument("index_dir")
+    pk.add_argument(
+        "--deep", action="store_true", help="decode every posting blob"
+    )
+    pk.set_defaults(fn=_cmd_check)
 
     pg = sub.add_parser(
         "suggest", help="spell suggestions from the index dictionary"

@@ -4793,3 +4793,27 @@ def embedding_pq_topk(
             ),
         }
     )
+
+
+@unreserved
+def doc_ids_where(sf_dir: str, column: str, value):
+    """Sorted doc ids whose metadata ``column`` equals ``value`` — a
+    pruned two-column read + Arrow-kernel filter, materialized to one id
+    array (the broadcast 'allowed' side of metadata-filtered search; at
+    result scale beyond one node, pass the ids as range predicates to
+    the DocStatsShard range partitions instead)."""
+    import pyarrow.compute as pc
+
+    def f(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch[column], value)).select(
+            ["doc_id"]
+        )
+
+    t = _to_table(
+        read_documents(sf_dir, ["doc_id", column]).map_batches(
+            f, batch_format="pyarrow"
+        )
+    )
+    if t.num_columns == 0 or t.num_rows == 0:
+        return np.empty(0, np.int64)
+    return np.sort(t["doc_id"].to_numpy().astype(np.int64))

@@ -1077,13 +1077,19 @@ class SearchEngine:
         b: float = BM25_B,
         mu: float = DIRICHLET_MU,
         cutoff: float | None | str = "auto",
+        allowed: np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Ranked top-k over the union of the query tokens' candidates.
 
         BM25 (north_rule primary) scores only docs containing ≥1 query
         term; Dirichlet (reference parity) applies the f=0 branch over the
         same candidate union and the frequent-term cutoff
-        (``SearchEngine.py:88-91``)."""
+        (``SearchEngine.py:88-91``).
+
+        ``allowed`` (sorted unique doc ids) restricts the CANDIDATE set
+        (metadata-filtered search, e.g. lang='en' only); collection and
+        term statistics stay global — the standard filtered-search
+        semantics, so a doc's score is filter-independent."""
         if cutoff == "auto":
             # reference applies the frequent-term skip only in the
             # Dirichlet scorer (SearchEngine.py:88-91); BM25 has none
@@ -1103,6 +1109,10 @@ class SearchEngine:
         if not arrs:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         cand = np.unique(np.concatenate(arrs))
+        if allowed is not None:
+            cand = np.intersect1d(cand, allowed, assume_unique=True)
+            if not cand.size:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
         scores = np.zeros(len(cand), dtype=np.float64)
         lens = self.stats.lens_for(cand)
         for t in terms:  # query-term order = deterministic float order
@@ -1339,8 +1349,12 @@ class SearchEngine:
             prune
             and scorer == "bm25"
             and k is not None
+            and kw.get("allowed") is None
             and all(t.kind == "keyword" for t in plan.tokens)
         ):
+            # candidate-restricted search skips MaxScore: the pruning
+            # bounds reason over unrestricted candidate sets
+            kw.pop("allowed", None)
             return self.ranked_pruned(plan, k=k, **kw)
         return self.ranked(plan, k=k, scorer=scorer, **kw)
 

@@ -511,3 +511,23 @@ def test_levenshtein_basics():
     assert levenshtein("kitten", "sitting") == 3
     assert levenshtein("par", "spark") == 2
     assert levenshtein("ab", "ba") == 2  # plain Levenshtein, no transposition
+
+
+def test_ranked_filtered_candidates(engine):
+    """allowed= restricts candidates only: the filtered ranking is the
+    full ranking's restriction (identical scores — stats stay global)."""
+    q = "data value result"
+    full_ids, full_scores = engine.search(q, k=None)
+    # every other hit allowed, plus ids that were never candidates
+    allowed = np.sort(
+        np.concatenate([np.sort(full_ids)[::2], np.array([10**9])])
+    )
+    got_ids, got_scores = engine.search(q, k=5, allowed=allowed)
+    ok = np.isin(full_ids, allowed)
+    exp_ids = full_ids[ok][:5]
+    exp_scores = full_scores[ok][:5]
+    assert [int(x) for x in got_ids] == [int(x) for x in exp_ids]
+    assert np.array_equal(got_scores, exp_scores)
+    # empty filter → empty result
+    ids, scores = engine.search(q, k=5, allowed=np.empty(0, np.int64))
+    assert ids.size == 0 and scores.size == 0
