@@ -338,9 +338,12 @@ def main() -> None:
     head["fault_probe_mbps"] = fault_mbps
     head["thp_probe_mbps"] = thp_mbps
     head["fault_probe_concurrent_mbps"] = conc_mbps
+    # GRAFT_BENCH_SKIP_SWEEP: keep the headline + incremental legs but
+    # skip the (long) per-entry driver sweep — for quick re-measurement
     q = (
         {}
         if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY")
+        or os.environ.get("GRAFT_BENCH_SKIP_SWEEP")
         else _time_driver_queries(sf_dir)
     )
     line = {
