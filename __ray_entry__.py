@@ -675,6 +675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": lambda sf: dp.media_decode(sf),
         "media_pipeline": lambda sf: dp.media_pipeline(sf),
         "dedup_spans": lambda sf: dp.dedup_spans(sf),
+        "bpe_token_count": lambda sf: dp.bpe_token_count(sf),
         "rep_ngram_frac": lambda sf: dp.rep_ngram_frac(sf),
         "event_value_delta": lambda sf: dp.event_value_delta(sf),
         "embedding_pq_topk": lambda sf: dp.embedding_pq_topk(sf),
@@ -1607,6 +1608,17 @@ select doc_id, count(*)::bigint as n_grams,
          as rep_frac
 from g where gram is not null
 group by doc_id
+""",
+        "bpe_token_count": f"""
+select doc_id,
+  len(regexp_extract_all(text,
+      '{dp.BPE_PATTERN.replace("'", "''")}'))::bigint as n_bpe_tokens,
+  round(n_chars / len(regexp_extract_all(text,
+      '{dp.BPE_PATTERN.replace("'", "''")}'))::double, 4)
+    as chars_per_token
+from documents
+where len(regexp_extract_all(text,
+      '{dp.BPE_PATTERN.replace("'", "''")}')) > 0
 """,
         "event_value_delta": """
 select event_id, user_id,

@@ -4817,3 +4817,46 @@ def doc_ids_where(sf_dir: str, column: str, value):
     if t.num_columns == 0 or t.num_rows == 0:
         return np.empty(0, np.int64)
     return np.sort(t["doc_id"].to_numpy().astype(np.int64))
+
+
+# GPT-2-style pre-tokenizer, minus the lookahead RE2 lacks — the
+# "BPE-ish" token estimator (counts pre-merge pieces; real BPE merges
+# only reduce the count, so this is a stable upper-bound proxy)
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+@unreserved
+def bpe_token_count(sf_dir: str):
+    """(doc_id, n_bpe_tokens, chars_per_token) — LLM-cost token estimate
+    per document via a GPT-2-style pre-tokenizer regex (contractions /
+    letter runs / digit runs / punctuation runs / whitespace). Counting
+    runs entirely inside Arrow's RE2 kernel (zero Python per row), and
+    DuckDB's regexp is RE2 too, so the SQL oracle counts agree exactly.
+    Zero-token docs report no ratio (omitted)."""
+    import pyarrow.compute as pc
+
+    def f(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch["text"], BPE_PATTERN)
+        n = n.combine_chunks() if isinstance(n, pa.ChunkedArray) else n
+        nn = n.to_numpy(zero_copy_only=False).astype(np.int64)
+        chars = (
+            batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        keep = nn > 0
+        cpt = chars[keep].astype(np.float64) / nn[keep].astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    batch["doc_id"].to_numpy(zero_copy_only=False)[keep],
+                    pa.int64(),
+                ),
+                "n_bpe_tokens": pa.array(nn[keep], pa.int64()),
+                "chars_per_token": pa.array(
+                    [round4(float(x)) for x in cpt], pa.float64()
+                ),
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "text", "n_chars"]).map_batches(
+        f, batch_format="pyarrow"
+    )

@@ -66,6 +66,8 @@ DOC_OPS = [
     # session-2 additions
     "pmi_bigrams", "weighted_sample", "unigram_logprob",
     "type_token_ratio", "lang_source_rollup", "poisson_sample",
+    # round-4 additions
+    "dedup_spans", "rep_ngram_frac", "bpe_token_count",
 ]
 
 
