@@ -72,10 +72,15 @@ def _cmd_index(args: argparse.Namespace) -> int:
 
 
 def _cmd_check(args: argparse.Namespace) -> int:
-    from .pipelines.fsck import check_index
+    from .pipelines.fsck import check_generations, check_index
 
     _ensure_ray(args.num_cpus)
-    report = check_index(args.index_dir, deep=args.deep)
+    if "," in args.index_dir:
+        # comma-separated paths = unmerged generation list (adds the
+        # cross-generation disjointness/config checks)
+        report = check_generations(args.index_dir.split(","), deep=args.deep)
+    else:
+        report = check_index(args.index_dir, deep=args.deep)
     print(json.dumps(report))
     return 0 if report["ok"] else 1
 

@@ -259,3 +259,48 @@ def check_index(
         "docs": n_docs,
         "deep": deep,
     }
+
+
+def check_generations(
+    index_dirs: list[str], deep: bool = False, parallel: bool | None = None
+) -> dict:
+    """Check an UNMERGED generation list (the state a reader opens via
+    ``GenerationalSegments``): every generation passes ``check_index``,
+    generations agree on num_segments / analyzer config, and their
+    docstat doc-id ranges are disjoint and ascending — the invariant the
+    byte-level merge and every generational query path rely on."""
+    from .merge import _docstat_bounds
+
+    errors: list[str] = []
+    reports = []
+    for d in index_dirs:
+        r = check_index(d, deep=deep, parallel=parallel)
+        reports.append(r)
+        errors.extend(f"{d}: {e}" for e in r["errors"])
+    mans = [
+        load_json(os.path.join(d, "collection.json")) or {}
+        for d in index_dirs
+    ]
+    nsegs = {m.get("num_segments") for m in mans}
+    if len(nsegs) > 1:
+        errors.append(f"generations disagree on num_segments: {nsegs}")
+    for key in ("stem", "store_positions"):
+        vals = {m.get("config", {}).get(key) for m in mans}
+        if len(vals) > 1:
+            errors.append(f"generations disagree on {key}: {vals}")
+    bounds = [(d, _docstat_bounds(d)) for d in index_dirs]
+    live = [(d, b) for d, b in bounds if b]
+    for (da, (alo, ahi)), (db, (blo, bhi)) in zip(live, live[1:]):
+        if blo <= ahi:
+            errors.append(
+                f"doc-id ranges overlap/out of order: {da} [{alo},{ahi}] "
+                f"then {db} [{blo},{bhi}]"
+            )
+    return {
+        "ok": not errors,
+        "errors": errors,
+        "generations": len(index_dirs),
+        "segments": mans[0].get("num_segments") if mans else 0,
+        "docs": sum(r["docs"] for r in reports),
+        "deep": deep,
+    }

@@ -135,3 +135,39 @@ def test_cli_check(clean_index, tmp_path, capsys):
     with open(os.path.join(d, "seg=00000", "postings.bin"), "r+b") as fh:
         fh.truncate(1)
     assert main(["check", d]) == 1
+
+
+def test_check_generations(clean_index, tmp_path, capsys):
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    from informationretrieval_en_people_cn_ray.corpus import generate_corpus
+    from informationretrieval_en_people_cn_ray.pipelines.fsck import (
+        check_generations,
+    )
+    from informationretrieval_en_people_cn_ray.pipelines.merge import (
+        extend_generation,
+    )
+
+    cdir = str(tmp_path / "delta_corpus")
+    os.makedirs(cdir)
+    pq2.write_table(
+        generate_corpus(20, seed=9, start=80),
+        os.path.join(cdir, "part-00000.parquet"),
+    )
+    gens = extend_generation(clean_index, cdir, str(tmp_path / "gen1"))
+    rep = check_generations(gens, deep=True)
+    assert rep["ok"], rep["errors"]
+    assert rep["generations"] == 2 and rep["docs"] == 100
+
+    # same index twice → overlapping doc-id ranges must be rejected
+    rep2 = check_generations([clean_index, clean_index])
+    assert not rep2["ok"]
+    assert any("overlap" in e for e in rep2["errors"])
+
+    # CLI: comma-separated list routes to the generation checker
+    from informationretrieval_en_people_cn_ray.__main__ import main
+
+    assert main(["check", ",".join(gens)]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["ok"] and out["generations"] == 2
