@@ -1,0 +1,64 @@
+"""JSONL corpus ingest — the de-facto interchange format of LLM training
+data (one JSON object per line, usually a ``text`` field plus metadata).
+
+Counterpart to the CSV ingest (SURVEY.md §2.1 S1 / §2.2 M8, reference
+``standardize_format.py`` + ``tools.py``) for the format the reference
+never needed: ``ray.data.read_json`` → field projection/rename + null
+audit + the shared text normalization pass (newline removal, CJK
+punctuation mapping) → ``write_parquet``, producing a corpus directory
+``pipelines.build.build_index`` and ``DocStore`` consume directly.
+Streaming end to end: no driver-side materialization at any size.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from .csv_ingest import normalize_batch
+
+
+def ingest_jsonl_corpus(
+    jsonl_path: str,
+    out_dir: str,
+    column_map: dict[str, str] | None = None,
+    text_columns: list[str] | None = None,
+    drop_null: bool = True,
+) -> str:
+    """JSONL file/directory → normalized Parquet corpus.
+
+    ``column_map``: {json_field: corpus_column} projection (default:
+    ``{"text": "content"}``). Rows with null/empty mapped fields are
+    audited out when ``drop_null`` (the CSV path's min_fields rule)."""
+    column_map = column_map or {"text": "content"}
+    ds = ray.data.read_json(jsonl_path)
+
+    def project(batch: pa.Table) -> pa.Table:
+        cols = {}
+        mask = None
+        for src, dst in column_map.items():
+            col = batch[src]
+            valid = pc.is_valid(col)
+            if pa.types.is_string(col.type):
+                valid = pc.and_(valid, pc.not_equal(col, pa.scalar("")))
+            mask = valid if mask is None else pc.and_(mask, valid)
+            cols[dst] = col
+        out = pa.table(cols)
+        if drop_null:
+            out = out.filter(mask)
+        return out
+
+    ds = ds.map_batches(project, batch_format="pyarrow")
+    tcols = text_columns or [
+        v for v in column_map.values() if v == "content"
+    ]
+    if tcols:
+        ds = ds.map_batches(
+            normalize_batch,
+            fn_kwargs=dict(text_columns=tcols),
+            batch_format="pyarrow",
+        )
+    ds.write_parquet(out_dir)
+    return out_dir

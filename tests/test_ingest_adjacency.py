@@ -154,3 +154,60 @@ def test_replyto_through_engine(ray_session, tmp_path):
     eng2 = SearchEngine(idx)
     with pytest.raises(NotImplementedError, match="adjacency"):
         eng2.search("ReplyTo:1 AND the")
+
+
+@pytest.fixture(scope="module")
+def jsonl_corpus(tmp_path_factory):
+    import json as _json
+
+    d = tmp_path_factory.mktemp("jsonlsrc")
+    path = str(d / "docs.jsonl")
+    rows = [
+        {"id": 0, "text": "Tragic，event！with CJK punctuation", "lang": "en"},
+        {"id": 1, "text": "line\nbreaks\r\nand returns\rhere", "lang": "en"},
+        {"id": 2, "text": "plain running characters", "lang": "de"},
+        {"id": 3, "text": "", "lang": "en"},  # empty → audited out
+    ]
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    return path
+
+
+def test_jsonl_ingest_to_index_to_query(ray_session, jsonl_corpus, tmp_path):
+    """JSONL (the LLM-data interchange format) → normalized parquet
+    corpus → index → query, sharing the CSV path's normalizers/audit."""
+    import glob
+
+    from informationretrieval_en_people_cn_ray.sources.jsonl_ingest import (
+        ingest_jsonl_corpus,
+    )
+    from informationretrieval_en_people_cn_ray.pipelines.build import (
+        BuildConfig,
+        build_index,
+    )
+    from informationretrieval_en_people_cn_ray.pipelines.search import (
+        SearchEngine,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    ingest_jsonl_corpus(
+        jsonl_corpus,
+        corpus,
+        column_map={"id": "doc_key", "text": "content", "lang": "lang"},
+    )
+    t = pa.concat_tables(
+        [pq.read_table(f) for f in sorted(glob.glob(corpus + "/*.parquet"))]
+    )
+    texts = dict(zip(t["doc_key"].to_pylist(), t["content"].to_pylist()))
+    assert texts[0] == "Tragic,event!with CJK punctuation"
+    assert texts[1] == "line breaks and returns here"
+    assert 3 not in texts and len(texts) == 3
+    assert set(t.column_names) == {"doc_key", "content", "lang"}
+
+    idx = str(tmp_path / "idx")
+    build_index(corpus, idx, BuildConfig(num_segments=2, docstat_partitions=1))
+    eng = SearchEngine(idx)
+    ids, _ = eng.search("running characters", k=5)
+    assert len(ids) == 1
+    assert len(eng.search("tragic AND event")) == 1
