@@ -676,6 +676,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_pipeline": lambda sf: dp.media_pipeline(sf),
         "dedup_spans": lambda sf: dp.dedup_spans(sf),
         "bpe_token_count": lambda sf: dp.bpe_token_count(sf),
+        "chunk_documents": lambda sf: dp.chunk_documents(sf),
         "rep_ngram_frac": lambda sf: dp.rep_ngram_frac(sf),
         "event_value_delta": lambda sf: dp.event_value_delta(sf),
         "embedding_pq_topk": lambda sf: dp.embedding_pq_topk(sf),
@@ -1608,6 +1609,20 @@ select doc_id, count(*)::bigint as n_grams,
          as rep_frac
 from g where gram is not null
 group by doc_id
+""",
+        "chunk_documents": f"""
+with {_TOK_CTE},
+lens as (select doc_id, max(pos) as n from tok group by doc_id),
+starts as (
+  select doc_id, unnest(range(0, n, {dp.CHUNK_STRIDE})) as start from lens
+)
+select s.doc_id, s.start // {dp.CHUNK_STRIDE} as chunk_idx,
+       count(*)::bigint as n_tokens,
+       string_agg(t.term, ' ' order by t.pos) as chunk_text
+from starts s
+join tok t on t.doc_id = s.doc_id
+  and t.pos > s.start and t.pos <= s.start + {dp.CHUNK_W}
+group by s.doc_id, s.start
 """,
         "bpe_token_count": f"""
 select doc_id,

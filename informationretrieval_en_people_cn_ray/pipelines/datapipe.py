@@ -4860,3 +4860,58 @@ def bpe_token_count(sf_dir: str):
     return read_documents(sf_dir, ["doc_id", "text", "n_chars"]).map_batches(
         f, batch_format="pyarrow"
     )
+
+
+CHUNK_W = 10  # tokens per chunk
+CHUNK_STRIDE = 5  # overlap = W - stride
+
+
+@unreserved
+def chunk_documents(
+    sf_dir: str, w: int = CHUNK_W, stride: int = CHUNK_STRIDE
+):
+    """(doc_id, chunk_idx, n_tokens, chunk_text) — sliding-window
+    document chunking with provenance (the RAG / context-window prep
+    step): windows of ``w`` tokens starting every ``stride`` tokens
+    (trailing partial windows included), chunk_idx dense per doc.
+    Zero-token docs produce no chunks.
+
+    Pure per-document transform → zero shuffle, one map_batches; at
+    100 TB the output streams straight to a partitioned sink (each chunk
+    row carries its provenance, so downstream embedding/dedup stages
+    never need the source doc again)."""
+    if stride < 1 or w < 1:
+        raise ValueError("w and stride must be >= 1")
+
+    def f(batch: pa.Table) -> pa.Table:
+        from ..text import tokenize_batch
+
+        lens, toks = tokenize_batch(batch["text"].to_pylist())
+        toks = toks.to_pylist()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_doc: list[int] = []
+        out_idx: list[int] = []
+        out_n: list[int] = []
+        out_txt: list[str] = []
+        off = 0
+        for did, n in zip(ids.tolist(), lens):
+            end = off + n
+            for ci, s in enumerate(range(0, n, stride)):
+                piece = toks[off + s : min(off + s + w, end)]
+                out_doc.append(did)
+                out_idx.append(ci)
+                out_n.append(len(piece))
+                out_txt.append(" ".join(piece))
+            off = end
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "chunk_idx": pa.array(out_idx, pa.int64()),
+                "n_tokens": pa.array(out_n, pa.int64()),
+                "chunk_text": pa.array(out_txt, pa.string()),
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )

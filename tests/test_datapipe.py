@@ -1666,3 +1666,24 @@ def test_embedding_pq_recall(ray_session):
     assert a.values.tolist() == b.values.tolist()  # deterministic
     recall = len(set(a["vec_id"]) & exact_ids) / 10.0
     assert recall >= 0.6, (recall, sorted(a["vec_id"]), sorted(exact_ids))
+
+
+def test_chunk_documents_planted(ray_session, span_dir):
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    t = (
+        dp._to_table(dp.chunk_documents(span_dir))
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+    )
+    # doc 3: 12 tokens, w=10 stride=5 → windows at 0 (10 toks),
+    # 5 (7 toks), 10 (2 toks)
+    d3 = t[t.doc_id == 3]
+    assert d3["n_tokens"].tolist() == [10, 7, 2]
+    assert d3["chunk_text"].iloc[0] == "x1 x2 x3 x4 x5 x1 x2 x3 x4 x5"
+    assert d3["chunk_text"].iloc[2] == "x1 x2"
+    # overlap: window 1 starts at token 6 (1-based), i.e. index 5
+    assert d3["chunk_text"].iloc[1].startswith("x1 x2 x3 x4 x5 x1 x2")
+    # doc 4: 3 tokens → one partial window
+    d4 = t[t.doc_id == 4]
+    assert d4["chunk_text"].tolist() == ["tail one two"]

@@ -68,6 +68,7 @@ DOC_OPS = [
     "type_token_ratio", "lang_source_rollup", "poisson_sample",
     # round-4 additions
     "dedup_spans", "rep_ngram_frac", "bpe_token_count",
+    "chunk_documents",
 ]
 
 
