@@ -627,6 +627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": lambda sf: dp.kmeans_clusters(sf),
         "group_adjacency": lambda sf: dp.group_adjacency(sf),
         "broadcast_join": lambda sf: dp.broadcast_join_events_customers(sf),
+        "hash_join": lambda sf: dp.hash_join_orders_customers(sf),
         "hash_sample": lambda sf: dp.hash_sample_documents(sf),
         "events_window": lambda sf: dp.events_tumbling_window(sf),
         "events_sliding_window": lambda sf: dp.events_sliding_window(sf),
@@ -1609,6 +1610,11 @@ select doc_id, count(*)::bigint as n_grams,
          as rep_frac
 from g where gram is not null
 group by doc_id
+""",
+        "hash_join": """
+select o.o_orderkey, o.o_custkey, c.c_name,
+       round(o.o_totalprice * 100)::bigint as price_cents
+from orders o join customer c on c.c_custkey = o.o_custkey
 """,
         "chunk_documents": f"""
 with {_TOK_CTE},

@@ -4915,3 +4915,94 @@ def chunk_documents(
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         f, batch_format="pyarrow"
     )
+
+
+@unreserved
+def hash_join_orders_customers(sf_dir: str):
+    """(o_orderkey, o_custkey, c_name, price_cents) — large×large
+    SHUFFLE hash equi-join (completes the join family: broadcast join
+    covers small dimensions, semi/anti cover existence, asof/range cover
+    inequality; this is the both-sides-big inner join). Both sides are
+    tagged and hash-partitioned by the key in ONE ``groupby``; each
+    group joins locally (vectorized searchsorted of probe keys into the
+    few build rows). Partitioning assumption: one key's rows fit a task
+    — salt hot keys into sub-partitions when they don't (the same
+    skew treatment as the by_time variants). Price in exact integer
+    cents so values are bit-stable under any order."""
+
+    def o_rows(batch: pa.Table) -> pa.Table:
+        price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": batch["o_custkey"].cast(pa.int64()),
+                "orderkey": batch["o_orderkey"].cast(pa.int64()),
+                "cents": pa.array(
+                    np.round(price * 100).astype(np.int64), pa.int64()
+                ),
+                "name": pa.array([""] * batch.num_rows, pa.string()),
+                "side": pa.array(
+                    np.zeros(batch.num_rows, np.int8), pa.int8()
+                ),
+            }
+        )
+
+    def c_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": batch["c_custkey"].cast(pa.int64()),
+                "orderkey": pa.array(
+                    np.zeros(batch.num_rows, np.int64), pa.int64()
+                ),
+                "cents": pa.array(
+                    np.zeros(batch.num_rows, np.int64), pa.int64()
+                ),
+                "name": batch["c_name"],
+                "side": pa.array(np.ones(batch.num_rows, np.int8), pa.int8()),
+            }
+        )
+
+    def join_group(group: pa.Table) -> pa.Table:
+        group = group.combine_chunks()
+        side = group["side"].to_numpy(zero_copy_only=False)
+        build = group.filter(pa.array(side == 1))
+        probe = group.filter(pa.array(side == 0))
+        if build.num_rows == 0 or probe.num_rows == 0:
+            return pa.table(
+                {
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "o_custkey": pa.array([], pa.int64()),
+                    "c_name": pa.array([], pa.string()),
+                    "price_cents": pa.array([], pa.int64()),
+                }
+            )
+        # duplicate build keys emit the per-key cartesian product, the
+        # inner-join semantics (one row per customer here, so output is
+        # orders-sized)
+        parts = [
+            pa.table(
+                {
+                    "o_orderkey": probe["orderkey"],
+                    "o_custkey": probe["key"],
+                    "c_name": pa.array(
+                        [build["name"][i].as_py()] * probe.num_rows,
+                        pa.string(),
+                    ),
+                    "price_cents": probe["cents"],
+                }
+            )
+            for i in range(build.num_rows)
+        ]
+        return pa.concat_tables(parts)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).map_batches(o_rows, batch_format="pyarrow")
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).map_batches(c_rows, batch_format="pyarrow")
+    return (
+        orders.union(cust)
+        .groupby("key")
+        .map_groups(join_group, batch_format="pyarrow")
+    )

@@ -1687,3 +1687,53 @@ def test_chunk_documents_planted(ray_session, span_dir):
     # doc 4: 3 tokens → one partial window
     d4 = t[t.doc_id == 4]
     assert d4["chunk_text"].tolist() == ["tail one two"]
+
+
+def test_hash_join_duplicate_build_keys(ray_session, tmp_path):
+    """Duplicate keys on BOTH sides emit the per-key cartesian product
+    (inner-join semantics), and unmatched keys on either side drop."""
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+                "o_custkey": pa.array([7, 7, 8, 9], pa.int64()),
+                "o_totalprice": pa.array([1.5, 2.25, 3.0, 4.0], pa.float64()),
+            }
+        ),
+        os.path.join(d, "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([7, 7, 8, 10], pa.int64()),
+                "c_name": pa.array(["a", "b", "c", "d"], pa.string()),
+            }
+        ),
+        os.path.join(d, "customer.parquet"),
+    )
+    got = (
+        dp._to_table(dp.hash_join_orders_customers(d))
+        .to_pandas()
+        .sort_values(["o_orderkey", "c_name"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    for t in ["orders", "customer"]:
+        con.execute(f"create view {t} as select * from '{d}/{t}.parquet'")
+    exp = (
+        con.sql(
+            """select o.o_orderkey, o.o_custkey, c.c_name,
+                      round(o.o_totalprice*100)::bigint as price_cents
+               from orders o join customer c on c.c_custkey = o.o_custkey
+               order by o_orderkey, c_name"""
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    assert got.values.tolist() == exp.values.tolist()
+    # key 7 matched twice per order; keys 9 (no customer) and 10 (no
+    # order) dropped
+    assert len(got) == 5
