@@ -71,6 +71,25 @@ def _cmd_index(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_append(args: argparse.Namespace) -> int:
+    from .pipelines.merge import extend_generation, maybe_compact
+
+    _ensure_ray(args.num_cpus)
+    gens = extend_generation(
+        args.index_dirs.split(","), args.delta_corpus, args.delta_dir
+    )
+    compacted = False
+    if args.compact_at and len(gens) >= args.compact_at:
+        if not args.compact_out:
+            print("--compact-at needs --compact-out", file=sys.stderr)
+            return 2
+        gens, compacted = maybe_compact(
+            gens, args.compact_out, max_generations=args.compact_at
+        )
+    print(json.dumps({"generations": gens, "compacted": compacted}))
+    return 0
+
+
 def _cmd_check(args: argparse.Namespace) -> int:
     from .pipelines.fsck import check_generations, check_index
 
@@ -294,6 +313,24 @@ def main(argv: list[str] | None = None) -> int:
     pd.add_argument("index_dir")
     pd.add_argument("doc_ids", help="comma-separated doc ids")
     pd.set_defaults(fn=_cmd_delete)
+
+    pa_ = sub.add_parser(
+        "append",
+        help="append a delta generation WITHOUT merging (tiered pattern)",
+    )
+    pa_.add_argument(
+        "index_dirs", help="current generation list (comma-separated)"
+    )
+    pa_.add_argument("delta_corpus")
+    pa_.add_argument("delta_dir")
+    pa_.add_argument(
+        "--compact-at",
+        type=int,
+        default=0,
+        help="compact into --compact-out when the list reaches N",
+    )
+    pa_.add_argument("--compact-out")
+    pa_.set_defaults(fn=_cmd_append)
 
     pk = sub.add_parser("check", help="index integrity check (fsck)")
     pk.add_argument("index_dir")

@@ -645,3 +645,22 @@ def extend_generation(
     config = replace(config, doc_id_base=base, doc_id_column=None)
     build_index(delta_corpus, delta_dir, config)
     return parents + [delta_dir]
+
+
+def maybe_compact(
+    generation_dirs: list[str],
+    out_dir: str,
+    max_generations: int = 4,
+) -> tuple[list[str], bool]:
+    """Tiered-merge POLICY step: compact the generation list into
+    ``out_dir`` once it reaches ``max_generations``, else leave it
+    untouched. Returns (serving list, compacted?) — the serving list is
+    either the input generations or ``[out_dir]``. Each append between
+    compactions costs only its delta build; the compaction itself is the
+    byte-level ``merge_indexes`` (decode-free unless tombstones force
+    filtering), so the amortized write cost per document stays
+    O(log-ish) like Lucene's tiered policy."""
+    if len(generation_dirs) < max_generations:
+        return list(generation_dirs), False
+    merge_indexes(list(generation_dirs), out_dir)
+    return [out_dir], True

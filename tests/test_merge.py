@@ -882,3 +882,48 @@ def test_reader_never_sees_torn_state_during_compaction(
         r = ec.search(q, k=None)
         got = (r[0] if isinstance(r, tuple) else r).tolist()
         assert got == expected_c[q], q
+
+
+def test_maybe_compact_policy_and_cli_append(ray_session, dirs, tmp_path, capsys):
+    """Tiered policy: appends stay cheap until the generation count hits
+    the threshold, then one compaction serves from a single index that
+    answers queries identically to the generation list."""
+    import json as _json
+
+    from informationretrieval_en_people_cn_ray.__main__ import main
+    from informationretrieval_en_people_cn_ray.pipelines.merge import (
+        maybe_compact,
+    )
+    from informationretrieval_en_people_cn_ray.pipelines.search import (
+        SearchEngine,
+    )
+
+    gens = [dirs["a_i"], dirs["delta_i"]]
+    assert maybe_compact(gens, str(tmp_path / "never"), 4) == (gens, False)
+    assert not os.path.exists(str(tmp_path / "never"))
+
+    cdir = str(tmp_path / "c_corpus")
+    os.makedirs(cdir)
+    pq.write_table(
+        generate_corpus(10, seed=SEED, start=N_A + N_B),
+        os.path.join(cdir, "part-00000.parquet"),
+    )
+    rc = main(
+        [
+            "append", ",".join(gens), cdir, str(tmp_path / "gen_c"),
+            "--compact-at", "3", "--compact-out", str(tmp_path / "compacted"),
+        ]
+    )
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip())
+    assert out["compacted"] and out["generations"] == [
+        str(tmp_path / "compacted")
+    ]
+    before = SearchEngine(gens + [str(tmp_path / "gen_c")], mode="local")
+    after = SearchEngine(out["generations"][0], mode="local")
+    for q in ["data value", "the AND data"]:
+        a, b = before.search(q, k=10), after.search(q, k=10)
+        if isinstance(a, tuple):
+            assert [int(x) for x in a[0]] == [int(x) for x in b[0]]
+        else:
+            assert a.tolist() == b.tolist()
