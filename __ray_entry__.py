@@ -678,6 +678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_spans": lambda sf: dp.dedup_spans(sf),
         "bpe_token_count": lambda sf: dp.bpe_token_count(sf),
         "chunk_documents": lambda sf: dp.chunk_documents(sf),
+        "chunk_then_embed_topk": lambda sf: dp.chunk_then_embed_topk(sf),
         "rep_ngram_frac": lambda sf: dp.rep_ngram_frac(sf),
         "event_value_delta": lambda sf: dp.event_value_delta(sf),
         "embedding_pq_topk": lambda sf: dp.embedding_pq_topk(sf),

@@ -5006,3 +5006,67 @@ def hash_join_orders_customers(sf_dir: str):
         .groupby("key")
         .map_groups(join_group, batch_format="pyarrow")
     )
+
+
+@unreserved
+def chunk_then_embed_topk(sf_dir: str, k: int = 20, dim: int = 32):
+    """(doc_id, chunk_idx, cos) — the RAG retrieval composition end to
+    end as ONE streaming pipeline: sliding-window chunking →
+    per-chunk hashing-embedding → brute-force cosine top-k against
+    doc 0's first chunk (broadcast once, per-batch partial top-k). Each
+    hit carries (doc, chunk) provenance — the unit a context window
+    actually consumes. Model scoring → no SQL oracle; gated by
+    determinism + self-hit pytest."""
+    import pyarrow.parquet as pqt
+
+    from ..stages.embedder import HashingEmbedder
+
+    docs = pqt.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    i0 = docs["doc_id"].to_pylist().index(0)
+    t0 = docs["text"][i0].as_py()
+    first_chunk = " ".join(tokenize(t0)[:CHUNK_W])
+    q = HashingEmbedder(dim=dim).embed([first_chunk])[0]
+    q_ref = ray.put(q)
+
+    def score(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        emb = HashingEmbedder(dim=len(qv)).embed(
+            batch["chunk_text"].to_pylist()
+        )
+        cos = emb @ qv
+        ids = batch["doc_id"].to_numpy()
+        cidx = batch["chunk_idx"].to_numpy()
+        if len(cos) > k:
+            sel = np.lexsort((cidx, ids, -cos))[:k]
+            cos, ids, cidx = cos[sel], ids[sel], cidx[sel]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "chunk_idx": pa.array(cidx, pa.int64()),
+                "cos": pa.array(cos, pa.float64()),
+            }
+        )
+
+    t = _to_table(
+        chunk_documents(sf_dir).map_batches(score, batch_format="pyarrow")
+    )
+    order = np.lexsort(
+        (
+            t["chunk_idx"].to_numpy(),
+            t["doc_id"].to_numpy(),
+            -t["cos"].to_numpy(),
+        )
+    )[:k]
+    t = t.take(pa.array(order))
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "chunk_idx": t["chunk_idx"],
+            "cos": pa.array(
+                [round4(float(x)) for x in t["cos"].to_pylist()],
+                pa.float64(),
+            ),
+        }
+    )

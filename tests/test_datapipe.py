@@ -1737,3 +1737,16 @@ def test_hash_join_duplicate_build_keys(ray_session, tmp_path):
     # key 7 matched twice per order; keys 9 (no customer) and 10 (no
     # order) dropped
     assert len(got) == 5
+
+
+def test_chunk_then_embed_topk_self_hit(ray_session):
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    sf = "/root/testdata/sf0.001"
+    a = dp.chunk_then_embed_topk(sf, k=10).to_pandas()
+    b = dp.chunk_then_embed_topk(sf, k=10).to_pandas()
+    assert a.values.tolist() == b.values.tolist()  # deterministic
+    # the query IS doc 0's first chunk → it must be the top hit at cos≈1
+    assert (int(a.iloc[0]["doc_id"]), int(a.iloc[0]["chunk_idx"])) == (0, 0)
+    assert a.iloc[0]["cos"] == pytest.approx(1.0, abs=1e-4)
+    assert (a["cos"].diff()[1:] <= 1e-12).all()  # descending scores
