@@ -4696,6 +4696,9 @@ def _pq_train(sf_dir: str, m: int, ksub: int, iters: int):
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
+    # degenerate corpora: fewer sample rows than centroids → shrink the
+    # codebook (codes/luts size with it; ADC stays exact)
+    ksub = max(1, min(ksub, X.shape[0]))
     books = np.empty((m, ksub, sub), np.float64)
     for j in range(m):
         Xj = X[:, j * sub : (j + 1) * sub]

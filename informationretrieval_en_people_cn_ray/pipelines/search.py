@@ -1110,7 +1110,8 @@ class SearchEngine:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         cand = np.unique(np.concatenate(arrs))
         if allowed is not None:
-            cand = np.intersect1d(cand, allowed, assume_unique=True)
+            # not assume_unique: callers may pass raw (duplicated) id lists
+            cand = np.intersect1d(cand, np.asarray(allowed, np.int64))
             if not cand.size:
                 return np.empty(0, np.int64), np.empty(0, np.float64)
         scores = np.zeros(len(cand), dtype=np.float64)
