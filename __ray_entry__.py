@@ -30,6 +30,7 @@ from informationretrieval_en_people_cn_ray.pipelines.build import (
     build_index,
 )
 from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+from informationretrieval_en_people_cn_ray.pipelines import relational as rel
 from informationretrieval_en_people_cn_ray.text import TOKEN_SQL
 
 CACHE_ROOT = "/tmp/irpc_index_cache"
@@ -43,6 +44,10 @@ PHRASE_PREFIX = "part fil"  # leading word + prefix of 'filter'
 PREFIX = "fil"
 SAMPLE_TERMS = ["scan", "join", "order", "merge", "filter"]
 BM25_K = 20
+# more_like_this: seed doc, #tf-idf query terms drawn from it, result k
+MLT_SEED = 7
+MLT_TERMS = 5
+MLT_K = 10
 
 _TOK = TOKEN_SQL.format(col="text")
 _TOK_CTE = f"""
@@ -106,6 +111,62 @@ def _q_bm25(sf_dir: str) -> pa.Table:
     eng = _engine(sf_dir)
     ids, scores = eng.search(Q_TEXT, k=BM25_K, scorer="bm25")
     return _ranked_table(ids, scores)
+
+
+def _q_more_like_this(sf_dir: str) -> pa.Table:
+    """Relevance-feedback retrieval ("find documents like this one"):
+    the seed document's top-``MLT_TERMS`` tf·idf terms (tf from the doc,
+    df from the index DICTIONARY — no posting decode; ties term-asc)
+    become an OR-BM25 query; the seed itself is excluded from the
+    ranking. Exact SQL oracle (the same computed-term CTE feeds the
+    shared BM25 body)."""
+    import math
+
+    from informationretrieval_en_people_cn_ray.text import (
+        MAX_STEM_LEN,
+        MIN_STEM_LEN,
+    )
+
+    eng = _engine(sf_dir)
+    import pyarrow.dataset as pads
+
+    seed = pads.dataset(os.path.join(sf_dir, "documents.parquet")).to_table(
+        columns=["text"], filter=pads.field("doc_id") == MLT_SEED
+    )
+    text = seed["text"][0].as_py()
+    tf: dict[str, int] = {}
+    for w in eng.az.tokens(text):
+        t = eng.az.term(w)
+        if MIN_STEM_LEN <= len(t) <= MAX_STEM_LEN:
+            tf[t] = tf.get(t, 0) + 1
+    scored = []
+    for t, f in tf.items():
+        meta = eng.local.term_meta(t)
+        if meta is not None:
+            scored.append((-f * math.log(eng.N / meta[0]), t))
+    scored.sort()
+    terms = [t for _, t in scored[:MLT_TERMS]]
+    ids, scores = eng.search(" ".join(terms), k=None, scorer="bm25")
+    keep = ids != MLT_SEED
+    return _ranked_table(ids[keep][:MLT_K], scores[keep][:MLT_K])
+
+
+def _mlt_sql() -> str:
+    qt = f"""qt as (
+  select s.term
+  from (select term, count(*) as tf from tok
+        where doc_id = {MLT_SEED}
+          and length(term) > 1 and length(term) <= 128
+        group by term) s
+  join (select term, count(distinct doc_id) as df from tok
+        group by term) d on d.term = s.term
+  order by s.tf * ln((select count(*) from documents)::double / d.df)
+             desc, s.term
+  limit {MLT_TERMS}
+)"""
+    return _bm25_sql(
+        qt_sql=qt, where=f"where f.doc_id <> {MLT_SEED}", k=MLT_K
+    )
 
 
 def _q_bm25_by_range(sf_dir: str) -> pa.Table:
@@ -682,6 +743,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rep_ngram_frac": lambda sf: dp.rep_ngram_frac(sf),
         "event_value_delta": lambda sf: dp.event_value_delta(sf),
         "embedding_pq_topk": lambda sf: dp.embedding_pq_topk(sf),
+        "more_like_this": _q_more_like_this,
+        # relational analytics (TPC-H-shaped scan/join/aggregate)
+        "pricing_summary": lambda sf: rel.pricing_summary(sf),
+        "top_revenue_orders": lambda sf: rel.top_revenue_orders(sf),
+        "revenue_by_nation": lambda sf: rel.revenue_by_nation(sf),
+        # per-group statistics + char-level quality signal
+        "mode_event_type": lambda sf: dp.mode_event_type(sf),
+        "group_quantiles": lambda sf: dp.group_quantiles(sf),
+        "char_entropy": lambda sf: dp.char_entropy(sf),
     }
 
 
@@ -689,8 +759,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # DuckDB oracles
 
 
-def _bm25_sql(extra_join: str = "") -> str:
+def _bm25_sql(
+    extra_join: str = "",
+    qt_sql: str | None = None,
+    where: str = "",
+    k: int | None = None,
+) -> str:
+    """OR-BM25 oracle body. ``qt_sql`` overrides the fixed query-term
+    VALUES list with a computed CTE body (more_like_this); ``where``
+    injects a predicate on the scored rows (seed-doc exclusion)."""
     vals = ", ".join(f"('{t}')" for t in Q_TERMS)
+    qt = qt_sql if qt_sql is not None else f"qt(term) as (values {vals})"
     return f"""
 with {_TOK_CTE},
 dl as (
@@ -700,7 +779,7 @@ stats as (
   select (select count(*) from documents) as n,
          (select sum(dl) from dl) as c
 ),
-qt(term) as (values {vals}),
+{qt},
 tstats as (
   select k.term, count(distinct k.doc_id) as df
   from tok k join qt on k.term = qt.term group by k.term
@@ -720,12 +799,13 @@ join tstats t on f.term = t.term
 join dl d on f.doc_id = d.doc_id
 {extra_join}
 cross join stats s
+{where}
 group by f.doc_id
 order by sum(
   ln(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))
   * f.tf * 2.5 / (f.tf + 1.5 * (0.25 + 0.75 * d.dl / (s.c::double / s.n)))
 ) desc, f.doc_id
-limit {BM25_K}
+limit {BM25_K if k is None else k}
 """
 
 
@@ -1649,6 +1729,89 @@ select event_id, user_id,
 from events
 qualify lag(value) over
           (partition by user_id order by ts, event_id) is not null
+""",
+        "more_like_this": _mlt_sql(),
+        "pricing_summary": f"""
+with l as (
+  select l_returnflag, l_linestatus,
+         floor(l_quantity * 100 + 0.5)::bigint as qty_c,
+         floor(l_extendedprice * 100 + 0.5)::bigint as price_c,
+         floor(l_discount * 10000 + 0.5)::bigint as disc_bp
+  from lineitem
+  where l_shipdate <= timestamp '{rel.PRICING_CUTOFF}'
+)
+select l_returnflag, l_linestatus,
+  round(sum(qty_c) / 100.0, 4) as sum_qty,
+  round(sum(price_c) / 100.0, 4) as sum_base_price,
+  round(sum(price_c * (10000 - disc_bp)) / 1000000.0, 4) as sum_disc_price,
+  round(sum(qty_c)::double / (100 * count(*)), 4) as avg_qty,
+  round(sum(price_c)::double / (100 * count(*)), 4) as avg_price,
+  round(sum(disc_bp)::double / (10000 * count(*)), 4) as avg_disc,
+  count(*)::bigint as count_order
+from l
+group by l_returnflag, l_linestatus
+order by l_returnflag, l_linestatus
+""",
+        "top_revenue_orders": f"""
+select o.o_orderkey,
+  round(sum(floor(l.l_extendedprice * 100 + 0.5)::bigint
+            * (10000 - floor(l.l_discount * 10000 + 0.5)::bigint))
+        / 1000000.0, 4) as revenue,
+  epoch_us(o.o_orderdate) as odate_us,
+  o.o_orderpriority
+from customer c
+join orders o on o.o_custkey = c.c_custkey
+join lineitem l on l.l_orderkey = o.o_orderkey
+where c.c_mktsegment = '{rel.Q3_SEGMENT}'
+  and o.o_orderdate < timestamp '{rel.Q3_DATE}'
+  and l.l_shipdate > timestamp '{rel.Q3_DATE}'
+group by o.o_orderkey, o.o_orderdate, o.o_orderpriority
+order by sum(floor(l.l_extendedprice * 100 + 0.5)::bigint
+             * (10000 - floor(l.l_discount * 10000 + 0.5)::bigint)) desc,
+         o.o_orderkey
+limit {rel.Q3_TOPN}
+""",
+        "revenue_by_nation": f"""
+with rev as (
+  select l_orderkey,
+         sum(floor(l_extendedprice * 100 + 0.5)::bigint
+             * (10000 - floor(l_discount * 10000 + 0.5)::bigint)) as rev_e6
+  from lineitem group by l_orderkey
+)
+select n.n_name, round(sum(r.rev_e6) / 1000000.0, 4) as revenue
+from rev r
+join orders o on o.o_orderkey = r.l_orderkey
+join customer c on c.c_custkey = o.o_custkey
+join nation n on n.n_nationkey = c.c_nationkey
+where o.o_orderdate >= timestamp '{rel.Q5_LO}'
+  and o.o_orderdate < timestamp '{rel.Q5_HI}'
+group by n.n_name
+""",
+        "mode_event_type": """
+with c as (
+  select user_id, event_type, count(*)::bigint as n
+  from events group by user_id, event_type
+)
+select user_id, event_type as mode_type, n as n_events
+from c
+qualify row_number() over (
+  partition by user_id order by n desc, event_type
+) = 1
+""",
+        "group_quantiles": """
+select event_type,
+  round(quantile_cont(value, 0.25), 4) as p25,
+  round(quantile_cont(value, 0.50), 4) as p50,
+  round(quantile_cont(value, 0.75), 4) as p75,
+  round(quantile_cont(value, 0.95), 4) as p95
+from events group by event_type
+""",
+        "char_entropy": """
+select doc_id, round(entropy(c), 4) as h
+from (
+  select doc_id, unnest(string_split(text, '')) as c from documents
+)
+group by doc_id
 """,
         # rows-only (bloom_semi_join is approximate: one-sided error,
         # FP-rate pytest-gated) (approximate / stateful / stemmer-dependent):

@@ -5073,3 +5073,183 @@ def chunk_then_embed_topk(sf_dir: str, k: int = 20, dim: int = 32):
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# per-group statistics (mode / exact quantiles)
+
+MODE_BUCKETS = 64
+
+
+@unreserved
+def mode_event_type(sf_dir: str):
+    """(user_id, mode_type, n_events) — each user's most frequent event
+    type (ties broken by lexicographically smallest type — fully
+    deterministic, exact SQL oracle).
+
+    Count-then-argmax in two shuffles, both count-sized: per-batch
+    partial (user, type) counts (pandas C groupby) feed one
+    ``groupby([user, type]).Sum``; the per-user argmax then groups by
+    ``user_id % MODE_BUCKETS`` — a BUCKETED reduce, so one task handles
+    a hash range of users with a single vectorized sort + first-per-key
+    (never a per-user ``map_groups`` call). At 100 TB the shuffle
+    payload is bounded by distinct (user, type) pairs, not events."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+                "event_type": batch["event_type"].to_numpy(
+                    zero_copy_only=False
+                ),
+            }
+        )
+        g = (
+            df.groupby(["user_id", "event_type"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    g["user_id"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "event_type": pa.array(
+                    g["event_type"].tolist(), pa.string()
+                ),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "bucket", pa.array(u % MODE_BUCKETS, pa.int64())
+        )
+
+    def argmax_bucket(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        df = df.sort_values(
+            ["user_id", "n", "event_type"], ascending=[True, False, True]
+        ).drop_duplicates("user_id")
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    df["user_id"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "mode_type": pa.array(df["event_type"].tolist(), pa.string()),
+                "n_events": pa.array(
+                    df["n"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return (
+        counts.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(argmax_bucket, batch_format="pyarrow")
+        .select_columns(["user_id", "mode_type", "n_events"])
+    )
+
+
+GROUP_QUANTILES = (0.25, 0.5, 0.75, 0.95)
+
+
+@unreserved
+def group_quantiles(sf_dir: str):
+    """(event_type, p25, p50, p75, p95) — EXACT per-group value
+    quantiles (linear interpolation == DuckDB ``quantile_cont``).
+
+    One ``groupby(event_type)`` shuffle; each group's values sort in
+    one task. That is the right shape for LOW-CARDINALITY group domains
+    (here ≤ ~10 event types — each group is input/|domain| and the
+    task count equals the domain); for high-cardinality keys or groups
+    that exceed one task, ``value_quantiles_binned`` is this library's
+    bounded-error streaming path (binned histogram, no per-group
+    sort)."""
+
+    def qrow(group: pa.Table) -> pa.Table:
+        v = np.sort(group["value"].to_numpy(zero_copy_only=False))
+        out: dict[str, pa.Array] = {
+            "event_type": pa.array([group["event_type"][0].as_py()])
+        }
+        for q in GROUP_QUANTILES:
+            out[f"p{int(q * 100)}"] = pa.array(
+                [round4(float(np.quantile(v, q)))], pa.float64()
+            )
+        return pa.table(out)
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        )
+        .groupby("event_type")
+        .map_groups(qrow, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# character-level entropy (quality signal)
+
+_CP_SPACE = 0x110000  # codepoint domain bound for the (doc, char) key
+
+
+@unreserved
+def char_entropy(sf_dir: str):
+    """(doc_id, h) — per-document Shannon entropy (bits) of the
+    CHARACTER distribution, the classic gibberish/boilerplate quality
+    signal (low entropy = repeated filler, high = random noise).
+
+    Fully vectorized, zero Python per row: the batch's texts join into
+    ONE UTF-32 buffer (`np.frombuffer` → codepoint array), per-doc
+    membership comes from `np.repeat` over lengths, and per-(doc, char)
+    counts from a single `np.unique` on the composite key
+    ``doc_idx·0x110000 + codepoint``; entropies reduce per doc with
+    `np.bincount(weights=-p·log2 p)`. Pure map — no shuffle; parity
+    with DuckDB's ``entropy()`` over ``string_split(text, '')`` (both
+    count CODEPOINTS on this corpus; combining-character grapheme
+    clusters would need a normalization pass first, documented here).
+    Empty docs score 0.0 (DuckDB's split of '' yields one '' element
+    whose singleton distribution has zero entropy)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        n = len(texts)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.fromiter((len(t) for t in texts), np.int64, count=n)
+        h = np.zeros(n, np.float64)
+        nz = lens > 0
+        if nz.any():
+            cps = np.frombuffer(
+                "".join(texts).encode("utf-32-le"), dtype="<u4"
+            ).astype(np.int64)
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+            uk, cnt = np.unique(
+                doc_idx * _CP_SPACE + cps, return_counts=True
+            )
+            gid = uk // _CP_SPACE
+            p = cnt / lens[gid]
+            h = np.bincount(
+                gid, weights=-p * np.log2(p), minlength=n
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "h": pa.array([round4(float(x)) for x in h], pa.float64()),
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )

@@ -1,0 +1,561 @@
+"""Relational analytics pipelines over the TPC-H-shaped tables
+(``lineitem`` / ``orders`` / ``customer`` / ``nation``) — the classic
+scan→join→aggregate workloads a general data-processing engine must
+run beside the fulltext/dedup surface, each expressed Ray-Data-first:
+
+- money/discount values are carried as EXACT integers (cents / basis
+  points, half-up rounded the way DuckDB's ``round`` does it), so every
+  sum is order-independent and each op has a bit-stable ANSI-SQL oracle;
+- aggregations pre-combine inside ``map_batches`` (per-batch partial
+  sums over the batch's distinct keys) before any shuffle;
+- big×big equi-joins hash-BUCKET both sides (``key % N_BUCKETS``) and
+  union them into ONE ``groupby(bucket)`` shuffle; inside a bucket the
+  join is a vectorized ``searchsorted`` probe into the (unique-keyed)
+  build side — never a per-key ``map_groups`` call and never a
+  broadcast of an unbounded side;
+- tiny dimensions (``nation``, ≤ a few hundred rows) are resolved
+  driver-side after the final output-sized aggregate.
+
+Scale notes (100 TB): the bucket count bounds the largest single task
+at |input| / N_BUCKETS rows of the densest key range — raise
+``N_BUCKETS`` with cluster size (it only changes task granularity, not
+results). Integer cent/bp sums stay inside int64 through ~10^18 —
+about SF 10 000 for the e6-scaled revenue terms; past that the same
+pipelines would carry decimal128 Arrow columns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..datactx import unreserved
+from .datapipe import _to_table, round4
+
+# Fixed pipeline constants — shared with the SQL oracles in
+# __ray_entry__.py (change together or the driver's value-hash breaks).
+PRICING_CUTOFF = "1998-09-02"
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1998-06-01"
+Q3_TOPN = 10
+Q5_LO = "1997-01-01"
+Q5_HI = "1998-01-01"
+N_BUCKETS = 64
+
+
+def _cents(x: np.ndarray) -> np.ndarray:
+    """value → integer cents, half-up — matches DuckDB
+    ``floor(x*100 + 0.5)::bigint`` bit for bit (inputs are positive)."""
+    return np.floor(x * 100.0 + 0.5).astype(np.int64)
+
+
+def _bp(x: np.ndarray) -> np.ndarray:
+    """rate → integer basis points (×10 000), half-up."""
+    return np.floor(x * 10000.0 + 0.5).astype(np.int64)
+
+
+def _rev_e6(price: np.ndarray, disc: np.ndarray) -> np.ndarray:
+    """extendedprice×(1−discount) as an exact integer in 1e-6 dollars."""
+    return _cents(price) * (10000 - _bp(disc))
+
+
+def _ts_us(col: pa.ChunkedArray) -> np.ndarray:
+    return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def _us(date_str: str) -> int:
+    return int(np.datetime64(date_str, "us").astype(np.int64))
+
+
+# ---------------------------------------------------------------------------
+# Q1-style pricing summary (pure aggregate, no join)
+
+
+@unreserved
+def pricing_summary(sf_dir: str):
+    """(l_returnflag, l_linestatus, sum_qty, sum_base_price,
+    sum_disc_price, avg_qty, avg_price, avg_disc, count_order) — the
+    TPC-H Q1 shape: full-scan of ``lineitem`` with a ship-date cutoff,
+    grouped by the 6-value (returnflag, linestatus) domain.
+
+    One pruned-column scan; each batch collapses to ≤6 partial rows
+    (``np.add.at`` over exact integer cents/bp), so the ``groupby``
+    shuffle moves 6 rows per block regardless of input size — the
+    partial-aggregate pattern this library uses everywhere."""
+    cutoff = _us(PRICING_CUTOFF)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = _ts_us(batch["l_shipdate"])
+        m = ship <= cutoff
+        if not m.any():
+            return pa.table(
+                {
+                    "gk": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "qty_c": pa.array([], pa.int64()),
+                    "price_c": pa.array([], pa.int64()),
+                    "disc_e6": pa.array([], pa.int64()),
+                    "disc_bp": pa.array([], pa.int64()),
+                }
+            )
+        keep = pa.array(m)
+        flag = batch["l_returnflag"].filter(keep).to_numpy(zero_copy_only=False)
+        stat = batch["l_linestatus"].filter(keep).to_numpy(zero_copy_only=False)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)[m]
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)[m]
+        gk = np.char.add(
+            np.char.add(flag.astype("U4"), "|"), stat.astype("U4")
+        )
+        uk, inv = np.unique(gk, return_inverse=True)
+        cols = {
+            "n": np.ones(len(inv), np.int64),
+            "qty_c": _cents(qty),
+            "price_c": _cents(price),
+            "disc_e6": _rev_e6(price, disc),
+            "disc_bp": _bp(disc),
+        }
+        out: dict[str, pa.Array] = {"gk": pa.array(uk.tolist(), pa.string())}
+        for name, vals in cols.items():
+            s = np.zeros(len(uk), np.int64)
+            np.add.at(s, inv, vals)
+            out[name] = pa.array(s, pa.int64())
+        return pa.table(out)
+
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    ).map_batches(partial, batch_format="pyarrow")
+    agg = ds.groupby("gk").aggregate(
+        Sum("n", alias_name="n"),
+        Sum("qty_c", alias_name="qty_c"),
+        Sum("price_c", alias_name="price_c"),
+        Sum("disc_e6", alias_name="disc_e6"),
+        Sum("disc_bp", alias_name="disc_bp"),
+    )
+    t = _to_table(agg)  # ≤6 rows
+    if t.num_rows == 0:
+        return pa.table(
+            {
+                "l_returnflag": pa.array([], pa.string()),
+                "l_linestatus": pa.array([], pa.string()),
+                "sum_qty": pa.array([], pa.float64()),
+                "sum_base_price": pa.array([], pa.float64()),
+                "sum_disc_price": pa.array([], pa.float64()),
+                "avg_qty": pa.array([], pa.float64()),
+                "avg_price": pa.array([], pa.float64()),
+                "avg_disc": pa.array([], pa.float64()),
+                "count_order": pa.array([], pa.int64()),
+            }
+        )
+    gk = t["gk"].to_pylist()
+    n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    qty = t["qty_c"].to_numpy(zero_copy_only=False).astype(np.int64)
+    price = t["price_c"].to_numpy(zero_copy_only=False).astype(np.int64)
+    de6 = t["disc_e6"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dbp = t["disc_bp"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(np.array(gk))
+    return pa.table(
+        {
+            "l_returnflag": pa.array(
+                [gk[i].split("|")[0] for i in order], pa.string()
+            ),
+            "l_linestatus": pa.array(
+                [gk[i].split("|")[1] for i in order], pa.string()
+            ),
+            "sum_qty": pa.array(
+                [round4(qty[i] / 100.0) for i in order], pa.float64()
+            ),
+            "sum_base_price": pa.array(
+                [round4(price[i] / 100.0) for i in order], pa.float64()
+            ),
+            "sum_disc_price": pa.array(
+                [round4(de6[i] / 1000000.0) for i in order], pa.float64()
+            ),
+            "avg_qty": pa.array(
+                [round4(qty[i] / (100.0 * n[i])) for i in order], pa.float64()
+            ),
+            "avg_price": pa.array(
+                [round4(price[i] / (100.0 * n[i])) for i in order],
+                pa.float64(),
+            ),
+            "avg_disc": pa.array(
+                [round4(dbp[i] / (10000.0 * n[i])) for i in order],
+                pa.float64(),
+            ),
+            "count_order": pa.array([int(n[i]) for i in order], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# bucketed big×big join plumbing (shared by Q3/Q5 shapes)
+
+_JOIN_SCHEMA: list[tuple[str, pa.DataType]] = [
+    ("bucket", pa.int64()),
+    ("key", pa.int64()),
+    ("side", pa.int8()),
+    ("rev", pa.int64()),
+    ("aux", pa.int64()),
+    ("tag", pa.string()),
+]
+
+
+def _tagged(key: np.ndarray, side: int, rev=None, aux=None, tag=None):
+    """Build one bucket-tagged Arrow block in the shared join schema."""
+    n = len(key)
+    z = np.zeros(n, np.int64)
+    return pa.table(
+        {
+            "bucket": pa.array(key % N_BUCKETS, pa.int64()),
+            "key": pa.array(key, pa.int64()),
+            "side": pa.array(np.full(n, side, np.int8), pa.int8()),
+            "rev": pa.array(z if rev is None else rev, pa.int64()),
+            "aux": pa.array(z if aux is None else aux, pa.int64()),
+            "tag": (
+                pa.nulls(n, pa.string())
+                if tag is None
+                else pa.array(tag, pa.string())
+            ),
+        }
+    )
+
+
+def _empty_join_block() -> pa.Table:
+    return pa.table(
+        {name: pa.array([], typ) for name, typ in _JOIN_SCHEMA}
+    )
+
+
+def _split_sides(group: pa.Table):
+    """(probe, build) halves of one bucket group, build keys sorted
+    unique with a searchsorted probe→build row mapping."""
+    group = group.combine_chunks()
+    side = group["side"].to_numpy(zero_copy_only=False)
+    bmask = side == 1
+    build = group.filter(pa.array(bmask))
+    probe = group.filter(pa.array(~bmask))
+    if build.num_rows == 0 or probe.num_rows == 0:
+        return None
+    bk = build["key"].to_numpy(zero_copy_only=False)
+    order = np.argsort(bk, kind="stable")
+    bks = bk[order]
+    pk = probe["key"].to_numpy(zero_copy_only=False)
+    idx = np.searchsorted(bks, pk)
+    idx[idx >= bks.size] = bks.size - 1
+    hit = bks[idx] == pk
+    return probe, build, order, idx, hit
+
+
+def _rev_partials(sf_dir: str, ship_after_us: int | None):
+    """lineitem → bucket-tagged (key=l_orderkey, rev=partial Σ rev_e6)
+    probe rows, pre-combined per batch over the batch's distinct order
+    keys — the shuffle moves one row per (batch, orderkey)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        okey = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        rev = _rev_e6(price, disc)
+        if ship_after_us is not None:
+            m = _ts_us(batch["l_shipdate"]) > ship_after_us
+            if not m.any():
+                return _empty_join_block()
+            okey, rev = okey[m], rev[m]
+        uk, inv = np.unique(okey, return_inverse=True)
+        s = np.zeros(len(uk), np.int64)
+        np.add.at(s, inv, rev)
+        return _tagged(uk, side=0, rev=s)
+
+    cols = ["l_orderkey", "l_extendedprice", "l_discount"]
+    if ship_after_us is not None:
+        cols.append("l_shipdate")
+    return ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=cols
+    ).map_batches(partial, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Q3-style: top revenue orders for one market segment
+
+
+@unreserved
+def top_revenue_orders(sf_dir: str):
+    """(o_orderkey, revenue, odate_us, o_orderpriority) — the TPC-H Q3
+    shape: orders of ``BUILDING``-segment customers placed before
+    ``Q3_DATE``, ranked by the revenue of their lineitems shipped after
+    it; top ``Q3_TOPN`` (revenue desc, orderkey asc — exact integer
+    revenue, so the order is bit-deterministic).
+
+    Two bucketed shuffles, both output- or input-partition-sized:
+
+    1. semi-join ``orders ⋉ customer[segment]`` bucketed on custkey
+       (NOT a broadcast: the segment side is ~1/5 of all customers and
+       grows with the data);
+    2. revenue partials (lineitem, pre-combined per batch) ⨝ qualified
+       orders bucketed on orderkey; each bucket sums probe revenue into
+       its unique build rows via one ``np.add.at`` and emits only its
+       local top-N, so the driver sees ≤ N_BUCKETS·TOPN rows.
+    """
+    seg_date = _us(Q3_DATE)
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        m = (
+            batch["c_mktsegment"]
+            .to_numpy(zero_copy_only=False)
+            .astype("U16")
+            == Q3_SEGMENT
+        )
+        if not m.any():
+            return _empty_join_block()
+        ck = (
+            batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        return _tagged(ck[m], side=1)
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        odate = _ts_us(batch["o_orderdate"])
+        m = odate < seg_date
+        if not m.any():
+            return _empty_join_block()
+        keep = pa.array(m)
+        ck = (
+            batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )[m]
+        ok = (
+            batch["o_orderkey"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )[m]
+        prio = batch["o_orderpriority"].filter(keep).to_pylist()
+        return _tagged(ck, side=0, rev=ok, aux=odate[m], tag=prio)
+
+    def semi(group: pa.Table) -> pa.Table:
+        """keep probe (order) rows whose custkey exists on the build
+        (segment-customer) side; re-tag them bucketed by ORDERKEY as
+        the build side of stage 2."""
+        split = _split_sides(group)
+        if split is None:
+            return _empty_join_block()
+        probe, _, _, _, hit = split
+        kept = probe.filter(pa.array(hit))
+        if kept.num_rows == 0:
+            return _empty_join_block()
+        okey = kept["rev"].to_numpy(zero_copy_only=False)
+        return _tagged(
+            okey,
+            side=1,
+            aux=kept["aux"].to_numpy(zero_copy_only=False),
+            tag=kept["tag"].to_pylist(),
+        )
+
+    def join_topn(group: pa.Table) -> pa.Table:
+        """sum probe revenue partials into the unique build orders,
+        emit this bucket's top-N (inner join: zero-revenue orders drop)."""
+        split = _split_sides(group)
+        if split is None:
+            return pa.table(
+                {
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "rev_e6": pa.array([], pa.int64()),
+                    "odate_us": pa.array([], pa.int64()),
+                    "o_orderpriority": pa.array([], pa.string()),
+                }
+            )
+        probe, build, order, idx, hit = split
+        sums = np.zeros(build.num_rows, np.int64)
+        np.add.at(
+            sums,
+            order[idx[hit]],
+            probe["rev"].to_numpy(zero_copy_only=False)[hit],
+        )
+        nz = np.nonzero(sums)[0]
+        keys = build["key"].to_numpy(zero_copy_only=False)[nz]
+        top = np.lexsort((keys, -sums[nz]))[:Q3_TOPN]
+        sel = nz[top]
+        pick = pa.array(sel, pa.int64())
+        return pa.table(
+            {
+                "o_orderkey": build["key"].take(pick),
+                "rev_e6": pa.array(sums[sel], pa.int64()),
+                "odate_us": build["aux"].take(pick),
+                "o_orderpriority": build["tag"].take(pick),
+            }
+        )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(cust_rows, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(order_rows, batch_format="pyarrow")
+    qualified = (
+        orders.union(cust)
+        .groupby("bucket")
+        .map_groups(semi, batch_format="pyarrow")
+    )
+    rev = _rev_partials(sf_dir, ship_after_us=seg_date)
+    per_bucket = (
+        rev.union(qualified)
+        .groupby("bucket")
+        .map_groups(join_topn, batch_format="pyarrow")
+    )
+    t = _to_table(per_bucket)  # ≤ N_BUCKETS·TOPN rows
+    if t.num_rows == 0:
+        return pa.table(
+            {
+                "o_orderkey": pa.array([], pa.int64()),
+                "revenue": pa.array([], pa.float64()),
+                "odate_us": pa.array([], pa.int64()),
+                "o_orderpriority": pa.array([], pa.string()),
+            }
+        )
+    rev_e6 = t["rev_e6"].to_numpy(zero_copy_only=False)
+    keys = t["o_orderkey"].to_numpy(zero_copy_only=False)
+    top = np.lexsort((keys, -rev_e6))[:Q3_TOPN]
+    pick = pa.array(top.astype(np.int64), pa.int64())
+    return pa.table(
+        {
+            "o_orderkey": t["o_orderkey"].take(pick),
+            "revenue": pa.array(
+                [round4(float(rev_e6[i]) / 1e6) for i in top], pa.float64()
+            ),
+            "odate_us": t["odate_us"].take(pick),
+            "o_orderpriority": t["o_orderpriority"].take(pick),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5-style: revenue by customer nation
+
+
+@unreserved
+def revenue_by_nation(sf_dir: str):
+    """(n_name, revenue) — the TPC-H Q5 shape: lineitem revenue of
+    orders placed in [``Q5_LO``, ``Q5_HI``) rolled up to the ordering
+    customer's nation.
+
+    Join chain lineitem→orders→customer→nation as two bucketed
+    shuffles plus one tiny final aggregate: revenue partials join
+    orders on orderkey (emitting per-bucket partials already combined
+    by custkey), those join customer on custkey (emitting per-bucket
+    partials combined by nationkey ≤ 25 rows), and the last
+    ``groupby(nationkey)`` moves ≤ buckets×25 rows. ``nation`` itself
+    (≤ 25 rows) is read driver-side for the name lookup — the one
+    genuinely tiny dimension in the chain."""
+    lo, hi = _us(Q5_LO), _us(Q5_HI)
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        odate = _ts_us(batch["o_orderdate"])
+        m = (odate >= lo) & (odate < hi)
+        if not m.any():
+            return _empty_join_block()
+        ok = (
+            batch["o_orderkey"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )[m]
+        ck = (
+            batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )[m]
+        return _tagged(ok, side=1, aux=ck)
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        ck = (
+            batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        nk = (
+            batch["c_nationkey"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return _tagged(ck, side=1, aux=nk)
+
+    def _probe_sum_regroup(group: pa.Table) -> pa.Table:
+        """join probe rev onto build rows, re-emit probe-side partials
+        keyed (and re-bucketed) by the build row's aux key."""
+        split = _split_sides(group)
+        if split is None:
+            return _empty_join_block()
+        probe, build, order, idx, hit = split
+        if not hit.any():
+            return _empty_join_block()
+        aux = build["aux"].to_numpy(zero_copy_only=False)[order[idx[hit]]]
+        rev = probe["rev"].to_numpy(zero_copy_only=False)[hit]
+        uk, inv = np.unique(aux, return_inverse=True)
+        s = np.zeros(len(uk), np.int64)
+        np.add.at(s, inv, rev)
+        return _tagged(uk, side=0, rev=s)
+
+    rev = _rev_partials(sf_dir, ship_after_us=None)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(order_rows, batch_format="pyarrow")
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(cust_rows, batch_format="pyarrow")
+
+    by_cust = (
+        rev.union(orders)
+        .groupby("bucket")
+        .map_groups(_probe_sum_regroup, batch_format="pyarrow")
+    )
+    by_nation = (
+        by_cust.union(cust)
+        .groupby("bucket")
+        .map_groups(_probe_sum_regroup, batch_format="pyarrow")
+    )
+    from ray.data.aggregate import Sum
+
+    agg = _to_table(
+        by_nation.groupby("key").aggregate(Sum("rev", alias_name="rev"))
+    )
+    if agg.num_rows == 0:
+        return pa.table(
+            {
+                "n_name": pa.array([], pa.string()),
+                "revenue": pa.array([], pa.float64()),
+            }
+        )
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    names = dict(
+        zip(
+            nat["n_nationkey"].to_numpy(zero_copy_only=False).tolist(),
+            nat["n_name"].to_pylist(),
+        )
+    )
+    nk = agg["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+    rev_sum = agg["rev"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((nk, -rev_sum))
+    return pa.table(
+        {
+            "n_name": pa.array(
+                [names[int(nk[i])] for i in order], pa.string()
+            ),
+            "revenue": pa.array(
+                [round4(float(rev_sum[i]) / 1e6) for i in order],
+                pa.float64(),
+            ),
+        }
+    )

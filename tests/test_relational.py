@@ -1,0 +1,303 @@
+"""Relational-analytics (pricing_summary / top_revenue_orders /
+revenue_by_nation) and per-group-stats operators vs DuckDB on seeded
+random tables with adversarial shapes — hot customers, orders with many
+lineitems, date-filter boundaries, count ties for the mode argmax,
+duplicate values for the quantiles — beyond the fixed testdata that
+test_entry.py already gates."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+DAY = 86_400_000_000
+
+
+def _write_tpch(d: str, seed: int, n_li: int, n_ord: int, n_cust: int,
+                hot_frac: float = 0.0):
+    rng = np.random.RandomState(seed)
+    base = np.datetime64("1995-01-01", "us").astype(np.int64)
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE"]
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(np.arange(n_cust), pa.int64()),
+                "c_name": pa.array([f"c{i}" for i in range(n_cust)]),
+                "c_nationkey": pa.array(
+                    rng.randint(0, 5, n_cust).astype(np.int32), pa.int32()
+                ),
+                "c_acctbal": pa.array(rng.uniform(0, 9, n_cust)),
+                "c_mktsegment": pa.array(
+                    [segs[i] for i in rng.randint(0, len(segs), n_cust)]
+                ),
+            }
+        ),
+        os.path.join(d, "customer.parquet"),
+    )
+    ck = rng.randint(0, n_cust, n_ord)
+    if hot_frac:
+        ck[rng.rand(n_ord) < hot_frac] = 0  # one customer owns most orders
+    odates = base + (rng.randint(0, 2500, n_ord) * DAY)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(np.arange(n_ord), pa.int64()),
+                "o_custkey": pa.array(ck.astype(np.int64), pa.int64()),
+                "o_orderstatus": pa.array(["O"] * n_ord),
+                "o_totalprice": pa.array(rng.uniform(1, 9e4, n_ord)),
+                "o_orderdate": pa.array(odates, pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array(
+                    [f"{i}-P" for i in rng.randint(1, 6, n_ord)]
+                ),
+            }
+        ),
+        os.path.join(d, "orders.parquet"),
+    )
+    ok = rng.randint(0, n_ord + 2, n_li)  # some keys match no order
+    if hot_frac:
+        ok[rng.rand(n_li) < hot_frac] = 0  # one order owns many lineitems
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(ok.astype(np.int64), pa.int64()),
+                "l_partkey": pa.array(np.zeros(n_li, np.int64)),
+                "l_suppkey": pa.array(np.zeros(n_li, np.int64)),
+                "l_linenumber": pa.array(
+                    np.ones(n_li, np.int32), pa.int32()
+                ),
+                "l_quantity": pa.array(
+                    rng.randint(1, 51, n_li).astype(np.float64)
+                ),
+                "l_extendedprice": pa.array(
+                    np.round(rng.uniform(900, 95_000, n_li), 2)
+                ),
+                "l_discount": pa.array(
+                    np.round(rng.uniform(0, 0.1, n_li), 2)
+                ),
+                "l_tax": pa.array(np.round(rng.uniform(0, 0.08, n_li), 2)),
+                "l_returnflag": pa.array(
+                    [["A", "N", "R"][i] for i in rng.randint(0, 3, n_li)]
+                ),
+                "l_linestatus": pa.array(
+                    [["F", "O"][i] for i in rng.randint(0, 2, n_li)]
+                ),
+                "l_shipdate": pa.array(
+                    base + rng.randint(0, 2500, n_li) * DAY, pa.int64()
+                ).cast(pa.timestamp("us")),
+            }
+        ),
+        os.path.join(d, "lineitem.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array(
+                    np.arange(5, dtype=np.int32), pa.int32()
+                ),
+                "n_name": pa.array([f"NATION_{i}" for i in range(5)]),
+                "n_regionkey": pa.array(
+                    np.zeros(5, np.int32), pa.int32()
+                ),
+            }
+        ),
+        os.path.join(d, "nation.parquet"),
+    )
+
+
+def _con(d: str, tables):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"create view {t} as select * from '{d}/{t}.parquet'")
+    return con
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(df.columns)
+    return df[cols].sort_values(cols).reset_index(drop=True)
+
+
+def _check(got, sql, con):
+    exp = con.sql(sql).df()
+    pd.testing.assert_frame_equal(
+        _norm(got.to_pandas() if isinstance(got, pa.Table) else got.to_pandas()),
+        _norm(exp),
+        check_dtype=False,
+        check_exact=False,
+        rtol=0,
+        atol=1e-12,
+    )
+
+
+@pytest.mark.parametrize("seed,hot", [(5, 0.0), (17, 0.6)])
+def test_fuzz_relational_matches_duckdb(ray_session, tmp_path, seed, hot):
+    import __ray_entry__ as E
+    from informationretrieval_en_people_cn_ray.pipelines import relational
+
+    d = str(tmp_path)
+    _write_tpch(d, seed, n_li=4000, n_ord=900, n_cust=120, hot_frac=hot)
+    con = _con(d, ["customer", "orders", "lineitem", "nation"])
+    sqls = E.oracle_sql()
+    _check(relational.pricing_summary(d), sqls["pricing_summary"], con)
+    _check(
+        relational.top_revenue_orders(d), sqls["top_revenue_orders"], con
+    )
+    _check(relational.revenue_by_nation(d), sqls["revenue_by_nation"], con)
+
+
+def test_relational_empty_filters(ray_session, tmp_path):
+    """date cutoffs that exclude everything → empty results with the
+    full output schema (the empty-aggregate guard paths)."""
+    from informationretrieval_en_people_cn_ray.pipelines import relational
+
+    d = str(tmp_path)
+    rng_seed = 3
+    _write_tpch(d, rng_seed, n_li=50, n_ord=20, n_cust=8)
+    # rewrite lineitem with ship dates entirely AFTER the Q1 cutoff and
+    # orders entirely AFTER the Q5 window
+    t = pq.read_table(os.path.join(d, "lineitem.parquet"))
+    late = np.full(
+        t.num_rows, np.datetime64("2005-01-01", "us").astype(np.int64)
+    )
+    t = t.set_column(
+        t.schema.get_field_index("l_shipdate"),
+        "l_shipdate",
+        pa.array(late, pa.int64()).cast(pa.timestamp("us")),
+    )
+    pq.write_table(t, os.path.join(d, "lineitem.parquet"))
+    got = relational.pricing_summary(d)
+    assert got.num_rows == 0
+    assert "sum_disc_price" in got.schema.names
+    o = pq.read_table(os.path.join(d, "orders.parquet"))
+    o = o.set_column(
+        o.schema.get_field_index("o_orderdate"),
+        "o_orderdate",
+        pa.array(late[: o.num_rows], pa.int64()).cast(pa.timestamp("us")),
+    )
+    pq.write_table(o, os.path.join(d, "orders.parquet"))
+    nat = relational.revenue_by_nation(d)
+    assert nat.num_rows == 0 and nat.schema.names == ["n_name", "revenue"]
+    top = relational.top_revenue_orders(d)
+    assert top.num_rows == 0
+
+
+def _write_events(d: str, seed: int, n: int, n_users: int, n_types: int):
+    rng = np.random.RandomState(seed)
+    base = np.datetime64("2024-01-01", "us").astype(np.int64)
+    types = [f"t{chr(97 + i)}" for i in range(n_types)]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(n), pa.int64()),
+                "ts": pa.array(
+                    base + rng.randint(0, 90 * DAY, n), pa.int64()
+                ).cast(pa.timestamp("us")),
+                "user_id": pa.array(
+                    rng.randint(0, n_users, n).astype(np.int64), pa.int64()
+                ),
+                "event_type": pa.array(
+                    [types[i] for i in rng.randint(0, n_types, n)]
+                ),
+                # coarse grid → duplicate values exercise quantile ties
+                "value": pa.array(
+                    np.round(rng.uniform(0, 20, n) * 4) / 4, pa.float64()
+                ),
+                "props": pa.array(["{}"] * n),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+
+
+@pytest.mark.parametrize("seed", [2, 9])
+def test_fuzz_mode_and_quantiles_match_duckdb(ray_session, tmp_path, seed):
+    import __ray_entry__ as E
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    d = str(tmp_path)
+    # few users × few types → tied (user, type) counts are common, so
+    # the lexicographic mode tie-break is genuinely exercised
+    _write_events(d, seed, n=3000, n_users=40, n_types=4)
+    con = _con(d, ["events"])
+    sqls = E.oracle_sql()
+    _check(
+        dp._to_table(dp.mode_event_type(d)), sqls["mode_event_type"], con
+    )
+    _check(
+        dp._to_table(dp.group_quantiles(d)), sqls["group_quantiles"], con
+    )
+
+
+def test_mode_tie_break_planted(ray_session, tmp_path):
+    """user 1: {b:2, a:2} → mode 'a' (count tie, lexicographic);
+    user 2: {b:2, a:1} → mode 'b' (strict majority)."""
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    d = str(tmp_path)
+    users = [1, 1, 1, 1, 2, 2, 2]
+    types = ["b", "b", "a", "a", "b", "b", "a"]
+    n = len(users)
+    base = np.datetime64("2024-01-01", "us").astype(np.int64)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(n), pa.int64()),
+                "ts": pa.array(
+                    base + np.arange(n) * DAY, pa.int64()
+                ).cast(pa.timestamp("us")),
+                "user_id": pa.array(users, pa.int64()),
+                "event_type": pa.array(types),
+                "value": pa.array(np.zeros(n), pa.float64()),
+                "props": pa.array(["{}"] * n),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    t = dp._to_table(dp.mode_event_type(d)).to_pandas()
+    t = t.set_index("user_id")
+    assert t.loc[1, "mode_type"] == "a" and t.loc[1, "n_events"] == 2
+    assert t.loc[2, "mode_type"] == "b" and t.loc[2, "n_events"] == 2
+
+
+def test_char_entropy_matches_naive_counter(ray_session, tmp_path):
+    """vectorized UTF-32 bincount path == per-doc Counter math on
+    unicode (multi-byte, repeated, single-char, empty) texts."""
+    import math
+    from collections import Counter
+
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    texts = [
+        "aab",
+        "",  # empty → 0.0 (DuckDB splits '' into [''], entropy 0)
+        "zzzz",  # single symbol → 0.0
+        "Straße und Öl — ﬁn",  # multi-byte codepoints
+        "ab" * 500,
+        "日本語テキスト日本語",
+    ]
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["s"] * len(texts)),
+                "n_chars": pa.array(
+                    [len(t) for t in texts], pa.int64()
+                ),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    got = dp._to_table(dp.char_entropy(d)).to_pandas().set_index("doc_id")
+    for i, txt in enumerate(texts):
+        c = Counter(txt)
+        n = len(txt)
+        exp = -sum(v / n * math.log2(v / n) for v in c.values()) if n else 0.0
+        assert abs(got.loc[i, "h"] - dp.round4(exp)) < 1e-9, (i, txt)
