@@ -169,6 +169,26 @@ def _mlt_sql() -> str:
     )
 
 
+def _pii_sql() -> str:
+    """pii_scrub oracle generated from the SAME ``dp.PII_PATTERNS``
+    table the Ray op uses (counts on the original text, replacements
+    applied in pattern order) — single-sourced so the two sides cannot
+    drift."""
+    counts = ",\n  ".join(
+        f"len(regexp_extract_all(text, '{pat}'))::bigint as {name}"
+        for name, pat, _ in dp.PII_PATTERNS
+    )
+    scrub = "text"
+    for _, pat, token in dp.PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{token}', 'g')"
+    return f"""
+select doc_id,
+  {counts},
+  {scrub} as text_scrubbed
+from documents
+"""
+
+
 def _q_bm25_by_range(sf_dir: str) -> pa.Table:
     """Same ranking as bm25_topk but through the score-by-doc-range scale
     path (DocStatsShard actors; doc-length state never lives in one
@@ -752,6 +772,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_event_type": lambda sf: dp.mode_event_type(sf),
         "group_quantiles": lambda sf: dp.group_quantiles(sf),
         "char_entropy": lambda sf: dp.char_entropy(sf),
+        "revenue_band_filter": lambda sf: rel.revenue_band_filter(sf),
+        "priority_line_counts": lambda sf: rel.priority_line_counts(sf),
+        "pii_scrub": lambda sf: dp.pii_scrub(sf),
     }
 
 
@@ -1813,6 +1836,32 @@ from (
 )
 group by doc_id
 """,
+        "revenue_band_filter": f"""
+select
+  round(coalesce(sum(floor(l_extendedprice * 100 + 0.5)::bigint
+                     * floor(l_discount * 10000 + 0.5)::bigint), 0)
+        / 1000000.0, 4) as revenue,
+  count(*)::bigint as n_lines
+from lineitem
+where l_shipdate >= timestamp '{rel.Q6_LO}'
+  and l_shipdate < timestamp '{rel.Q6_HI}'
+  and floor(l_discount * 10000 + 0.5)::bigint
+        between {rel.Q6_DISC_LO_BP} and {rel.Q6_DISC_HI_BP}
+  and l_quantity < {rel.Q6_QTY_LT}
+""",
+        "priority_line_counts": f"""
+select l.l_returnflag,
+  sum(case when o.o_orderpriority in {rel.Q12_HIGH}
+      then 1 else 0 end)::bigint as high_line_count,
+  sum(case when o.o_orderpriority in {rel.Q12_HIGH}
+      then 0 else 1 end)::bigint as low_line_count
+from lineitem l
+join orders o on o.o_orderkey = l.l_orderkey
+where l.l_shipdate >= timestamp '{rel.Q12_LO}'
+  and l.l_shipdate < timestamp '{rel.Q12_HI}'
+group by l.l_returnflag
+""",
+        "pii_scrub": _pii_sql(),
         # rows-only (bloom_semi_join is approximate: one-sided error,
         # FP-rate pytest-gated) (approximate / stateful / stemmer-dependent):
         # bm25_topk_stemmed, reference_queryset_stemmed,

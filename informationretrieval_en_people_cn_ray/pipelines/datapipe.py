@@ -5253,3 +5253,55 @@ def char_entropy(sf_dir: str):
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         f, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection + redaction (curation compliance stage)
+
+# (class, RE2 pattern, replacement token) — applied IN ORDER to build the
+# scrubbed text; counts are measured on the ORIGINAL text. Arrow's regex
+# kernels and DuckDB's regexp functions are both RE2, so match counts and
+# the sequentially-replaced output agree byte-for-byte (the SQL oracle in
+# __ray_entry__ uses the same patterns in the same order).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    (
+        "n_email",
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "<EMAIL>",
+    ),
+    ("n_ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("n_phone", r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}", "<PHONE>"),
+)
+
+
+@unreserved
+def pii_scrub(sf_dir: str):
+    """(doc_id, n_email, n_ip, n_phone, text_scrubbed) — PII detection
+    and redaction, the compliance stage every production curation
+    pipeline runs before text leaves the pipeline: per-class
+    non-overlapping match counts plus the text with each class replaced
+    (in the fixed ``PII_PATTERNS`` order) by its placeholder token.
+
+    Every row stays inside Arrow's RE2 kernels
+    (``pc.count_substring_regex`` / ``pc.replace_substring_regex``) —
+    zero Python per row, zero shuffle; the output is the scrubbed
+    corpus itself, streaming block for block. Exact SQL oracle
+    (DuckDB ``regexp_extract_all`` / ``regexp_replace(..., 'g')`` —
+    RE2 both sides)."""
+    import pyarrow.compute as pc
+
+    def f(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        cols: dict[str, pa.Array] = {"doc_id": batch["doc_id"]}
+        scrubbed = text
+        for name, pat, token in PII_PATTERNS:
+            cols[name] = pc.cast(
+                pc.count_substring_regex(text, pat), pa.int64()
+            )
+            scrubbed = pc.replace_substring_regex(scrubbed, pat, token)
+        cols["text_scrubbed"] = scrubbed
+        return pa.table(cols)
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )

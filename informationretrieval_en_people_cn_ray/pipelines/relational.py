@@ -43,6 +43,18 @@ Q3_DATE = "1998-06-01"
 Q3_TOPN = 10
 Q5_LO = "1997-01-01"
 Q5_HI = "1998-01-01"
+# Q6-style band filter: [date lo, hi), discount band in basis points
+# (inclusive, applied to the half-up-rounded bp value so the predicate
+# is integer-exact on both sides), quantity strictly below the cap.
+Q6_LO = "1997-01-01"
+Q6_HI = "1998-01-01"
+Q6_DISC_LO_BP = 300
+Q6_DISC_HI_BP = 700
+Q6_QTY_LT = 24
+# Q12-style: lineitems shipped inside [lo, hi); order priority classes
+Q12_LO = "1997-01-01"
+Q12_HI = "1998-01-01"
+Q12_HIGH = ("1-URGENT", "2-HIGH")
 N_BUCKETS = 64
 
 
@@ -196,6 +208,67 @@ def pricing_summary(sf_dir: str):
                 pa.float64(),
             ),
             "count_order": pa.array([int(n[i]) for i in order], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6-style: banded filter + single aggregate (predicate pushdown showcase)
+
+
+@unreserved
+def revenue_band_filter(sf_dir: str):
+    """(revenue, n_lines) — the TPC-H Q6 shape: Σ extendedprice·discount
+    over lineitems in a ship-date band, a discount band and a quantity
+    cap. The coarse DATE band is pushed into the parquet scan itself
+    (``read_parquet(filter=...)`` → row groups outside the band never
+    leave storage); the fine bands evaluate vectorized per batch on the
+    half-up integer bp/cent values, so the revenue term
+    (cents × basis points = 1e-6 dollars) is order-independent and the
+    SQL oracle is bit-identical. Each batch collapses to ONE partial
+    row; the final reduce is a driver sum over block partials."""
+    import pyarrow.dataset as pads
+
+    lo, hi = _us(Q6_LO), _us(Q6_HI)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = _ts_us(batch["l_shipdate"])
+        disc_bp = _bp(batch["l_discount"].to_numpy(zero_copy_only=False))
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        m = (
+            (ship >= lo)
+            & (ship < hi)
+            & (disc_bp >= Q6_DISC_LO_BP)
+            & (disc_bp <= Q6_DISC_HI_BP)
+            & (qty < Q6_QTY_LT)
+        )
+        price_c = _cents(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+        )
+        return pa.table(
+            {
+                "rev_e6": pa.array(
+                    [int((price_c * disc_bp[m]).sum())], pa.int64()
+                ),
+                "n": pa.array([int(m.sum())], pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+        filter=(
+            (pads.field("l_shipdate") >= np.datetime64(Q6_LO, "us"))
+            & (pads.field("l_shipdate") < np.datetime64(Q6_HI, "us"))
+        ),
+    ).map_batches(partial, batch_format="pyarrow")
+    t = _to_table(ds)  # one row per block
+    rev = int(t["rev_e6"].to_numpy(zero_copy_only=False).sum())
+    n = int(t["n"].to_numpy(zero_copy_only=False).sum())
+    return pa.table(
+        {
+            "revenue": pa.array([round4(rev / 1e6)], pa.float64()),
+            "n_lines": pa.array([n], pa.int64()),
         }
     )
 
@@ -557,5 +630,132 @@ def revenue_by_nation(sf_dir: str):
                 [round4(float(rev_sum[i]) / 1e6) for i in order],
                 pa.float64(),
             ),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12-style: join + conditional (priority-class) line counts
+
+
+@unreserved
+def priority_line_counts(sf_dir: str):
+    """(l_returnflag, high_line_count, low_line_count) — the TPC-H Q12
+    shape: lineitems shipped inside [``Q12_LO``, ``Q12_HI``) joined to
+    their order's priority, counting urgent/high vs other priorities
+    per return flag.
+
+    One bucketed big×big shuffle: lineitem pre-combines per batch to
+    (orderkey, returnflag, count) probe partials (the fact side shrinks
+    before it moves); orders ships (orderkey, priority-class∈{0,1})
+    build rows. Each bucket classifies its matched probe counts with a
+    vectorized gather and emits ≤ |flags|·2 partial rows, so the final
+    reduce is driver-side over ≤ N_BUCKETS·|flags| rows."""
+    lo, hi = _us(Q12_LO), _us(Q12_HI)
+    high = set(Q12_HIGH)
+
+    def line_rows(batch: pa.Table) -> pa.Table:
+        ship = _ts_us(batch["l_shipdate"])
+        m = (ship >= lo) & (ship < hi)
+        if not m.any():
+            return _empty_join_block()
+        keep = pa.array(m)
+        ok = (
+            batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+        )[m]
+        flag = (
+            batch["l_returnflag"]
+            .filter(keep)
+            .to_numpy(zero_copy_only=False)
+            .astype("U4")
+        )
+        # pre-combine per (orderkey, flag): flags are a ≤4-char domain,
+        # so pack them into the key string for one np.unique pass
+        gk = np.char.add(np.char.add(flag, "|"), ok.astype("U20"))
+        uk, inv, cnt = np.unique(gk, return_inverse=True, return_counts=True)
+        uflag = [u.split("|", 1)[0] for u in uk.tolist()]
+        uok = np.array(
+            [int(u.split("|", 1)[1]) for u in uk.tolist()], np.int64
+        )
+        return _tagged(uok, side=0, rev=cnt.astype(np.int64), tag=uflag)
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        ok = (
+            batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+        )
+        cls = np.fromiter(
+            (1 if p in high else 0 for p in batch["o_orderpriority"].to_pylist()),
+            np.int64,
+            count=len(ok),
+        )
+        return _tagged(ok, side=1, aux=cls)
+
+    def join_counts(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "l_returnflag": pa.array([], pa.string()),
+                "high_n": pa.array([], pa.int64()),
+                "low_n": pa.array([], pa.int64()),
+            }
+        )
+        split = _split_sides(group)
+        if split is None:
+            return empty
+        probe, build, order, idx, hit = split
+        if not hit.any():
+            return empty
+        cls = build["aux"].to_numpy(zero_copy_only=False)[order[idx[hit]]]
+        cnt = probe["rev"].to_numpy(zero_copy_only=False)[hit]
+        flag = np.array(probe["tag"].to_pylist(), dtype="U4")[hit]
+        uf, inv = np.unique(flag, return_inverse=True)
+        hi_s = np.zeros(len(uf), np.int64)
+        lo_s = np.zeros(len(uf), np.int64)
+        np.add.at(hi_s, inv, cnt * cls)
+        np.add.at(lo_s, inv, cnt * (1 - cls))
+        return pa.table(
+            {
+                "l_returnflag": pa.array(uf.tolist(), pa.string()),
+                "high_n": pa.array(hi_s, pa.int64()),
+                "low_n": pa.array(lo_s, pa.int64()),
+            }
+        )
+
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_shipdate"],
+    ).map_batches(line_rows, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"],
+    ).map_batches(order_rows, batch_format="pyarrow")
+    per_bucket = (
+        lines.union(orders)
+        .groupby("bucket")
+        .map_groups(join_counts, batch_format="pyarrow")
+    )
+    t = _to_table(per_bucket)  # ≤ N_BUCKETS·|flags| rows
+    if t.num_rows == 0:
+        return pa.table(
+            {
+                "l_returnflag": pa.array([], pa.string()),
+                "high_line_count": pa.array([], pa.int64()),
+                "low_line_count": pa.array([], pa.int64()),
+            }
+        )
+    flag = np.array(t["l_returnflag"].to_pylist(), dtype="U4")
+    uf, inv = np.unique(flag, return_inverse=True)
+    hi_s = np.zeros(len(uf), np.int64)
+    lo_s = np.zeros(len(uf), np.int64)
+    np.add.at(hi_s, inv, t["high_n"].to_numpy(zero_copy_only=False))
+    np.add.at(lo_s, inv, t["low_n"].to_numpy(zero_copy_only=False))
+    return pa.table(
+        {
+            "l_returnflag": pa.array(uf.tolist(), pa.string()),
+            "high_line_count": pa.array(hi_s, pa.int64()),
+            "low_line_count": pa.array(lo_s, pa.int64()),
         }
     )

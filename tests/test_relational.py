@@ -53,7 +53,16 @@ def _write_tpch(d: str, seed: int, n_li: int, n_ord: int, n_cust: int,
                     pa.timestamp("us")
                 ),
                 "o_orderpriority": pa.array(
-                    [f"{i}-P" for i in rng.randint(1, 6, n_ord)]
+                    [
+                        [
+                            "1-URGENT",
+                            "2-HIGH",
+                            "3-MEDIUM",
+                            "4-NOT SPECIFIED",
+                            "5-LOW",
+                        ][i]
+                        for i in rng.randint(0, 5, n_ord)
+                    ]
                 ),
             }
         ),
@@ -148,6 +157,14 @@ def test_fuzz_relational_matches_duckdb(ray_session, tmp_path, seed, hot):
         relational.top_revenue_orders(d), sqls["top_revenue_orders"], con
     )
     _check(relational.revenue_by_nation(d), sqls["revenue_by_nation"], con)
+    _check(
+        relational.revenue_band_filter(d), sqls["revenue_band_filter"], con
+    )
+    _check(
+        relational.priority_line_counts(d),
+        sqls["priority_line_counts"],
+        con,
+    )
 
 
 def test_relational_empty_filters(ray_session, tmp_path):
@@ -301,3 +318,109 @@ def test_char_entropy_matches_naive_counter(ray_session, tmp_path):
         n = len(txt)
         exp = -sum(v / n * math.log2(v / n) for v in c.values()) if n else 0.0
         assert abs(got.loc[i, "h"] - dp.round4(exp)) < 1e-9, (i, txt)
+
+
+def test_pii_scrub_planted(ray_session, tmp_path):
+    """hand-planted PII texts: counts and the sequentially-scrubbed
+    output match hand expectations AND the generated DuckDB oracle."""
+    import __ray_entry__ as E
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    texts = [
+        "contact bob.smith+x@mail-host.example.org today",
+        "server at 10.0.255.3 rebooted; backup 192.168.1.1 idle",
+        "call +1 555-867-5309 or 020 7946 0958 now",
+        "mixed: a@b.co from 8.8.8.8 dial 555 123 4567",
+        "no pii here, just text with dots. and digits 12",
+        "",
+    ]
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["s"] * len(texts)),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    got = dp._to_table(dp.pii_scrub(d)).to_pandas().set_index("doc_id")
+    assert got.loc[0, "n_email"] == 1 and got.loc[0, "n_ip"] == 0
+    assert "<EMAIL>" in got.loc[0, "text_scrubbed"]
+    assert "@" not in got.loc[0, "text_scrubbed"]
+    assert got.loc[1, "n_ip"] == 2
+    assert got.loc[1, "text_scrubbed"].count("<IP>") == 2
+    # '+1 555-867-5309': pattern anchors on the 3-3-4 digit tail;
+    # '020 7946 0958' is 3-4-4 → not matched (documented pattern scope)
+    assert got.loc[2, "n_phone"] == 1
+    assert "<PHONE>" in got.loc[2, "text_scrubbed"]
+    assert (
+        got.loc[3, "n_email"],
+        got.loc[3, "n_ip"],
+        got.loc[3, "n_phone"],
+    ) == (1, 1, 1)
+    assert got.loc[4, "n_email"] == 0 and got.loc[4, "n_ip"] == 0
+    assert got.loc[4, "text_scrubbed"] == texts[4]
+    assert got.loc[5, "text_scrubbed"] == ""
+    con = _con(d, ["documents"])
+    _check(dp._to_table(dp.pii_scrub(d)), E.oracle_sql()["pii_scrub"], con)
+
+
+def test_revenue_band_filter_boundaries(ray_session, tmp_path):
+    """rows planted exactly ON each band edge: date lo inclusive / hi
+    exclusive, discount bp band inclusive both ends, quantity strictly
+    below the cap."""
+    from informationretrieval_en_people_cn_ray.pipelines import relational
+
+    d = str(tmp_path)
+    rows = [
+        # (shipdate, discount, quantity, price, expected_in)
+        ("1997-01-01", 0.05, 10.0, 1000.0, True),   # lo edge in
+        ("1997-12-31", 0.05, 10.0, 1000.0, True),   # last day in
+        ("1998-01-01", 0.05, 10.0, 1000.0, False),  # hi edge out
+        ("1997-06-01", 0.03, 10.0, 1000.0, True),   # disc lo edge in
+        ("1997-06-01", 0.07, 10.0, 1000.0, True),   # disc hi edge in
+        ("1997-06-01", 0.02, 10.0, 1000.0, False),  # below band
+        ("1997-06-01", 0.08, 10.0, 1000.0, False),  # above band
+        ("1997-06-01", 0.05, 23.0, 1000.0, True),   # qty below cap
+        ("1997-06-01", 0.05, 24.0, 1000.0, False),  # qty at cap out
+    ]
+    n = len(rows)
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(np.arange(n), pa.int64()),
+                "l_partkey": pa.array(np.zeros(n, np.int64)),
+                "l_suppkey": pa.array(np.zeros(n, np.int64)),
+                "l_linenumber": pa.array(np.ones(n, np.int32), pa.int32()),
+                "l_quantity": pa.array([r[2] for r in rows], pa.float64()),
+                "l_extendedprice": pa.array(
+                    [r[3] for r in rows], pa.float64()
+                ),
+                "l_discount": pa.array([r[1] for r in rows], pa.float64()),
+                "l_tax": pa.array(np.zeros(n), pa.float64()),
+                "l_returnflag": pa.array(["A"] * n),
+                "l_linestatus": pa.array(["F"] * n),
+                "l_shipdate": pa.array(
+                    [
+                        np.datetime64(r[0], "us").astype(np.int64)
+                        for r in rows
+                    ],
+                    pa.int64(),
+                ).cast(pa.timestamp("us")),
+            }
+        ),
+        os.path.join(d, "lineitem.parquet"),
+    )
+    got = relational.revenue_band_filter(d)
+    n_in = sum(r[4] for r in rows)
+    assert got["n_lines"][0].as_py() == n_in
+    exp = sum(
+        round(r[3] * 100) * round(r[1] * 10000) / 1e6
+        for r in rows
+        if r[4]
+    )
+    assert abs(got["revenue"][0].as_py() - round(exp, 4)) < 1e-9
