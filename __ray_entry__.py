@@ -48,6 +48,10 @@ BM25_K = 20
 MLT_SEED = 7
 MLT_TERMS = 5
 MLT_K = 10
+# pseudo-relevance feedback: #feedback docs, #expansion terms, result k
+PRF_FB_DOCS = 5
+PRF_FB_TERMS = 3
+PRF_K = 15
 
 _TOK = TOKEN_SQL.format(col="text")
 _TOK_CTE = f"""
@@ -187,6 +191,78 @@ select doc_id,
   {scrub} as text_scrubbed
 from documents
 """
+
+
+def _q_prf_bm25(sf_dir: str) -> pa.Table:
+    """Pseudo-relevance-feedback (Rocchio/RM-lite) retrieval: BM25 on
+    the base query picks the top ``PRF_FB_DOCS`` feedback docs; their
+    top ``PRF_FB_TERMS`` tf·idf terms (tf summed over the feedback
+    docs, df from the index DICTIONARY, original terms excluded, ties
+    term-asc) expand the query; the expanded OR-BM25 ranking is the
+    result. Driver work is bounded by the feedback-doc point reads.
+    Exact SQL oracle (the base ranking nests as a subquery inside the
+    expansion CTE)."""
+    import math
+
+    import pyarrow.dataset as pads
+
+    from informationretrieval_en_people_cn_ray.text import (
+        MAX_STEM_LEN,
+        MIN_STEM_LEN,
+    )
+
+    eng = _engine(sf_dir)
+    fb_ids, _ = eng.search(Q_TEXT, k=PRF_FB_DOCS, scorer="bm25")
+    fb = pads.dataset(os.path.join(sf_dir, "documents.parquet")).to_table(
+        columns=["text"],
+        filter=pads.field("doc_id").isin([int(i) for i in fb_ids]),
+    )
+    orig = set(Q_TERMS)
+    tf: dict[str, int] = {}
+    for text in fb["text"].to_pylist():
+        for w in eng.az.tokens(text):
+            t = eng.az.term(w)
+            if MIN_STEM_LEN <= len(t) <= MAX_STEM_LEN and t not in orig:
+                tf[t] = tf.get(t, 0) + 1
+    scored = []
+    for t, f in tf.items():
+        meta = eng.local.term_meta(t)
+        if meta is not None:
+            scored.append((-f * math.log(eng.N / meta[0]), t))
+    scored.sort()
+    expansion = [t for _, t in scored[:PRF_FB_TERMS]]
+    ids, scores = eng.search(
+        " ".join(Q_TERMS + expansion), k=PRF_K, scorer="bm25"
+    )
+    return _ranked_table(ids, scores)
+
+
+def _prf_sql() -> str:
+    base = _bm25_sql(k=PRF_FB_DOCS)
+    orig_list = ", ".join(f"'{t}'" for t in Q_TERMS)
+    vals = ", ".join(f"('{t}')" for t in Q_TERMS)
+    qt = f"""fb as (
+  select doc_id from ({base})
+),
+expn as (
+  select k.term
+  from tok k
+  join fb on k.doc_id = fb.doc_id
+  join (select term, count(distinct doc_id) as df from tok
+        group by term) d on d.term = k.term
+  where length(k.term) > 1 and length(k.term) <= 128
+    and k.term not in ({orig_list})
+  group by k.term, d.df
+  order by count(*) * ln((select count(*) from documents)::double / d.df)
+             desc, k.term
+  limit {PRF_FB_TERMS}
+),
+qt as (
+  select term from expn
+  union all
+  select term from (values {vals}) o(term)
+)"""
+    return _bm25_sql(qt_sql=qt, k=PRF_K)
 
 
 def _q_bm25_by_range(sf_dir: str) -> pa.Table:
@@ -775,6 +851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_band_filter": lambda sf: rel.revenue_band_filter(sf),
         "priority_line_counts": lambda sf: rel.priority_line_counts(sf),
         "pii_scrub": lambda sf: dp.pii_scrub(sf),
+        "prf_bm25_topk": _q_prf_bm25,
     }
 
 
@@ -1862,6 +1939,7 @@ where l.l_shipdate >= timestamp '{rel.Q12_LO}'
 group by l.l_returnflag
 """,
         "pii_scrub": _pii_sql(),
+        "prf_bm25_topk": _prf_sql(),
         # rows-only (bloom_semi_join is approximate: one-sided error,
         # FP-rate pytest-gated) (approximate / stateful / stemmer-dependent):
         # bm25_topk_stemmed, reference_queryset_stemmed,
