@@ -327,6 +327,20 @@ def _q_proximity(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_ordered_proximity(sf_dir: str) -> pa.Table:
+    """(doc_id, min_dist) — ONEAR/5: like proximity_search but only
+    'filter' occurrences AFTER the 'part' occurrence count
+    (0 < pos_b − pos_a ≤ 5), the directed phrase relaxation."""
+    eng = _engine(sf_dir)
+    ids, dist = eng.proximity("part", "filter", within=5, ordered=True)
+    return pa.table(
+        {
+            "doc_id": pa.array([int(i) for i in ids], pa.int64()),
+            "min_dist": pa.array([int(d) for d in dist], pa.int64()),
+        }
+    )
+
+
 WILDCARD = "s*a*"  # matches scan/small/spark/stream in the test vocab
 SPELL_WORD = "par"  # misspelling → part(1), spark(2), a(2)
 FACET_QUERY = "scan AND join"
@@ -852,6 +866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_line_counts": lambda sf: rel.priority_line_counts(sf),
         "pii_scrub": lambda sf: dp.pii_scrub(sf),
         "prf_bm25_topk": _q_prf_bm25,
+        "ordered_proximity_search": _q_ordered_proximity,
     }
 
 
@@ -1940,6 +1955,15 @@ group by l.l_returnflag
 """,
         "pii_scrub": _pii_sql(),
         "prf_bm25_topk": _prf_sql(),
+        "ordered_proximity_search": f"""
+with {_TOK_CTE},
+a as (select doc_id, pos from tok where term = 'part'),
+b as (select doc_id, pos from tok where term = 'filter')
+select a.doc_id, min(b.pos - a.pos)::bigint as min_dist
+from a join b on b.doc_id = a.doc_id and b.pos > a.pos
+group by a.doc_id
+having min(b.pos - a.pos) <= 5
+""",
         # rows-only (bloom_semi_join is approximate: one-sided error,
         # FP-rate pytest-gated) (approximate / stateful / stemmer-dependent):
         # bm25_topk_stemmed, reference_queryset_stemmed,

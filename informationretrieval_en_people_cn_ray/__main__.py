@@ -147,11 +147,13 @@ def _cmd_search(args: argparse.Namespace) -> int:
             return 2
         a, b, k = parts
         eng = SearchEngine(index_dir, mode="local")
-        ids, dists = eng.proximity(a, b, within=int(k))
+        ids, dists = eng.proximity(
+            a, b, within=int(k), ordered=args.ordered
+        )
         print(
             json.dumps(
                 {
-                    "query": f"{a} NEAR/{k} {b}",
+                    "query": f"{a} {'ONEAR' if args.ordered else 'NEAR'}/{k} {b}",
                     "doc_ids": [int(d) for d in ids],
                     "min_dists": [int(d) for d in dists],
                 }
@@ -287,6 +289,11 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--concurrency", type=int, default=2)
     ps.add_argument(
         "--near", help="proximity query: termA,termB,k (NEAR/k search)"
+    )
+    ps.add_argument(
+        "--ordered",
+        action="store_true",
+        help="with --near: only termB AFTER termA counts (ONEAR/k)",
     )
     ps.add_argument("--hydrate", help="corpus path for doc hydration")
     ps.add_argument("--columns", help="comma-separated hydration columns")

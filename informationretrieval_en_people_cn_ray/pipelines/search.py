@@ -933,17 +933,26 @@ class SearchEngine:
         return cand[np.unique(keys >> np.int64(33))]
 
     def proximity(
-        self, term_a: str, term_b: str, within: int = 3
+        self,
+        term_a: str,
+        term_b: str,
+        within: int = 3,
+        ordered: bool = False,
     ) -> tuple[np.ndarray, np.ndarray]:
         """NEAR/k proximity search: (doc_ids, min_dist) for documents
         where some occurrence of ``term_a`` lies within ``within`` token
         positions of some occurrence of ``term_b`` (unordered —
-        |pos_a − pos_b| ≤ within). The natural generalization of the
-        phrase query (phrase ≡ ordered distance-1 chains); the reference
-        stops at phrases, this uses the same position stream. Fully
-        vectorized: per-doc position slices gather segmented (as in
-        ``_phrase_docs_from``), nearest opposite-term occurrence via two
-        ``searchsorted`` probes on (doc, pos) composite keys, per-doc
+        |pos_a − pos_b| ≤ within). With ``ordered=True`` only ``term_b``
+        occurrences AFTER the ``term_a`` occurrence count (ONEAR/k:
+        0 < pos_b − pos_a ≤ within) — the directed phrase relaxation.
+        The natural generalization of the phrase query (phrase ≡
+        ordered distance-1 chains); the reference stops at phrases,
+        this uses the same position stream. Fully vectorized: per-doc
+        position slices gather segmented (as in ``_phrase_docs_from``),
+        nearest opposite-term occurrence via two ``searchsorted``
+        probes on (doc, pos) composite keys (the forward probe alone in
+        ordered mode — two distinct terms never share a position, so
+        the right neighbor IS the nearest following occurrence), per-doc
         minima via one ``minimum.reduceat``."""
         ta = self.az.query_terms(term_a)
         tb = self.az.query_terms(term_b)
@@ -987,12 +996,15 @@ class SearchEngine:
             (kb[r] & ((np.int64(1) << 33) - 1)) - pos_a,
             INF,
         )
-        d_l = np.where(
-            (idx > 0) & ((kb[l] >> np.int64(33)) == da),
-            pos_a - (kb[l] & ((np.int64(1) << 33) - 1)),
-            INF,
-        )
-        dist = np.minimum(d_r, d_l)
+        if ordered:
+            dist = d_r
+        else:
+            d_l = np.where(
+                (idx > 0) & ((kb[l] >> np.int64(33)) == da),
+                pos_a - (kb[l] & ((np.int64(1) << 33) - 1)),
+                INF,
+            )
+            dist = np.minimum(d_r, d_l)
         per_doc = np.minimum.reduceat(dist, a_starts)
         hit = per_doc <= within
         return cand[hit], per_doc[hit]

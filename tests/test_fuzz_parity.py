@@ -136,14 +136,19 @@ def test_fuzz_proximity_matches_oracle(ray_session, tmp_path, seed):
     rng = np.random.RandomState(seed)
     vocab = sorted(oracle.postings)
 
-    def expected(a, b, k):
+    def expected(a, b, k, ordered=False):
         pa_ = {d: ps for d, ps in oracle.postings[a]}
         pb_ = {d: ps for d, ps in oracle.postings[b]}
         out = {}
         for d in sorted(set(pa_) & set(pb_)):
-            m = min(abs(x - y) for x in pa_[d] for y in pb_[d])
-            if m <= k:
-                out[d] = m
+            ds = [
+                (y - x) if ordered else abs(x - y)
+                for x in pa_[d]
+                for y in pb_[d]
+                if not ordered or y > x
+            ]
+            if ds and min(ds) <= k:
+                out[d] = min(ds)
         return out
 
     for _ in range(12):
@@ -154,3 +159,7 @@ def test_fuzz_proximity_matches_oracle(ray_session, tmp_path, seed):
         assert dict(zip(ids.tolist(), dist.tolist())) == expected(a, b, k), (
             a, b, k,
         )
+        ido, disto = eng.proximity(a, b, within=k, ordered=True)
+        assert dict(zip(ido.tolist(), disto.tolist())) == expected(
+            a, b, k, ordered=True
+        ), (a, b, k)

@@ -433,6 +433,12 @@ def test_proximity_planted(ray_session, tmp_path):
     }
     ids0, _ = eng.proximity("alpha", "missing", within=9)
     assert ids0.size == 0
+    # ordered (ONEAR): only beta AFTER alpha counts — doc 1 ('beta
+    # alpha') drops, doc 5 keeps dist 1 from its first alpha
+    ido, disto = eng.proximity("alpha", "beta", within=3, ordered=True)
+    assert dict(zip(ido.tolist(), disto.tolist())) == {0: 3, 5: 1}
+    ido5, disto5 = eng.proximity("alpha", "beta", within=5, ordered=True)
+    assert dict(zip(ido5.tolist(), disto5.tolist())) == {0: 3, 2: 5, 5: 1}
 
 
 # ---------------- wildcard + spell suggestion (engine extensions) ------
