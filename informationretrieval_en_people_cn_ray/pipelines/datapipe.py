@@ -5087,13 +5087,14 @@ def mode_event_type(sf_dir: str):
     type (ties broken by lexicographically smallest type — fully
     deterministic, exact SQL oracle).
 
-    Count-then-argmax in two shuffles, both count-sized: per-batch
-    partial (user, type) counts (pandas C groupby) feed one
-    ``groupby([user, type]).Sum``; the per-user argmax then groups by
-    ``user_id % MODE_BUCKETS`` — a BUCKETED reduce, so one task handles
-    a hash range of users with a single vectorized sort + first-per-key
-    (never a per-user ``map_groups`` call). At 100 TB the shuffle
-    payload is bounded by distinct (user, type) pairs, not events."""
+    Count-then-argmax in ONE count-sized shuffle: per-batch partial
+    (user, type) counts (pandas C groupby) route by
+    ``user_id % MODE_BUCKETS``; each bucket task sums its partials and
+    takes the per-user argmax in a single vectorized
+    sort + first-per-key pass (never a per-user ``map_groups`` call) —
+    all of a user's partials land in one bucket, so no second exchange
+    is needed. At 100 TB the shuffle payload is bounded by distinct
+    (user, type) pairs per batch, not events."""
     import pandas as pd
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -5110,11 +5111,11 @@ def mode_event_type(sf_dir: str):
             .size()
             .reset_index(name="n")
         )
+        u = g["user_id"].to_numpy().astype(np.int64)
         return pa.table(
             {
-                "user_id": pa.array(
-                    g["user_id"].to_numpy().astype(np.int64), pa.int64()
-                ),
+                "bucket": pa.array(u % MODE_BUCKETS, pa.int64()),
+                "user_id": pa.array(u, pa.int64()),
                 "event_type": pa.array(
                     g["event_type"].tolist(), pa.string()
                 ),
@@ -5122,14 +5123,13 @@ def mode_event_type(sf_dir: str):
             }
         )
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return batch.append_column(
-            "bucket", pa.array(u % MODE_BUCKETS, pa.int64())
+    def combine_argmax(group: pa.Table) -> pa.Table:
+        df = (
+            group.to_pandas()
+            .groupby(["user_id", "event_type"], sort=False)["n"]
+            .sum()
+            .reset_index()
         )
-
-    def argmax_bucket(group: pa.Table) -> pa.Table:
-        df = group.to_pandas()
         df = df.sort_values(
             ["user_id", "n", "event_type"], ascending=[True, False, True]
         ).drop_duplicates("user_id")
@@ -5145,20 +5145,13 @@ def mode_event_type(sf_dir: str):
             }
         )
 
-    from ray.data.aggregate import Sum
-
-    counts = (
+    return (
         ray.data.read_parquet(
             f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
         )
         .map_batches(partial, batch_format="pyarrow")
-        .groupby(["user_id", "event_type"])
-        .aggregate(Sum("n", alias_name="n"))
-    )
-    return (
-        counts.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(argmax_bucket, batch_format="pyarrow")
+        .map_groups(combine_argmax, batch_format="pyarrow")
         .select_columns(["user_id", "mode_type", "n_events"])
     )
 
