@@ -332,10 +332,51 @@ def _split_sides(group: pa.Table):
     return probe, build, order, idx, hit
 
 
-def _rev_partials(sf_dir: str, ship_after_us: int | None):
+def _orderkey_bloom(sf_dir: str, lo_us: int, hi_us: int):
+    """Broadcast Bloom bitmap over the orderkeys of orders placed in
+    [lo_us, hi_us) — the join PRE-FILTER for date-windowed order joins:
+    the bitmap is constant-size (``BLOOM_BITS`` bits, 128 KiB) no
+    matter how many orders qualify, so at 100 TB it broadcasts where an
+    exact key set could not. One cheap extra pass over 2 columns of
+    ``orders``; per-batch partial bitmaps OR driver-side. False
+    positives only let extra probe rows through to the exact bucket
+    join (which drops them); no false negatives by construction."""
+    from .datapipe import BLOOM_BITS, _arrow_blocks, _bloom_positions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        odate = _ts_us(batch["o_orderdate"])
+        m = (odate >= lo_us) & (odate < hi_us)
+        bits = np.zeros(BLOOM_BITS, bool)
+        ks = (
+            batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+        )[m]
+        if len(ks):
+            bits[_bloom_positions(np.unique(ks)).ravel()] = True
+        return pa.table({"bits": pa.array([np.packbits(bits).tobytes()])})
+
+    parts = _arrow_blocks(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+        ).map_batches(partial, batch_format="pyarrow")
+    )
+    acc = np.zeros(BLOOM_BITS // 8, np.uint8)
+    for t in parts:
+        if t.num_columns and t.num_rows:
+            for b in t["bits"].to_pylist():
+                acc |= np.frombuffer(b, np.uint8)
+    return ray.put(np.unpackbits(acc).astype(bool))
+
+
+def _rev_partials(sf_dir: str, ship_after_us: int | None, key_bloom=None):
     """lineitem → bucket-tagged (key=l_orderkey, rev=partial Σ rev_e6)
     probe rows, pre-combined per batch over the batch's distinct order
-    keys — the shuffle moves one row per (batch, orderkey)."""
+    keys — the shuffle moves one row per (batch, orderkey).
+    ``key_bloom`` (a ``ray.put`` Bloom bitmap from ``_orderkey_bloom``)
+    drops probe rows whose order cannot qualify BEFORE they enter the
+    shuffle — with a 1-year window that is ~6/7 of the fact side."""
+    from .datapipe import _bloom_positions
 
     def partial(batch: pa.Table) -> pa.Table:
         price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
@@ -349,6 +390,12 @@ def _rev_partials(sf_dir: str, ship_after_us: int | None):
             if not m.any():
                 return _empty_join_block()
             okey, rev = okey[m], rev[m]
+        if key_bloom is not None and len(okey):
+            bm = ray.get(key_bloom)  # local zero-copy after first get
+            hit = bm[_bloom_positions(okey)].all(axis=1)
+            if not hit.any():
+                return _empty_join_block()
+            okey, rev = okey[hit], rev[hit]
         uk, inv = np.unique(okey, return_inverse=True)
         s = np.zeros(len(uk), np.int64)
         np.add.at(s, inv, rev)
@@ -482,7 +529,11 @@ def top_revenue_orders(sf_dir: str):
         .groupby("bucket")
         .map_groups(semi, batch_format="pyarrow")
     )
-    rev = _rev_partials(sf_dir, ship_after_us=seg_date)
+    rev = _rev_partials(
+        sf_dir,
+        ship_after_us=seg_date,
+        key_bloom=_orderkey_bloom(sf_dir, 0, seg_date),
+    )
     per_bucket = (
         rev.union(qualified)
         .groupby("bucket")
@@ -576,7 +627,9 @@ def revenue_by_nation(sf_dir: str):
         np.add.at(s, inv, rev)
         return _tagged(uk, side=0, rev=s)
 
-    rev = _rev_partials(sf_dir, ship_after_us=None)
+    rev = _rev_partials(
+        sf_dir, ship_after_us=None, key_bloom=_orderkey_bloom(sf_dir, lo, hi)
+    )
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
@@ -595,11 +648,25 @@ def revenue_by_nation(sf_dir: str):
         .groupby("bucket")
         .map_groups(_probe_sum_regroup, batch_format="pyarrow")
     )
-    from ray.data.aggregate import Sum
-
-    agg = _to_table(
-        by_nation.groupby("key").aggregate(Sum("rev", alias_name="rev"))
-    )
+    # per-bucket outputs are ≤ 25 nation rows each — the final reduce is
+    # a driver-side sum over ≤ N_BUCKETS·25 rows, not a fourth Ray stage
+    parts = _to_table(by_nation)
+    if parts.num_rows:
+        k = parts["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = parts["rev"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uk, inv = np.unique(k, return_inverse=True)
+        s = np.zeros(len(uk), np.int64)
+        np.add.at(s, inv, v)
+        agg = pa.table(
+            {
+                "key": pa.array(uk, pa.int64()),
+                "rev": pa.array(s, pa.int64()),
+            }
+        )
+    else:
+        agg = pa.table(
+            {"key": pa.array([], pa.int64()), "rev": pa.array([], pa.int64())}
+        )
     if agg.num_rows == 0:
         return pa.table(
             {
