@@ -867,6 +867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": lambda sf: dp.pii_scrub(sf),
         "prf_bm25_topk": _q_prf_bm25,
         "ordered_proximity_search": _q_ordered_proximity,
+        "value_zscore_outliers": lambda sf: dp.value_zscore_outliers(sf),
     }
 
 
@@ -1963,6 +1964,26 @@ select a.doc_id, min(b.pos - a.pos)::bigint as min_dist
 from a join b on b.doc_id = a.doc_id and b.pos > a.pos
 group by a.doc_id
 having min(b.pos - a.pos) <= 5
+""",
+        "value_zscore_outliers": f"""
+with q as (
+  select event_id, event_type,
+         floor(value * {dp._ZQ} + 0.5)::bigint as vq
+  from events
+),
+s as (
+  select event_type, count(*)::bigint as n,
+         sum(vq)::bigint as sv, sum(vq * vq)::bigint as sq
+  from q group by event_type
+)
+select q.event_id, q.event_type,
+  round((q.vq - sv::double / n)
+        / sqrt(sq::double / n - (sv::double / n) * (sv::double / n)),
+        4) as z
+from q join s using (event_type)
+where abs((q.vq - sv::double / n)
+          / sqrt(sq::double / n - (sv::double / n) * (sv::double / n)))
+      >= {dp.ZSCORE_CUT}
 """,
         # rows-only (bloom_semi_join is approximate: one-sided error,
         # FP-rate pytest-gated) (approximate / stateful / stemmer-dependent):

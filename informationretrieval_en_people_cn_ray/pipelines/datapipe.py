@@ -5298,3 +5298,98 @@ def pii_scrub(sf_dir: str):
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         f, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# per-group z-score outliers (anomaly flagging)
+
+ZSCORE_CUT = 2.5  # |z| threshold — shared with the SQL oracle
+_ZQ = 10_000  # value quantization (1e-4 units) for order-independent sums
+
+
+@unreserved
+def value_zscore_outliers(sf_dir: str):
+    """(event_id, event_type, z) — events whose value is ≥ ``ZSCORE_CUT``
+    population standard deviations from their event type's mean: the
+    classic per-group anomaly flag.
+
+    Two streaming passes, ZERO shuffle: pass 1 reduces each batch to
+    per-type integer moment partials (n, Σv, Σv²) over values quantized
+    to 1e-4 units — integer sums are order-independent, so the merged
+    moments (a |types|-row driver merge) are EXACT and the z expression
+    evaluates the identical double expression tree on both sides of the
+    SQL oracle; pass 2 scores vectorized against the broadcast stats.
+    int64 bound: Σv² ≤ (2·10⁹)²-safe for |v| ≤ ~3·10⁵ at 10¹⁰ rows —
+    past that, carry the partials as decimal128."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        vq = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * _ZQ + 0.5
+        ).astype(np.int64)
+        uu, inv = np.unique(et, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uu)).astype(np.int64)
+        sv = np.zeros(len(uu), np.int64)
+        sq = np.zeros(len(uu), np.int64)
+        np.add.at(sv, inv, vq)
+        np.add.at(sq, inv, vq * vq)
+        return pa.table(
+            {
+                "event_type": pa.array(uu.tolist(), pa.string()),
+                "n": pa.array(n, pa.int64()),
+                "sv": pa.array(sv, pa.int64()),
+                "sq": pa.array(sq, pa.int64()),
+            }
+        )
+
+    parts = _to_table(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        ).map_batches(partial, batch_format="pyarrow")
+    )
+    stats: dict[str, tuple[float, float]] = {}
+    if parts.num_rows:
+        et = np.array(parts["event_type"].to_pylist())
+        uu, inv = np.unique(et, return_inverse=True)
+        n = np.zeros(len(uu), np.int64)
+        sv = np.zeros(len(uu), np.int64)
+        sq = np.zeros(len(uu), np.int64)
+        np.add.at(n, inv, parts["n"].to_numpy(zero_copy_only=False))
+        np.add.at(sv, inv, parts["sv"].to_numpy(zero_copy_only=False))
+        np.add.at(sq, inv, parts["sq"].to_numpy(zero_copy_only=False))
+        for i, t in enumerate(uu.tolist()):
+            m = sv[i] / n[i]
+            var = sq[i] / n[i] - m * m
+            stats[t] = (m, float(np.sqrt(var)))
+    stats_ref = ray.put(stats)
+
+    def score(batch: pa.Table) -> pa.Table:
+        st = ray.get(stats_ref)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        vq = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * _ZQ + 0.5
+        ).astype(np.int64)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        uu, inv = np.unique(et, return_inverse=True)
+        mean = np.array([st[t][0] for t in uu.tolist()], np.float64)[inv]
+        sd = np.array([st[t][1] for t in uu.tolist()], np.float64)[inv]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = (vq.astype(np.float64) - mean) / sd
+        keep = np.abs(z) >= ZSCORE_CUT
+        return pa.table(
+            {
+                "event_id": pa.array(eid[keep], pa.int64()),
+                "event_type": pa.array(np.asarray(et)[keep].tolist(),
+                                       pa.string()),
+                "z": pa.array(
+                    [round4(float(x)) for x in z[keep]], pa.float64()
+                ),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    ).map_batches(score, batch_format="pyarrow")

@@ -424,3 +424,46 @@ def test_revenue_band_filter_boundaries(ray_session, tmp_path):
         if r[4]
     )
     assert abs(got["revenue"][0].as_py() - round(exp, 4)) < 1e-9
+
+
+def test_zscore_outliers_planted_and_fuzz(ray_session, tmp_path):
+    """type 'a': 9 values at 10.0 and one at 100.0 — the spike is the
+    only |z| >= 2.5 row (z = (100-19)/27 = 3.0); type 'b' constant →
+    sd 0, no rows (division guarded). Then DuckDB parity on a seeded
+    random table."""
+    import __ray_entry__ as E
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    d = str(tmp_path / "planted")
+    os.makedirs(d)
+    vals = [10.0] * 9 + [100.0] + [5.0] * 6
+    types = ["a"] * 10 + ["b"] * 6
+    n = len(vals)
+    base = np.datetime64("2024-01-01", "us").astype(np.int64)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(n), pa.int64()),
+                "ts": pa.array(
+                    base + np.arange(n) * DAY, pa.int64()
+                ).cast(pa.timestamp("us")),
+                "user_id": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "event_type": pa.array(types),
+                "value": pa.array(vals, pa.float64()),
+                "props": pa.array(["{}"] * n),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    got = dp._to_table(dp.value_zscore_outliers(d)).to_pandas()
+    assert got["event_id"].tolist() == [9]
+    assert abs(got["z"][0] - 3.0) < 1e-9
+    d2 = str(tmp_path / "fuzz")
+    os.makedirs(d2)
+    _write_events(d2, seed=11, n=4000, n_users=50, n_types=3)
+    con = _con(d2, ["events"])
+    _check(
+        dp._to_table(dp.value_zscore_outliers(d2)),
+        E.oracle_sql()["value_zscore_outliers"],
+        con,
+    )
