@@ -868,6 +868,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prf_bm25_topk": _q_prf_bm25,
         "ordered_proximity_search": _q_ordered_proximity,
         "value_zscore_outliers": lambda sf: dp.value_zscore_outliers(sf),
+        # graph analytics + window/argmin family + Q18-shaped join
+        "pagerank": lambda sf: dp.pagerank(sf),
+        "first_event_per_user_type": lambda sf: dp.first_event_per_user_type(sf),
+        "user_moving_avg": lambda sf: dp.user_moving_avg(sf),
+        "big_orders": lambda sf: rel.big_orders(sf),
     }
 
 
@@ -981,6 +986,45 @@ order by sum(
 ) desc, c.doc_id
 limit {BM25_K}
 """
+
+
+def _pagerank_sql() -> str:
+    """Chained-CTE fixed-point PageRank mirroring ``dp.pagerank``:
+    all-integer arithmetic (ranks in 1e-12 units, ``//`` for both the
+    out-degree split and the 0.85/0.15 damping), so the iterations are
+    bit-identical to the engine's."""
+    base = f"(({dp.PR_SCALE} // (select n from nn)) * 15) // 100"
+    ctes = [
+        f"""e as (
+  select a.o_custkey as src, b.o_custkey as dst
+  from orders a join orders b on b.o_orderkey = a.o_orderkey + 1
+  where a.o_custkey <> b.o_custkey
+),
+nodes as (select src as node from e union select dst as node from e),
+nn as (select count(*)::bigint as n from nodes),
+deg as (select src, count(*)::bigint as d from e group by src),
+r0 as (select node, ({dp.PR_SCALE} // (select n from nn))::bigint as r
+       from nodes)"""
+    ]
+    for i in range(1, dp.PR_ITERS + 1):
+        ctes.append(
+            f"""c{i} as (
+  select e.dst as node, sum(r{i - 1}.r // deg.d)::bigint as c
+  from e join r{i - 1} on r{i - 1}.node = e.src
+  join deg on deg.src = e.src
+  group by e.dst
+),
+r{i} as (
+  select nd.node,
+    ({base} + (coalesce(c{i}.c, 0) * 85) // 100)::bigint as r
+  from nodes nd left join c{i} on c{i}.node = nd.node
+)"""
+        )
+    return (
+        "with "
+        + ",\n".join(ctes)
+        + f"\nselect node, r as rank_fp from r{dp.PR_ITERS}"
+    )
 
 
 def _simhash_sql() -> str:
@@ -1984,6 +2028,50 @@ from q join s using (event_type)
 where abs((q.vq - sv::double / n)
           / sqrt(sq::double / n - (sv::double / n) * (sv::double / n)))
       >= {dp.ZSCORE_CUT}
+""",
+        "pagerank": _pagerank_sql(),
+        "first_event_per_user_type": """
+select user_id, event_type, event_id, ts from (
+  select user_id, event_type, event_id, ts,
+         row_number() over (partition by user_id, event_type
+                            order by ts, event_id) as rn
+  from events
+) t where rn = 1
+""",
+        "user_moving_avg": f"""
+with q as (
+  select event_id, user_id, ts,
+         floor(value * 1000.0 + 0.5)::bigint as vm
+  from events
+),
+w as (
+  select event_id, user_id,
+    sum(vm) over (partition by user_id order by ts, event_id
+                  rows between {dp.MAVG_W - 1} preceding and current row
+                 )::bigint as sw,
+    count(*) over (partition by user_id order by ts, event_id
+                   rows between {dp.MAVG_W - 1} preceding and current row
+                  )::bigint as cnt
+  from q
+)
+select event_id, user_id, sw as win_sum_milli, cnt as win_n,
+       round((sw::double / cnt) / 1000.0, 4) as mavg
+from w
+""",
+        "big_orders": f"""
+with s as (
+  select l_orderkey,
+         sum(floor(l_quantity * 100.0 + 0.5)::bigint)::bigint
+           as sum_qty_cents
+  from lineitem group by l_orderkey
+  having sum(floor(l_quantity * 100.0 + 0.5)::bigint) > {rel.Q18_QTY_CENTS}
+)
+select c.c_custkey, c.c_name, o.o_orderkey,
+       floor(o.o_totalprice * 100.0 + 0.5)::bigint as totalprice_cents,
+       s.sum_qty_cents
+from s
+join orders o on o.o_orderkey = s.l_orderkey
+join customer c on c.c_custkey = o.o_custkey
 """,
         # rows-only (bloom_semi_join is approximate: one-sided error,
         # FP-rate pytest-gated) (approximate / stateful / stemmer-dependent):

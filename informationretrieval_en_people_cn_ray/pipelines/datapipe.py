@@ -5393,3 +5393,273 @@ def value_zscore_outliers(sf_dir: str):
         f"{sf_dir}/events.parquet",
         columns=["event_id", "event_type", "value"],
     ).map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# PageRank over a derived directed graph (graph-analytics family)
+
+PR_ITERS = 3  # fixed iteration count — shared with the SQL oracle
+PR_SCALE = 10**12  # rank fixed-point unit (1e-12) — integer-exact parity
+PR_EDGE_BUCKETS = 256
+
+
+@unreserved
+def pagerank(sf_dir: str):
+    """(node, rank_fp) — ``PR_ITERS`` damped PageRank iterations (d=0.85)
+    over the customer graph with an edge a→b whenever customer b placed
+    the order whose key immediately follows one of a's orders — a
+    deterministic sparse directed multigraph derived from ``orders``.
+
+    ALL arithmetic is int64 fixed-point (ranks in 1e-12 units, integer
+    division for both the out-degree split and the 0.85/0.15 damping),
+    so sums are order-independent and the result matches the SQL
+    oracle's chained-CTE iterations bit for bit. Dangling nodes (no
+    out-edges) simply leak their mass — the standard simplification,
+    applied identically on both sides.
+
+    Distributed shape: edge derivation is ONE ``groupby(bucket)``
+    shuffle (each order emits itself under its own key and under
+    key−1; consecutive pairs meet in a bucket and join by a vectorized
+    ``searchsorted``). The edge set is materialized once and each
+    iteration is a single streamed pass over it: per-batch ``np.add.at``
+    partials of incoming contribution per dst (key-domain-bounded, not
+    row-bounded), merged driver-side into the node-sized rank vector —
+    the same dimension-sized driver budget as ``broadcast_join``. At
+    graph scales where the node vector outgrows the driver, swap the
+    broadcast rank vector for a per-iteration ``hash_join`` (this
+    module) + ``groupby(dst)`` — same semantics, two shuffles per
+    iteration."""
+
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        k = np.concatenate([ok, ok - 1])
+        role = np.concatenate(
+            [np.zeros(len(ok), np.int8), np.ones(len(ok), np.int8)]
+        )
+        cust = np.concatenate([ck, ck])
+        return pa.table(
+            {
+                "bucket": pa.array(k % PR_EDGE_BUCKETS, pa.int64()),
+                "k": pa.array(k, pa.int64()),
+                "role": pa.array(role, pa.int8()),
+                "cust": pa.array(cust, pa.int64()),
+            }
+        )
+
+    def match_edges(group: pa.Table) -> pa.Table:
+        group = group.combine_chunks()
+        role = group["role"].to_numpy(zero_copy_only=False)
+        k = group["k"].to_numpy(zero_copy_only=False)
+        cust = group["cust"].to_numpy(zero_copy_only=False)
+        am, bm = role == 0, role == 1
+        ak, ac = k[am], cust[am]  # order at key k (edge source)
+        bk, bc = k[bm], cust[bm]  # order at key k+1 (edge dest)
+        order = np.argsort(bk, kind="stable")
+        bks, bcs = bk[order], bc[order]
+        idx = np.searchsorted(bks, ak)
+        idx[idx >= bks.size] = max(bks.size - 1, 0)
+        hit = bks.size > 0
+        hit = (bks[idx] == ak) if hit else np.zeros(len(ak), bool)
+        src, dst = ac[hit], bcs[idx[hit]]
+        keep = src != dst
+        return pa.table(
+            {
+                "src": pa.array(src[keep], pa.int64()),
+                "dst": pa.array(dst[keep], pa.int64()),
+            }
+        )
+
+    edges = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        )
+        .map_batches(pair_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(match_edges, batch_format="pyarrow")
+        .materialize()  # reused PR_ITERS+1 times below
+    )
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        us, cs = np.unique(s, return_counts=True)
+        ud = np.unique(d)
+        node = np.concatenate([us, ud])
+        out = np.concatenate([cs.astype(np.int64), np.zeros(len(ud), np.int64)])
+        return pa.table(
+            {
+                "node": pa.array(node, pa.int64()),
+                "out": pa.array(out, pa.int64()),
+            }
+        )
+
+    parts = _to_table(edges.map_batches(deg_partial, batch_format="pyarrow"))
+    if parts.num_rows == 0:
+        return pa.table(
+            {"node": pa.array([], pa.int64()), "rank_fp": pa.array([], pa.int64())}
+        )
+    pn = parts["node"].to_numpy(zero_copy_only=False)
+    nodes = np.unique(pn)
+    outdeg = np.zeros(len(nodes), np.int64)
+    np.add.at(
+        outdeg,
+        np.searchsorted(nodes, pn),
+        parts["out"].to_numpy(zero_copy_only=False),
+    )
+    n = len(nodes)
+    r = np.full(n, PR_SCALE // n, np.int64)
+    base = ((PR_SCALE // n) * 15) // 100
+
+    for _ in range(PR_ITERS):
+        contrib = np.where(outdeg > 0, r // np.maximum(outdeg, 1), 0)
+        state = ray.put((nodes, contrib))
+
+        def agg_partial(batch: pa.Table) -> pa.Table:
+            nd, cb = ray.get(state)  # local zero-copy after first get
+            s = batch["src"].to_numpy(zero_copy_only=False)
+            d = batch["dst"].to_numpy(zero_copy_only=False)
+            c = cb[np.searchsorted(nd, s)]
+            ud, inv = np.unique(d, return_inverse=True)
+            acc = np.zeros(len(ud), np.int64)
+            np.add.at(acc, inv, c)
+            return pa.table(
+                {
+                    "node": pa.array(ud, pa.int64()),
+                    "c": pa.array(acc, pa.int64()),
+                }
+            )
+
+        pt = _to_table(edges.map_batches(agg_partial, batch_format="pyarrow"))
+        agg = np.zeros(n, np.int64)
+        if pt.num_rows:
+            np.add.at(
+                agg,
+                np.searchsorted(
+                    nodes, pt["node"].to_numpy(zero_copy_only=False)
+                ),
+                pt["c"].to_numpy(zero_copy_only=False),
+            )
+        r = base + (agg * 85) // 100
+
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.int64()),
+            "rank_fp": pa.array(r, pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# argmin-per-group: first event per (user, event_type)
+
+
+@unreserved
+def first_event_per_user_type(sf_dir: str):
+    """(user_id, event_type, event_id, ts) — each user's FIRST event of
+    each type (earliest ts, tie-break event_id asc): the first-touch
+    attribution / argmin-per-group shape.
+
+    Distributed shape: per-batch partial lexmin (every input batch keeps
+    one row per (user,type) pair it saw — the shuffle payload is
+    key-domain-bounded, not row-bounded), then a composite-key
+    ``groupby(["user_id","event_type"])`` whose groups are the tiny
+    partial slivers. No sort of the fact table, no window function."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, ts, et, uid))
+        us, es = uid[order], et[order]
+        first = (
+            np.r_[True, (us[1:] != us[:-1]) | (es[1:] != es[:-1])]
+            if len(order)
+            else np.empty(0, bool)
+        )
+        return batch.select(["user_id", "event_type", "event_id", "ts"]).take(
+            pa.array(order[first], pa.int64())
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        group = group.combine_chunks()
+        ts = group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        i = int(np.lexsort((eid, ts))[0])
+        return group.take(pa.array([i], pa.int64()))
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-user moving average (ordered window over the last W events)
+
+MAVG_W = 5  # window width in rows — shared with the SQL oracle
+
+
+@unreserved
+def user_moving_avg(sf_dir: str):
+    """(event_id, user_id, win_sum_milli, win_n, mavg) — per-user moving
+    average of ``value`` over each event and its ``MAVG_W−1``
+    predecessors in (ts, event_id) order: the classic
+    ``ROWS BETWEEN 4 PRECEDING AND CURRENT ROW`` window.
+
+    Values are quantized to exact integer milli-units before the window
+    sum (order-independent), and the final ``mavg`` double is the
+    identical expression tree on both sides of the oracle. Distributed
+    shape: one ``groupby(user_id)`` shuffle; per-group the window is a
+    vectorized cumsum difference, never a Python loop. Per-user groups
+    are naturally bounded here; a hot-key-safe variant would range-
+    partition time and merge the ≤ W−1 boundary rows, exactly as
+    ``running_totals(mode="by_time")`` does."""
+
+    def per_user(group: pa.Table) -> pa.Table:
+        group = group.combine_chunks()
+        ts = group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vm = np.floor(
+            group["value"].to_numpy(zero_copy_only=False) * 1000.0 + 0.5
+        ).astype(np.int64)
+        order = np.lexsort((eid, ts))
+        vms = vm[order]
+        c = np.cumsum(vms)
+        sw = c.copy()
+        sw[MAVG_W:] = c[MAVG_W:] - c[:-MAVG_W]
+        cnt = np.minimum(np.arange(1, len(vms) + 1), MAVG_W).astype(np.int64)
+        mavg = np.array(
+            [round4(x) for x in (sw.astype(np.float64) / cnt) / 1000.0],
+            np.float64,
+        )
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order], pa.int64()),
+                "user_id": pa.array(uid[order], pa.int64()),
+                "win_sum_milli": pa.array(sw, pa.int64()),
+                "win_n": pa.array(cnt, pa.int64()),
+                "mavg": pa.array(mavg, pa.float64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "value"],
+        )
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+    )

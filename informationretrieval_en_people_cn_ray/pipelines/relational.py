@@ -826,3 +826,150 @@ def priority_line_counts(sf_dir: str):
             "low_line_count": pa.array(lo_s, pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Q18-style: large-volume orders (groupby-HAVING + two bucketed joins)
+
+Q18_QTY_CENTS = 26_000  # HAVING Σ qty (exact cents) must exceed this
+
+
+@unreserved
+def big_orders(sf_dir: str):
+    """(c_custkey, c_name, o_orderkey, totalprice_cents, sum_qty_cents)
+    — the TPC-H Q18 shape: orders whose total lineitem quantity exceeds
+    ``Q18_QTY_CENTS`` (quantity carried as exact integer cents), joined
+    back to the order row and its customer.
+
+    Three output- or domain-bounded shuffles, in the module's shared
+    bucket-join schema:
+
+    1. lineitem quantity partials pre-combined per batch (one row per
+       (batch, orderkey)) → ``groupby(bucket)`` sums each order's total
+       and applies HAVING inside the bucket, so only qualifying orders
+       (a selectivity-bounded sliver) leave stage 1;
+    2. survivors ⨝ ``orders`` bucketed on orderkey (survivors are the
+       build side — never a broadcast: the HAVING survivor set grows
+       with the data);
+    3. the result re-bucketed on custkey ⨝ ``customer``.
+
+    The quantity total rides through the string ``tag`` slot between
+    joins (vectorized Arrow int↔string casts, no Python loop)."""
+
+    def qty_rows(batch: pa.Table) -> pa.Table:
+        okey = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        qc = _cents(batch["l_quantity"].to_numpy(zero_copy_only=False))
+        uk, inv = np.unique(okey, return_inverse=True)
+        s = np.zeros(len(uk), np.int64)
+        np.add.at(s, inv, qc)
+        return _tagged(uk, side=0, rev=s)
+
+    def sum_having(group: pa.Table) -> pa.Table:
+        group = group.combine_chunks()
+        key = group["key"].to_numpy(zero_copy_only=False)
+        rev = group["rev"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(key, return_inverse=True)
+        s = np.zeros(len(uk), np.int64)
+        np.add.at(s, inv, rev)
+        m = s > Q18_QTY_CENTS
+        if not m.any():
+            return _empty_join_block()
+        return _tagged(uk[m], side=1, rev=s[m])
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        tp = _cents(batch["o_totalprice"].to_numpy(zero_copy_only=False))
+        return _tagged(ok, side=0, rev=ck, aux=tp)
+
+    def join_orders(group: pa.Table) -> pa.Table:
+        """orders (probe) ⨝ HAVING survivors (build, unique keys);
+        emit hits re-bucketed by CUSTKEY for the customer join."""
+        split = _split_sides(group)
+        if split is None:
+            return _empty_join_block()
+        probe, build, order, idx, hit = split
+        if not hit.any():
+            return _empty_join_block()
+        kept = probe.filter(pa.array(hit))
+        sum_qty = build["rev"].to_numpy(zero_copy_only=False)[
+            order[idx[hit]]
+        ]
+        ck = kept["rev"].to_numpy(zero_copy_only=False)
+        return _tagged(
+            ck,
+            side=0,
+            rev=kept["key"].to_numpy(zero_copy_only=False),  # o_orderkey
+            aux=kept["aux"].to_numpy(zero_copy_only=False),  # price cents
+            tag=pa.compute.cast(
+                pa.array(sum_qty, pa.int64()), pa.string()
+            ).to_pylist(),
+        )
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return _tagged(ck, side=1, tag=batch["c_name"].to_pylist())
+
+    def join_customer(group: pa.Table) -> pa.Table:
+        split = _split_sides(group)
+        empty = pa.table(
+            {
+                "c_custkey": pa.array([], pa.int64()),
+                "c_name": pa.array([], pa.string()),
+                "o_orderkey": pa.array([], pa.int64()),
+                "totalprice_cents": pa.array([], pa.int64()),
+                "sum_qty_cents": pa.array([], pa.int64()),
+            }
+        )
+        if split is None:
+            return empty
+        probe, build, order, idx, hit = split
+        if not hit.any():
+            return empty
+        kept = probe.filter(pa.array(hit))
+        names = build["tag"].take(
+            pa.array(order[idx[hit]].astype(np.int64), pa.int64())
+        )
+        return pa.table(
+            {
+                "c_custkey": kept["key"],
+                "c_name": names,
+                "o_orderkey": kept["rev"],
+                "totalprice_cents": kept["aux"],
+                "sum_qty_cents": pa.compute.cast(kept["tag"], pa.int64()),
+            }
+        )
+
+    survivors = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+        )
+        .map_batches(qty_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sum_having, batch_format="pyarrow")
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).map_batches(order_rows, batch_format="pyarrow")
+    with_orders = (
+        orders.union(survivors)
+        .groupby("bucket")
+        .map_groups(join_orders, batch_format="pyarrow")
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).map_batches(cust_rows, batch_format="pyarrow")
+    return (
+        with_orders.union(cust)
+        .groupby("bucket")
+        .map_groups(join_customer, batch_format="pyarrow")
+    )

@@ -467,3 +467,150 @@ def test_zscore_outliers_planted_and_fuzz(ray_session, tmp_path):
         E.oracle_sql()["value_zscore_outliers"],
         con,
     )
+
+
+def _write_events_coarse(d: str, seed: int, n: int, n_users: int,
+                         n_types: int, n_days: int = 12):
+    """Events on a coarse day grid — duplicate (user, ts) pairs are
+    common, so ordered-window tie-breaks on event_id are genuinely
+    exercised."""
+    rng = np.random.RandomState(seed)
+    base = np.datetime64("2024-01-01", "us").astype(np.int64)
+    types = [f"t{chr(97 + i)}" for i in range(n_types)]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(n), pa.int64()),
+                "ts": pa.array(
+                    base + rng.randint(0, n_days, n) * DAY, pa.int64()
+                ).cast(pa.timestamp("us")),
+                "user_id": pa.array(
+                    rng.randint(0, n_users, n).astype(np.int64), pa.int64()
+                ),
+                "event_type": pa.array(
+                    [types[i] for i in rng.randint(0, n_types, n)]
+                ),
+                "value": pa.array(rng.uniform(-5, 20, n), pa.float64()),
+                "props": pa.array(["{}"] * n),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+
+
+def test_pagerank_planted_cycle_and_fuzz(ray_session, tmp_path):
+    """Orders with custkeys [1,2,3,1] on consecutive orderkeys plant the
+    3-cycle 1→2→3→1: every node has out-degree 1 and receives exactly
+    one full contribution, so the closed-form integer iteration is
+    checkable by hand; then DuckDB parity on a seeded skewed table."""
+    import __ray_entry__ as E
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    d = str(tmp_path / "cycle")
+    os.makedirs(d)
+    ck = np.array([1, 2, 3, 1], np.int64)
+    n = len(ck)
+    base = np.datetime64("1995-01-01", "us").astype(np.int64)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(np.arange(n), pa.int64()),
+                "o_custkey": pa.array(ck, pa.int64()),
+                "o_orderstatus": pa.array(["O"] * n),
+                "o_totalprice": pa.array(np.ones(n), pa.float64()),
+                "o_orderdate": pa.array(
+                    base + np.arange(n) * DAY, pa.int64()
+                ).cast(pa.timestamp("us")),
+                "o_orderpriority": pa.array(["1-URGENT"] * n),
+            }
+        ),
+        os.path.join(d, "orders.parquet"),
+    )
+    got = dp._to_table(dp.pagerank(d)).to_pandas().sort_values("node")
+    r = dp.PR_SCALE // 3
+    pr_base = ((dp.PR_SCALE // 3) * 15) // 100
+    for _ in range(dp.PR_ITERS):
+        r = pr_base + (r * 85) // 100  # one in-edge carrying full rank
+    assert got["node"].tolist() == [1, 2, 3]
+    assert got["rank_fp"].tolist() == [r, r, r]
+
+    d2 = str(tmp_path / "fuzz")
+    os.makedirs(d2)
+    # hot_frac puts one customer on most orders → self-loops dropped,
+    # heavy multiplicities kept, skewed in-degree exercised
+    _write_tpch(d2, seed=23, n_li=100, n_ord=1200, n_cust=60,
+                hot_frac=0.3)
+    con = _con(d2, ["orders"])
+    _check(
+        dp._to_table(dp.pagerank(d2)), E.oracle_sql()["pagerank"], con
+    )
+
+
+@pytest.mark.parametrize("seed", [3, 31])
+def test_first_event_and_moving_avg_match_duckdb(ray_session, tmp_path,
+                                                 seed):
+    import __ray_entry__ as E
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    d = str(tmp_path)
+    _write_events_coarse(d, seed, n=4000, n_users=35, n_types=4)
+    con = _con(d, ["events"])
+    sqls = E.oracle_sql()
+    _check(
+        dp._to_table(dp.first_event_per_user_type(d)),
+        sqls["first_event_per_user_type"],
+        con,
+    )
+    _check(
+        dp._to_table(dp.user_moving_avg(d)), sqls["user_moving_avg"], con
+    )
+
+
+def test_moving_avg_short_user_window(ray_session, tmp_path):
+    """A user with fewer events than the window width: every prefix
+    count is used as the divisor (win_n ramps 1..n)."""
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    d = str(tmp_path)
+    base = np.datetime64("2024-01-01", "us").astype(np.int64)
+    vals = [1.0, 2.0, 6.0]
+    n = len(vals)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(n), pa.int64()),
+                "ts": pa.array(
+                    base + np.arange(n) * DAY, pa.int64()
+                ).cast(pa.timestamp("us")),
+                "user_id": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "event_type": pa.array(["ta"] * n),
+                "value": pa.array(vals, pa.float64()),
+                "props": pa.array(["{}"] * n),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    got = (
+        dp._to_table(dp.user_moving_avg(d))
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    assert got["win_n"].tolist() == [1, 2, 3]
+    assert got["mavg"].tolist() == [1.0, 1.5, 3.0]
+
+
+@pytest.mark.parametrize("seed,hot", [(7, 0.0), (41, 0.5)])
+def test_big_orders_matches_duckdb(ray_session, tmp_path, seed, hot):
+    """Q18 shape vs DuckDB; the hot leg concentrates lineitems on one
+    order so the HAVING survivor carries a huge quantity sum."""
+    import __ray_entry__ as E
+    from informationretrieval_en_people_cn_ray.pipelines import relational
+
+    d = str(tmp_path)
+    _write_tpch(d, seed, n_li=6000, n_ord=400, n_cust=80, hot_frac=hot)
+    con = _con(d, ["customer", "orders", "lineitem"])
+    got = relational.big_orders(d)
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+    t = dp._to_table(got)
+    assert t.num_rows > 0  # threshold must actually select something
+    _check(t, E.oracle_sql()["big_orders"], con)
