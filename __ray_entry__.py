@@ -873,6 +873,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_event_per_user_type": lambda sf: dp.first_event_per_user_type(sf),
         "user_moving_avg": lambda sf: dp.user_moving_avg(sf),
         "big_orders": lambda sf: rel.big_orders(sf),
+        "triangle_count": lambda sf: dp.triangle_count(sf),
+        "cohort_retention": lambda sf: dp.cohort_retention(sf),
+        "funnel_counts": lambda sf: dp.funnel_counts(sf),
     }
 
 
@@ -2030,6 +2033,53 @@ where abs((q.vq - sv::double / n)
       >= {dp.ZSCORE_CUT}
 """,
         "pagerank": _pagerank_sql(),
+        "triangle_count": """
+with d as (
+  select a.o_custkey as x, b.o_custkey as y
+  from orders a join orders b on b.o_orderkey = a.o_orderkey + 1
+  where a.o_custkey <> b.o_custkey
+),
+e as (select distinct least(x, y) as u, greatest(x, y) as v from d)
+select count(*)::bigint as n_triangles
+from e e1
+join e e2 on e2.u = e1.u and e2.v > e1.v
+join e e3 on e3.u = e1.v and e3.v = e2.v
+""",
+        "cohort_retention": f"""
+with f as (
+  select user_id, min(epoch_us(ts) // {dp.WEEK_US}) as cohort_week
+  from events group by user_id
+)
+select f.cohort_week::bigint as cohort_week,
+       (epoch_us(e.ts) // {dp.WEEK_US})::bigint as event_week,
+       count(distinct e.user_id)::bigint as n_users
+from events e join f on f.user_id = e.user_id
+group by 1, 2
+""",
+        "funnel_counts": f"""
+with s1 as (
+  select user_id, min(epoch_us(ts)) as t1 from events
+  where event_type = '{dp.FUNNEL_STEPS[0]}' group by user_id
+),
+s2 as (
+  select e.user_id, min(epoch_us(e.ts)) as t2
+  from events e join s1 on s1.user_id = e.user_id
+  where e.event_type = '{dp.FUNNEL_STEPS[1]}' and epoch_us(e.ts) > s1.t1
+  group by e.user_id
+),
+s3 as (
+  select e.user_id, min(epoch_us(e.ts)) as t3
+  from events e join s2 on s2.user_id = e.user_id
+  where e.event_type = '{dp.FUNNEL_STEPS[2]}' and epoch_us(e.ts) > s2.t2
+  group by e.user_id
+)
+select 1::bigint as step, '{dp.FUNNEL_STEPS[0]}' as event_type,
+       count(*)::bigint as n_users from s1
+union all
+select 2::bigint, '{dp.FUNNEL_STEPS[1]}', count(*)::bigint from s2
+union all
+select 3::bigint, '{dp.FUNNEL_STEPS[2]}', count(*)::bigint from s3
+""",
         "first_event_per_user_type": """
 select user_id, event_type, event_id, ts from (
   select user_id, event_type, event_id, ts,

@@ -5403,32 +5403,15 @@ PR_SCALE = 10**12  # rank fixed-point unit (1e-12) — integer-exact parity
 PR_EDGE_BUCKETS = 256
 
 
-@unreserved
-def pagerank(sf_dir: str):
-    """(node, rank_fp) — ``PR_ITERS`` damped PageRank iterations (d=0.85)
-    over the customer graph with an edge a→b whenever customer b placed
-    the order whose key immediately follows one of a's orders — a
-    deterministic sparse directed multigraph derived from ``orders``.
+def _order_pair_edges(sf_dir: str):
+    """Directed (src, dst) customer edges: src placed the order whose
+    key immediately precedes one of dst's orders (self-loops dropped,
+    multiplicity kept) — the deterministic sparse graph shared by the
+    graph-analytics family (``pagerank``, ``triangle_count``).
 
-    ALL arithmetic is int64 fixed-point (ranks in 1e-12 units, integer
-    division for both the out-degree split and the 0.85/0.15 damping),
-    so sums are order-independent and the result matches the SQL
-    oracle's chained-CTE iterations bit for bit. Dangling nodes (no
-    out-edges) simply leak their mass — the standard simplification,
-    applied identically on both sides.
-
-    Distributed shape: edge derivation is ONE ``groupby(bucket)``
-    shuffle (each order emits itself under its own key and under
-    key−1; consecutive pairs meet in a bucket and join by a vectorized
-    ``searchsorted``). The edge set is materialized once and each
-    iteration is a single streamed pass over it: per-batch ``np.add.at``
-    partials of incoming contribution per dst (key-domain-bounded, not
-    row-bounded), merged driver-side into the node-sized rank vector —
-    the same dimension-sized driver budget as ``broadcast_join``. At
-    graph scales where the node vector outgrows the driver, swap the
-    broadcast rank vector for a per-iteration ``hash_join`` (this
-    module) + ``groupby(dst)`` — same semantics, two shuffles per
-    iteration."""
+    ONE ``groupby(bucket)`` shuffle: each order emits itself under its
+    own orderkey and under orderkey−1, so consecutive pairs meet in a
+    bucket and join by a vectorized ``searchsorted``."""
 
     def pair_rows(batch: pa.Table) -> pa.Table:
         ok = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(
@@ -5474,15 +5457,43 @@ def pagerank(sf_dir: str):
             }
         )
 
-    edges = (
+    return (
         ray.data.read_parquet(
             f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
         )
         .map_batches(pair_rows, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(match_edges, batch_format="pyarrow")
-        .materialize()  # reused PR_ITERS+1 times below
     )
+
+
+@unreserved
+def pagerank(sf_dir: str):
+    """(node, rank_fp) — ``PR_ITERS`` damped PageRank iterations (d=0.85)
+    over the customer graph with an edge a→b whenever customer b placed
+    the order whose key immediately follows one of a's orders — a
+    deterministic sparse directed multigraph derived from ``orders``.
+
+    ALL arithmetic is int64 fixed-point (ranks in 1e-12 units, integer
+    division for both the out-degree split and the 0.85/0.15 damping),
+    so sums are order-independent and the result matches the SQL
+    oracle's chained-CTE iterations bit for bit. Dangling nodes (no
+    out-edges) simply leak their mass — the standard simplification,
+    applied identically on both sides.
+
+    Distributed shape: edge derivation is ONE ``groupby(bucket)``
+    shuffle (each order emits itself under its own key and under
+    key−1; consecutive pairs meet in a bucket and join by a vectorized
+    ``searchsorted``). The edge set is materialized once and each
+    iteration is a single streamed pass over it: per-batch ``np.add.at``
+    partials of incoming contribution per dst (key-domain-bounded, not
+    row-bounded), merged driver-side into the node-sized rank vector —
+    the same dimension-sized driver budget as ``broadcast_join``. At
+    graph scales where the node vector outgrows the driver, swap the
+    broadcast rank vector for a per-iteration ``hash_join`` (this
+    module) + ``groupby(dst)`` — same semantics, two shuffles per
+    iteration."""
+    edges = _order_pair_edges(sf_dir).materialize()  # reused PR_ITERS+1×
 
     def deg_partial(batch: pa.Table) -> pa.Table:
         s = batch["src"].to_numpy(zero_copy_only=False)
@@ -5662,4 +5673,342 @@ def user_moving_avg(sf_dir: str):
         )
         .groupby("user_id")
         .map_groups(per_user, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# triangle counting (graph analytics)
+
+TRI_BUCKETS = 256
+
+
+@unreserved
+def triangle_count(sf_dir: str):
+    """Single-row (n_triangles) — triangle count of the UNDIRECTED
+    customer graph (``_order_pair_edges`` canonicalized to u<v, distinct)
+    via the classic MapReduce wedge-check: generate each wedge once at
+    its center, then verify which wedges close against the edge set —
+    never a broadcast of the edge list and never a driver adjacency.
+
+    Shuffles (all edge- or wedge-bounded):
+    1. ``groupby(bucket)`` dedups canonical edges inside hash buckets;
+    2. ``groupby(u)`` gathers each node's neighbor list and emits the
+       wedges (v1<v2 pairs) over its GREATER neighbors only, so every
+       triangle is generated exactly once, at its smallest vertex. A
+       degree-d node emits ≤ d·(d−1)/2 wedge rows — the known cost of
+       the wedge algorithm; a hot-hub graph would add the standard
+       degree-ordering refinement (emit wedges only at each edge's
+       lowest-degree endpoint) on the same plumbing;
+    3. wedges ∪ edges ``groupby(bucket)``: inside a bucket the wedge
+       (v1,v2) keys probe the sorted edge keys (``searchsorted`` on a
+       packed composite), matched wedge counts sum to triangle partials,
+       and the driver adds up one int per bucket.
+
+    """
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        u = np.minimum(s, d)
+        v = np.maximum(s, d)
+        key = np.unique(np.stack([u, v], axis=1), axis=0)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (key[:, 0] * 1000003 + key[:, 1]) % TRI_BUCKETS,
+                    pa.int64(),
+                ),
+                "u": pa.array(key[:, 0], pa.int64()),
+                "v": pa.array(key[:, 1], pa.int64()),
+            }
+        )
+
+    def dedup_bucket(group: pa.Table) -> pa.Table:
+        group = group.combine_chunks()
+        u = group["u"].to_numpy(zero_copy_only=False)
+        v = group["v"].to_numpy(zero_copy_only=False)
+        key = np.unique(np.stack([u, v], axis=1), axis=0)
+        return pa.table(
+            {
+                "u": pa.array(key[:, 0], pa.int64()),
+                "v": pa.array(key[:, 1], pa.int64()),
+            }
+        )
+
+    edges = (
+        _order_pair_edges(sf_dir)
+        .map_batches(canon, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(dedup_bucket, batch_format="pyarrow")
+        .materialize()  # consumed twice: wedge generation + edge probe
+    )
+
+    def adj_rows(batch: pa.Table) -> pa.Table:
+        # wedge centers: every canonical edge (u,v) puts v in u's
+        # neighbor list AND u in v's (undirected adjacency)
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "c": pa.array(np.concatenate([u, v]), pa.int64()),
+                "n": pa.array(np.concatenate([v, u]), pa.int64()),
+            }
+        )
+
+    def wedges(group: pa.Table) -> pa.Table:
+        group = group.combine_chunks()
+        c = group["c"][0].as_py()
+        nb = np.unique(group["n"].to_numpy(zero_copy_only=False))
+        nb = nb[nb > c]  # count each triangle ONCE, at its smallest vertex
+        if nb.size < 2:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "u": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int8()),
+                }
+            )
+        i, j = np.triu_indices(nb.size, k=1)
+        w1, w2 = nb[i], nb[j]
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (w1 * 1000003 + w2) % TRI_BUCKETS, pa.int64()
+                ),
+                "u": pa.array(w1, pa.int64()),
+                "v": pa.array(w2, pa.int64()),
+                "cnt": pa.array(np.ones(len(w1), np.int64), pa.int64()),
+                "side": pa.array(np.zeros(len(w1), np.int8), pa.int8()),
+            }
+        )
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (u * 1000003 + v) % TRI_BUCKETS, pa.int64()
+                ),
+                "u": pa.array(u, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "cnt": pa.array(np.zeros(len(u), np.int64), pa.int64()),
+                "side": pa.array(np.ones(len(u), np.int8), pa.int8()),
+            }
+        )
+
+    def close_wedges(group: pa.Table) -> pa.Table:
+        group = group.combine_chunks()
+        side = group["side"].to_numpy(zero_copy_only=False)
+        u = group["u"].to_numpy(zero_copy_only=False)
+        v = group["v"].to_numpy(zero_copy_only=False)
+        cnt = group["cnt"].to_numpy(zero_copy_only=False)
+        # composite (u,v) packed for one searchsorted; u,v < 2^31 here —
+        # past that, probe a lexsorted 2-column view instead
+        key = u * (1 << 31) + v
+        em = side == 1
+        ek = np.sort(key[em])
+        wk, wc = key[~em], cnt[~em]
+        if ek.size == 0 or wk.size == 0:
+            n = 0
+        else:
+            idx = np.searchsorted(ek, wk)
+            idx[idx >= ek.size] = ek.size - 1
+            n = int(wc[ek[idx] == wk].sum())
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    wedge_ds = (
+        edges.map_batches(adj_rows, batch_format="pyarrow")
+        .groupby("c")
+        .map_groups(wedges, batch_format="pyarrow")
+    )
+    edge_keyed = edges.map_batches(edge_rows, batch_format="pyarrow")
+    parts = _to_table(
+        wedge_ds.union(edge_keyed)
+        .groupby("bucket")
+        .map_groups(close_wedges, batch_format="pyarrow")
+    )
+    total = (
+        int(parts["n"].to_numpy(zero_copy_only=False).sum())
+        if parts.num_rows
+        else 0
+    )
+    return pa.table({"n_triangles": pa.array([total], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# cohort retention (events family)
+
+WEEK_US = 7 * 86_400_000_000
+
+
+@unreserved
+def cohort_retention(sf_dir: str):
+    """(cohort_week, event_week, n_users) — the classic retention
+    matrix: users bucketed by the week of their FIRST event, counted
+    distinct in every week they were active.
+
+    Pass 1 computes each user's cohort week as per-batch partial mins
+    (key-domain-bounded) merged driver-side and broadcast via
+    ``ray.put`` — the dimension-sized small side. Pass 2 reduces each
+    batch to its distinct (user, week) pairs (payload bounded by
+    users×weeks, not rows) and a ``groupby([cohort, week])`` counts
+    distinct users per cell over those slivers."""
+
+    def min_week_partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = (
+            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // WEEK_US
+        )
+        uu, inv = np.unique(uid, return_inverse=True)
+        mn = np.full(len(uu), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mn, inv, w)
+        return pa.table(
+            {
+                "user_id": pa.array(uu, pa.int64()),
+                "w": pa.array(mn, pa.int64()),
+            }
+        )
+
+    parts = _to_table(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+        ).map_batches(min_week_partial, batch_format="pyarrow")
+    )
+    if parts.num_rows == 0:
+        return pa.table(
+            {
+                "cohort_week": pa.array([], pa.int64()),
+                "event_week": pa.array([], pa.int64()),
+                "n_users": pa.array([], pa.int64()),
+            }
+        )
+    pu = parts["user_id"].to_numpy(zero_copy_only=False)
+    users = np.unique(pu)
+    cohort = np.full(len(users), np.iinfo(np.int64).max, np.int64)
+    np.minimum.at(
+        cohort,
+        np.searchsorted(users, pu),
+        parts["w"].to_numpy(zero_copy_only=False),
+    )
+    state = ray.put((users, cohort))
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        us, co = ray.get(state)  # local zero-copy after first get
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = (
+            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // WEEK_US
+        )
+        key = np.unique(np.stack([uid, w], axis=1), axis=0)
+        return pa.table(
+            {
+                "cohort_week": pa.array(
+                    co[np.searchsorted(us, key[:, 0])], pa.int64()
+                ),
+                "event_week": pa.array(key[:, 1], pa.int64()),
+                "user_id": pa.array(key[:, 0], pa.int64()),
+            }
+        )
+
+    def cell(group: pa.Table) -> pa.Table:
+        group = group.combine_chunks()
+        n = len(np.unique(group["user_id"].to_numpy(zero_copy_only=False)))
+        return pa.table(
+            {
+                "cohort_week": group["cohort_week"].slice(0, 1),
+                "event_week": group["event_week"].slice(0, 1),
+                "n_users": pa.array([n], pa.int64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+        )
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["cohort_week", "event_week"])
+        .map_groups(cell, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# funnel analysis (events family)
+
+FUNNEL_STEPS = ("view", "click", "purchase")  # shared with the SQL oracle
+
+
+@unreserved
+def funnel_counts(sf_dir: str):
+    """(step, event_type, n_users) — ordered-funnel completion counts:
+    a user completes step k when an event of ``FUNNEL_STEPS[k]`` exists
+    STRICTLY after their step-(k−1) completion time (min-ts chaining,
+    the standard sequential-funnel semantics; ties at the exact same
+    microsecond do not advance the funnel on either side of the oracle).
+
+    One ``groupby(user_id)`` shuffle; each group resolves the whole
+    chain vectorized (one mask + min per step), emits ≤ |steps| rows,
+    and the step totals are per-batch partial sums merged driver-side
+    (|steps| ints)."""
+
+    def per_user(group: pa.Table) -> pa.Table:
+        group = group.combine_chunks()
+        et = group["event_type"].to_numpy(zero_copy_only=False)
+        ts = group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        done = np.zeros(len(FUNNEL_STEPS), np.int64)
+        prev = -1
+        for i, step in enumerate(FUNNEL_STEPS):
+            cand = ts[(et == step) & (ts > prev)]
+            if cand.size == 0:
+                break
+            done[i] = 1
+            prev = int(cand.min())
+        return pa.table(
+            {
+                "step": pa.array(
+                    np.arange(1, len(FUNNEL_STEPS) + 1), pa.int64()
+                ),
+                "n": pa.array(done, pa.int64()),
+            }
+        )
+
+    def sum_partial(batch: pa.Table) -> pa.Table:
+        st = batch["step"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        acc = np.zeros(len(FUNNEL_STEPS), np.int64)
+        np.add.at(acc, st - 1, n)
+        return pa.table(
+            {
+                "step": pa.array(
+                    np.arange(1, len(FUNNEL_STEPS) + 1), pa.int64()
+                ),
+                "n": pa.array(acc, pa.int64()),
+            }
+        )
+
+    parts = _to_table(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_type", "ts"],
+        )
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+        .map_batches(sum_partial, batch_format="pyarrow")
+    )
+    total = np.zeros(len(FUNNEL_STEPS), np.int64)
+    if parts.num_rows:
+        np.add.at(
+            total,
+            parts["step"].to_numpy(zero_copy_only=False) - 1,
+            parts["n"].to_numpy(zero_copy_only=False),
+        )
+    return pa.table(
+        {
+            "step": pa.array(np.arange(1, len(FUNNEL_STEPS) + 1), pa.int64()),
+            "event_type": pa.array(list(FUNNEL_STEPS), pa.string()),
+            "n_users": pa.array(total, pa.int64()),
+        }
     )

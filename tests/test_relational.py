@@ -614,3 +614,171 @@ def test_big_orders_matches_duckdb(ray_session, tmp_path, seed, hot):
     t = dp._to_table(got)
     assert t.num_rows > 0  # threshold must actually select something
     _check(t, E.oracle_sql()["big_orders"], con)
+
+
+def _write_orders_custseq(d: str, ck):
+    """Orders table with the given custkey sequence on consecutive
+    orderkeys — plants an exact consecutive-order graph."""
+    ck = np.asarray(ck, np.int64)
+    n = len(ck)
+    base = np.datetime64("1995-01-01", "us").astype(np.int64)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(np.arange(n), pa.int64()),
+                "o_custkey": pa.array(ck, pa.int64()),
+                "o_orderstatus": pa.array(["O"] * n),
+                "o_totalprice": pa.array(np.ones(n), pa.float64()),
+                "o_orderdate": pa.array(
+                    base + np.arange(n) * DAY, pa.int64()
+                ).cast(pa.timestamp("us")),
+                "o_orderpriority": pa.array(["1-URGENT"] * n),
+            }
+        ),
+        os.path.join(d, "orders.parquet"),
+    )
+
+
+def test_triangle_count_planted_and_fuzz(ray_session, tmp_path):
+    """custkeys [1,2,3,1,3,2,4] give canonical edges {1-2, 2-3, 1-3,
+    2-4} (duplicates collapsed) — exactly ONE triangle (1,2,3); then
+    DuckDB parity on a seeded table."""
+    import __ray_entry__ as E
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    d = str(tmp_path / "planted")
+    os.makedirs(d)
+    _write_orders_custseq(d, [1, 2, 3, 1, 3, 2, 4])
+    got = dp._to_table(dp.triangle_count(d))
+    assert got["n_triangles"].to_pylist() == [1]
+
+    d2 = str(tmp_path / "fuzz")
+    os.makedirs(d2)
+    _write_tpch(d2, seed=29, n_li=100, n_ord=900, n_cust=40, hot_frac=0.2)
+    con = _con(d2, ["orders"])
+    _check(
+        dp._to_table(dp.triangle_count(d2)),
+        E.oracle_sql()["triangle_count"],
+        con,
+    )
+
+
+def _write_funnel_events(d: str, seed: int, n: int, n_users: int):
+    """Events over the funnel's real type names plus a decoy type, on a
+    coarse hour grid so strict-after ordering ties are exercised."""
+    rng = np.random.RandomState(seed)
+    base = np.datetime64("2024-01-01", "us").astype(np.int64)
+    types = ["view", "click", "purchase", "error"]
+    HOUR = 3_600_000_000
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(n), pa.int64()),
+                "ts": pa.array(
+                    base + rng.randint(0, 24 * 60, n) * HOUR, pa.int64()
+                ).cast(pa.timestamp("us")),
+                "user_id": pa.array(
+                    rng.randint(0, n_users, n).astype(np.int64), pa.int64()
+                ),
+                "event_type": pa.array(
+                    [types[i] for i in rng.randint(0, len(types), n)]
+                ),
+                "value": pa.array(rng.uniform(0, 5, n), pa.float64()),
+                "props": pa.array(["{}"] * n),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+
+
+def test_funnel_planted_order_matters(ray_session, tmp_path):
+    """user 0: view→click→purchase in order (completes all 3);
+    user 1: click BEFORE its only view (stops after step 1 — the click
+    does not count); user 2: view and click at the SAME microsecond
+    (strict 'after' ⇒ stops after step 1)."""
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    d = str(tmp_path)
+    base = np.datetime64("2024-01-01", "us").astype(np.int64)
+    rows = [  # (user, type, hour-offset)
+        (0, "view", 0), (0, "click", 1), (0, "purchase", 2),
+        (1, "click", 0), (1, "view", 1), (1, "purchase", 2),
+        (2, "view", 3), (2, "click", 3),
+    ]
+    HOUR = 3_600_000_000
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(len(rows)), pa.int64()),
+                "ts": pa.array(
+                    [base + h * HOUR for _, _, h in rows], pa.int64()
+                ).cast(pa.timestamp("us")),
+                "user_id": pa.array([u for u, _, _ in rows], pa.int64()),
+                "event_type": pa.array([t for _, t, _ in rows]),
+                "value": pa.array(np.zeros(len(rows)), pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    got = (
+        dp._to_table(dp.funnel_counts(d)).to_pandas().sort_values("step")
+    )
+    # user 1 completes step 2 via its later view? No: step 1 t1=hour1
+    # (the view), step 2 needs a click AFTER hour1 — none. user 2's
+    # click is simultaneous with its view — strict after ⇒ no step 2.
+    assert got["n_users"].tolist() == [3, 1, 1]
+
+
+@pytest.mark.parametrize("seed", [13, 37])
+def test_funnel_and_cohort_match_duckdb(ray_session, tmp_path, seed):
+    import __ray_entry__ as E
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    d = str(tmp_path)
+    # sparse: many users see only part of the funnel
+    _write_funnel_events(d, seed, n=600, n_users=150)
+    con = _con(d, ["events"])
+    sqls = E.oracle_sql()
+    _check(
+        dp._to_table(dp.funnel_counts(d)), sqls["funnel_counts"], con
+    )
+    _check(
+        dp._to_table(dp.cohort_retention(d)),
+        sqls["cohort_retention"],
+        con,
+    )
+
+
+def test_cohort_retention_multi_week(ray_session, tmp_path):
+    """Events spanning 10 weeks with users joining late → several
+    cohorts; DuckDB parity on the full matrix."""
+    import __ray_entry__ as E
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    d = str(tmp_path)
+    rng = np.random.RandomState(19)
+    n, n_users = 3000, 60
+    base = np.datetime64("2024-01-01", "us").astype(np.int64)
+    # user u's events start at week u % 6 — staggered cohorts
+    uid = rng.randint(0, n_users, n).astype(np.int64)
+    start_w = uid % 6
+    w = start_w + rng.randint(0, 5, n)
+    ts = base + w * (7 * DAY) + rng.randint(0, 7 * DAY, n)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(n), pa.int64()),
+                "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+                "user_id": pa.array(uid, pa.int64()),
+                "event_type": pa.array(["view"] * n),
+                "value": pa.array(np.zeros(n), pa.float64()),
+                "props": pa.array(["{}"] * n),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    con = _con(d, ["events"])
+    got = dp._to_table(dp.cohort_retention(d))
+    assert got.to_pandas()["cohort_week"].nunique() >= 5
+    _check(got, E.oracle_sql()["cohort_retention"], con)
