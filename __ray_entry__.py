@@ -876,6 +876,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": lambda sf: dp.triangle_count(sf),
         "cohort_retention": lambda sf: dp.cohort_retention(sf),
         "funnel_counts": lambda sf: dp.funnel_counts(sf),
+        "doc_rank_by_length": lambda sf: dp.doc_rank_by_length(sf),
+        "winsorize_values": lambda sf: dp.winsorize_values(sf),
+        "normalize_text": lambda sf: dp.normalize_text(sf),
     }
 
 
@@ -2079,6 +2082,28 @@ union all
 select 2::bigint, '{dp.FUNNEL_STEPS[1]}', count(*)::bigint from s2
 union all
 select 3::bigint, '{dp.FUNNEL_STEPS[2]}', count(*)::bigint from s3
+""",
+        "doc_rank_by_length": """
+select doc_id, n_chars,
+       row_number() over (order by n_chars, doc_id)::bigint as rnk
+from documents
+""",
+        "winsorize_values": f"""
+with t as (
+  select event_type,
+         round(quantile_cont(value, {dp.WINSOR_LO}), 4) as lo,
+         round(quantile_cont(value, {dp.WINSOR_HI}), 4) as hi
+  from events group by event_type
+)
+select e.event_id, e.event_type,
+       round(least(greatest(e.value, t.lo), t.hi), 4) as value_w
+from events e join t on t.event_type = e.event_type
+""",
+        "normalize_text": r"""
+select doc_id,
+       trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g'), ' ')
+         as text_norm
+from documents
 """,
         "first_event_per_user_type": """
 select user_id, event_type, event_id, ts from (

@@ -6012,3 +6012,192 @@ def funnel_counts(sf_dir: str):
             "n_users": pa.array(total, pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed global rank (two-pass, no global sort materialization)
+
+
+@unreserved
+def doc_rank_by_length(sf_dir: str):
+    """(doc_id, n_chars, rnk) — the global ``row_number() over (order by
+    n_chars, doc_id)`` WITHOUT materializing a global sort: the classic
+    two-pass distributed ranking.
+
+    Pass 1 reduces each batch to its n_chars histogram (key-domain-
+    bounded); the driver prefix-sums the merged histogram into exclusive
+    offsets (one int per DISTINCT length) and broadcasts them. Pass 2 is
+    one ``groupby(n_chars)`` shuffle; each length group sorts its own
+    doc_ids and adds the broadcast offset. No task ever holds more than
+    one length group; ranks are globally exact."""
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        c = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uu, cnt = np.unique(c, return_counts=True)
+        return pa.table(
+            {
+                "c": pa.array(uu, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = _to_table(
+        read_documents(sf_dir, ["n_chars"]).map_batches(
+            hist_partial, batch_format="pyarrow"
+        )
+    )
+    if parts.num_rows == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_chars": pa.array([], pa.int64()),
+                "rnk": pa.array([], pa.int64()),
+            }
+        )
+    pc_ = parts["c"].to_numpy(zero_copy_only=False)
+    lengths = np.unique(pc_)
+    counts = np.zeros(len(lengths), np.int64)
+    np.add.at(
+        counts,
+        np.searchsorted(lengths, pc_),
+        parts["n"].to_numpy(zero_copy_only=False),
+    )
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    state = ray.put((lengths, offsets))
+
+    def rank_group(group: pa.Table) -> pa.Table:
+        ln, off = ray.get(state)  # local zero-copy after first get
+        group = group.combine_chunks()
+        did = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = int(group["n_chars"][0].as_py())
+        order = np.argsort(did, kind="stable")
+        rnk = off[np.searchsorted(ln, c)] + np.arange(1, len(did) + 1)
+        return pa.table(
+            {
+                "doc_id": pa.array(did[order], pa.int64()),
+                "n_chars": pa.array(np.full(len(did), c, np.int64), pa.int64()),
+                "rnk": pa.array(rnk.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        read_documents(sf_dir, ["doc_id", "n_chars"])
+        .groupby("n_chars")
+        .map_groups(rank_group, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-group winsorization (outlier clipping at exact quantiles)
+
+WINSOR_LO, WINSOR_HI = 0.01, 0.99
+
+
+@unreserved
+def winsorize_values(sf_dir: str):
+    """(event_id, event_type, value_w) — values clipped to each event
+    type's exact [p1, p99] — the standard outlier-robust curation step.
+
+    Pass 1 reuses the exact per-group quantile shape (one groupby over
+    the LOW-cardinality type domain, in-task sort); thresholds are
+    rounded to the shared 4-decimal grid on BOTH sides of the oracle
+    (``group_quantiles`` proves the np.quantile == quantile_cont parity)
+    and broadcast; pass 2 clips vectorized — no second shuffle."""
+
+    def qrow(group: pa.Table) -> pa.Table:
+        v = np.sort(group["value"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "event_type": pa.array([group["event_type"][0].as_py()]),
+                "lo": pa.array(
+                    [round4(float(np.quantile(v, WINSOR_LO)))], pa.float64()
+                ),
+                "hi": pa.array(
+                    [round4(float(np.quantile(v, WINSOR_HI)))], pa.float64()
+                ),
+            }
+        )
+
+    th = _to_table(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        )
+        .groupby("event_type")
+        .map_groups(qrow, batch_format="pyarrow")
+    )
+    thresholds = {
+        t: (lo, hi)
+        for t, lo, hi in zip(
+            th["event_type"].to_pylist(),
+            th["lo"].to_pylist(),
+            th["hi"].to_pylist(),
+        )
+    }
+    state = ray.put(thresholds)
+
+    def clip(batch: pa.Table) -> pa.Table:
+        tm = ray.get(state)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        uu, inv = np.unique(et, return_inverse=True)
+        lo = np.array([tm[t][0] for t in uu.tolist()], np.float64)[inv]
+        hi = np.array([tm[t][1] for t in uu.tolist()], np.float64)[inv]
+        w = np.minimum(np.maximum(v, lo), hi)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "value_w": pa.array(
+                    [round4(float(x)) for x in w], pa.float64()
+                ),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    ).map_batches(clip, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# text normalization (NFC + whitespace collapse)
+
+
+@unreserved
+def normalize_text(sf_dir: str):
+    """(doc_id, text_norm) — NFC unicode normalization, ASCII-whitespace
+    runs collapsed to single spaces, outer spaces trimmed: the canonical
+    pre-dedup/pre-tokenize normalization pass.
+
+    Whitespace work is Arrow kernels (replace_substring_regex /
+    utf8_trim — RE2 ``\\s`` is ASCII-only in BOTH Arrow and DuckDB, so
+    the oracle is exact); NFC composition falls back to
+    ``unicodedata.normalize`` ONLY for rows ``string_is_ascii`` rules
+    out (this pyarrow's ``utf8_normalize(form="NFC")`` reorders but
+    does not compose — verified: e+U+0301 stays decomposed), so the
+    per-row cost is bounded by the non-ASCII fraction. Zero shuffle."""
+    import unicodedata
+
+    import pyarrow.compute as pac
+
+    def f(batch: pa.Table) -> pa.Table:
+        t = batch["text"].combine_chunks() if isinstance(
+            batch["text"], pa.ChunkedArray
+        ) else batch["text"]
+        ascii_mask = pac.string_is_ascii(t).to_numpy(zero_copy_only=False)
+        if not ascii_mask.all():
+            vals = t.to_pylist()
+            t = pa.array(
+                [
+                    v if a else unicodedata.normalize("NFC", v)
+                    for v, a in zip(vals, ascii_mask)
+                ],
+                pa.string(),
+            )
+        t = pac.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
+        t = pac.utf8_trim(t, characters=" ")
+        return pa.table({"doc_id": batch["doc_id"], "text_norm": t})
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )

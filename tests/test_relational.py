@@ -782,3 +782,100 @@ def test_cohort_retention_multi_week(ray_session, tmp_path):
     got = dp._to_table(dp.cohort_retention(d))
     assert got.to_pandas()["cohort_week"].nunique() >= 5
     _check(got, E.oracle_sql()["cohort_retention"], con)
+
+
+def _write_documents(d: str, seed: int, n: int):
+    rng = np.random.RandomState(seed)
+    texts = []
+    for i in range(n):
+        k = rng.randint(0, 12)
+        texts.append(" ".join(f"w{rng.randint(0, 50)}" for _ in range(k)))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * n),
+                "source": pa.array(["s0"] * n),
+                # coarse grid → heavy length ties exercise the offsets
+                "n_chars": pa.array(
+                    (rng.randint(0, 15, n) * 10).astype(np.int64), pa.int64()
+                ),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+
+
+def test_doc_rank_by_length_matches_duckdb(ray_session, tmp_path):
+    import __ray_entry__ as E
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    d = str(tmp_path)
+    _write_documents(d, seed=3, n=2500)
+    con = _con(d, ["documents"])
+    got = dp._to_table(dp.doc_rank_by_length(d))
+    # ranks are a permutation of 1..n
+    rnk = sorted(got["rnk"].to_pylist())
+    assert rnk == list(range(1, 2501))
+    _check(got, E.oracle_sql()["doc_rank_by_length"], con)
+
+
+@pytest.mark.parametrize("seed", [6, 28])
+def test_winsorize_matches_duckdb(ray_session, tmp_path, seed):
+    import __ray_entry__ as E
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    d = str(tmp_path)
+    # coarse value grid → quantiles often land ON data points
+    _write_events(d, seed, n=3000, n_users=30, n_types=4)
+    con = _con(d, ["events"])
+    got = dp._to_table(dp.winsorize_values(d))
+    _check(got, E.oracle_sql()["winsorize_values"], con)
+
+
+def test_normalize_text_planted_and_parity(ray_session, tmp_path):
+    """NFD é composes to NFC; tab/newline runs collapse; leading and
+    trailing ASCII space trims; NBSP is NOT \\s and survives."""
+    import __ray_entry__ as E
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    d = str(tmp_path)
+    texts = [
+        "cafe\u0301  au\tlait",  # NFD e + combining acute, space run, tab
+        "  hello\n\nworld  ",    # outer spaces, newline run
+        "a\u00a0b",               # NBSP survives (not ASCII \\s)
+        "",                        # empty stays empty
+        "plain",
+    ]
+    n = len(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * n),
+                "source": pa.array(["s0"] * n),
+                "n_chars": pa.array(
+                    [len(t) for t in texts], pa.int64()
+                ),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    got = (
+        dp._to_table(dp.normalize_text(d)).to_pandas().sort_values("doc_id")
+    )
+    assert got["text_norm"].tolist() == [
+        "caf\u00e9 au lait",
+        "hello world",
+        "a\u00a0b",
+        "",
+        "plain",
+    ]
+    con = _con(d, ["documents"])
+    _check(
+        dp._to_table(dp.normalize_text(d)),
+        E.oracle_sql()["normalize_text"],
+        con,
+    )
