@@ -834,6 +834,30 @@ def priority_line_counts(sf_dir: str):
 Q18_QTY_CENTS = 26_000  # HAVING Σ qty (exact cents) must exceed this
 
 
+def _dataset_key_bloom(ds, col: str):
+    """Constant-size Bloom bitmap over an int64 key column of a (small,
+    already-materialized) dataset — the generic form of
+    ``_orderkey_bloom``: per-batch partial bitmaps OR driver-side, so
+    at 100 TB the broadcast stays ``BLOOM_BITS`` bits no matter how many
+    keys qualify. False positives only admit extra probe rows to the
+    exact bucket joins downstream; no false negatives."""
+    from .datapipe import BLOOM_BITS, _arrow_blocks, _bloom_positions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bits = np.zeros(BLOOM_BITS, bool)
+        ks = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ks):
+            bits[_bloom_positions(np.unique(ks)).ravel()] = True
+        return pa.table({"bits": pa.array([np.packbits(bits).tobytes()])})
+
+    acc = np.zeros(BLOOM_BITS // 8, np.uint8)
+    for t in _arrow_blocks(ds.map_batches(partial, batch_format="pyarrow")):
+        if t.num_columns and t.num_rows:
+            for b in t["bits"].to_pylist():
+                acc |= np.frombuffer(b, np.uint8)
+    return ray.put(np.unpackbits(acc).astype(bool))
+
+
 @unreserved
 def big_orders(sf_dir: str):
     """(c_custkey, c_name, o_orderkey, totalprice_cents, sum_qty_cents)
@@ -850,8 +874,12 @@ def big_orders(sf_dir: str):
        (a selectivity-bounded sliver) leave stage 1;
     2. survivors ⨝ ``orders`` bucketed on orderkey (survivors are the
        build side — never a broadcast: the HAVING survivor set grows
-       with the data);
-    3. the result re-bucketed on custkey ⨝ ``customer``.
+       with the data). A CONSTANT-size Bloom bitmap over the survivor
+       keys prefilters the orders scan, so the fact side's shuffle
+       carries only ~qualifying rows (+ bloom FPs, which the exact
+       join drops);
+    3. the result re-bucketed on custkey ⨝ ``customer``, with the same
+       bloom prefilter built from the (output-sized) stage-2 keys.
 
     The quantity total rides through the string ``tag`` slot between
     joins (vectorized Arrow int↔string casts, no Python loop)."""
@@ -878,15 +906,26 @@ def big_orders(sf_dir: str):
             return _empty_join_block()
         return _tagged(uk[m], side=1, rev=s[m])
 
-    def order_rows(batch: pa.Table) -> pa.Table:
+    def order_rows(batch: pa.Table, key_bloom) -> pa.Table:
+        from .datapipe import _bloom_positions
+
         ok = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(
             np.int64
         )
-        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        tp = _cents(batch["o_totalprice"].to_numpy(zero_copy_only=False))
-        return _tagged(ok, side=0, rev=ck, aux=tp)
+        bm = ray.get(key_bloom)  # local zero-copy after first get
+        hit = bm[_bloom_positions(ok)].all(axis=1) if len(ok) else \
+            np.zeros(0, bool)
+        if not hit.any():
+            return _empty_join_block()
+        ck = (
+            batch["o_custkey"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+        )[hit]
+        tp = _cents(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        )[hit]
+        return _tagged(ok[hit], side=0, rev=ck, aux=tp)
 
     def join_orders(group: pa.Table) -> pa.Table:
         """orders (probe) ⨝ HAVING survivors (build, unique keys);
@@ -912,11 +951,19 @@ def big_orders(sf_dir: str):
             ).to_pylist(),
         )
 
-    def cust_rows(batch: pa.Table) -> pa.Table:
+    def cust_rows(batch: pa.Table, key_bloom) -> pa.Table:
+        from .datapipe import _bloom_positions
+
         ck = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(
             np.int64
         )
-        return _tagged(ck, side=1, tag=batch["c_name"].to_pylist())
+        bm = ray.get(key_bloom)  # local zero-copy after first get
+        hit = bm[_bloom_positions(ck)].all(axis=1) if len(ck) else \
+            np.zeros(0, bool)
+        if not hit.any():
+            return _empty_join_block()
+        names = batch["c_name"].filter(pa.array(hit)).to_pylist()
+        return _tagged(ck[hit], side=1, tag=names)
 
     def join_customer(group: pa.Table) -> pa.Table:
         split = _split_sides(group)
@@ -955,19 +1002,28 @@ def big_orders(sf_dir: str):
         .map_batches(qty_rows, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(sum_having, batch_format="pyarrow")
+        .materialize()  # selectivity-bounded sliver; feeds bloom + join
     )
+    # constant-size bloom over survivor orderkeys: the orders scan
+    # drops ~all non-qualifying rows BEFORE the join shuffle (the HAVING
+    # selects ~1-2% of orders; FPs fall out in the exact bucket join)
+    ok_bloom = _dataset_key_bloom(survivors, "key")
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_totalprice"],
-    ).map_batches(order_rows, batch_format="pyarrow")
+    ).map_batches(
+        order_rows, batch_format="pyarrow", fn_args=(ok_bloom,)
+    )
     with_orders = (
         orders.union(survivors)
         .groupby("bucket")
         .map_groups(join_orders, batch_format="pyarrow")
+        .materialize()  # output-sized; feeds the custkey bloom + join
     )
+    ck_bloom = _dataset_key_bloom(with_orders, "key")
     cust = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
-    ).map_batches(cust_rows, batch_format="pyarrow")
+    ).map_batches(cust_rows, batch_format="pyarrow", fn_args=(ck_bloom,))
     return (
         with_orders.union(cust)
         .groupby("bucket")
