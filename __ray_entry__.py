@@ -342,6 +342,7 @@ def _q_ordered_proximity(sf_dir: str) -> pa.Table:
 
 
 WILDCARD = "s*a*"  # matches scan/small/spark/stream in the test vocab
+REGEX_QUERY = "s[ct][a-z]+"  # scan/stream/scala-ish terms; portable re∩RE2
 SPELL_WORD = "par"  # misspelling → part(1), spark(2), a(2)
 FACET_QUERY = "scan AND join"
 
@@ -367,6 +368,14 @@ def _q_wildcard(sf_dir: str) -> pa.Table:
     exercised through the full boolean path."""
     eng = _engine(sf_dir)
     return _ids_table(eng.search(f"{WILDCARD} AND data"))
+
+
+def _q_regex_search(sf_dir: str) -> pa.Table:
+    """Docs containing any dictionary term whose whole surface form
+    matches the regex (portable Python-re ∩ RE2 subset; per-segment
+    expansion narrowed to the required literal prefix)."""
+    eng = _engine(sf_dir)
+    return _ids_table(eng.regex_docs(REGEX_QUERY))
 
 
 def _q_spell_suggest(sf_dir: str) -> pa.Table:
@@ -773,6 +782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_prefix_search": _q_phrase_prefix,
         "proximity_search": _q_proximity,
         "wildcard_search": _q_wildcard,
+        "regex_search": _q_regex_search,
         "spell_suggest": _q_spell_suggest,
         "facet_counts": _q_facet_counts,
         "replyto_children": _q_replyto,
@@ -1803,6 +1813,12 @@ with {_TOK_CTE}
  where term like '{WILDCARD.replace("*", "%")}'
    and len(term) between 2 and 128)
 intersect select doc_id from tok where term = 'data'
+""",
+        "regex_search": f"""
+with {_TOK_CTE}
+select distinct doc_id from tok
+where regexp_matches(term, '^(?:{REGEX_QUERY})$')
+  and len(term) between 2 and 128
 """,
         "spell_suggest": f"""
 with {_TOK_CTE},

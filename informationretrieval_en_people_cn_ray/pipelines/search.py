@@ -49,6 +49,35 @@ def _wildcard_regex(pattern: str) -> re.Pattern:
     )
 
 
+def _regex_compiled(pattern: str) -> re.Pattern:
+    """User regex → whole-term-anchored matcher. The engine accepts the
+    PORTABLE subset shared by Python ``re`` and RE2 (char classes,
+    quantifiers, alternation, grouping) so the DuckDB ``regexp_matches``
+    oracle is exact; backreferences/lookaround are not part of the
+    contract (RE2 rejects them)."""
+    return re.compile(f"^(?:{pattern})$")
+
+
+def _regex_literal_prefix(pattern: str) -> str:
+    """Longest REQUIRED literal prefix of a regex — the dictionary
+    range narrower (same role as the wildcard's pre-star literal). Stops
+    at the first metacharacter; a trailing ``*``/``?``/``{`` quantifier
+    makes the preceding literal optional, so it is dropped."""
+    out: list[str] = []
+    specials = set(".^$*+?{}[]|()\\")
+    for ch in pattern:
+        if ch in specials:
+            if ch in "*?{" and out:
+                out.pop()
+            break
+        out.append(ch)
+    return "".join(out)
+
+
+def _regex_scan(terms, rx: re.Pattern) -> list[str]:
+    return [t for t in dict.fromkeys(terms) if rx.match(t)]
+
+
 def levenshtein(a: str, b: str) -> int:
     """Unit-cost edit distance (matches DuckDB's ``levenshtein``)."""
     if a == b:
@@ -155,6 +184,18 @@ class LocalSegments:
             r = self.reader(seg)
             lo, hi = r.prefix_range(lit)
             out.extend(_wildcard_scan(r.terms[lo:hi].tolist(), rx))
+        return sorted(dict.fromkeys(out))
+
+    def regex_terms(self, pattern: str) -> list[str]:
+        """Dictionary terms whose WHOLE surface form matches ``pattern``
+        — narrowed to the regex's required literal prefix first."""
+        rx = _regex_compiled(pattern)
+        lit = _regex_literal_prefix(pattern)
+        out: list[str] = []
+        for seg in range(self.num_segments):
+            r = self.reader(seg)
+            lo, hi = r.prefix_range(lit)
+            out.extend(_regex_scan(r.terms[lo:hi].tolist(), rx))
         return sorted(dict.fromkeys(out))
 
     def spell_candidates(self, word: str, max_dist: int) -> dict[str, int]:
@@ -290,6 +331,12 @@ class GenerationalSegments:
             out.extend(g.wildcard_terms(pattern))
         return sorted(dict.fromkeys(out))
 
+    def regex_terms(self, pattern: str) -> list[str]:
+        out: list[str] = []
+        for g in self.gens:
+            out.extend(g.regex_terms(pattern))
+        return sorted(dict.fromkeys(out))
+
     def spell_candidates(self, word: str, max_dist: int) -> dict[str, int]:
         out: dict[str, int] = {}
         for g in self.gens:
@@ -419,6 +466,17 @@ class SegmentSearcher:
             for r in gens:
                 lo, hi = r.prefix_range(lit)
                 out.extend(_wildcard_scan(r.terms[lo:hi].tolist(), rx))
+        return out
+
+    def regex_terms(self, pattern: str) -> list[str]:
+        """Regex dictionary scan over THIS actor's segments only."""
+        rx = _regex_compiled(pattern)
+        lit = _regex_literal_prefix(pattern)
+        out: list[str] = []
+        for gens in self.readers.values():
+            for r in gens:
+                lo, hi = r.prefix_range(lit)
+                out.extend(_regex_scan(r.terms[lo:hi].tolist(), rx))
         return out
 
     def spell_candidates(self, word: str, max_dist: int) -> dict[str, int]:
@@ -756,6 +814,15 @@ class SearchEngine:
             out.extend(r)
         return sorted(dict.fromkeys(out))
 
+    def _regex_terms(self, pattern: str) -> list[str]:
+        if self.mode != "actors":
+            return self.local.regex_terms(pattern)
+        futs = [a.regex_terms.remote(pattern) for a in self.actors]
+        out: list[str] = []
+        for r in ray.get(futs):
+            out.extend(r)
+        return sorted(dict.fromkeys(out))
+
     def _term_meta(
         self, terms: list[str]
     ) -> dict[str, tuple[int, int, int] | None]:
@@ -842,6 +909,20 @@ class SearchEngine:
         lowercased but NOT stemmed: wildcard pieces aren't words, so they
         match the dictionary's surface forms directly."""
         terms = self._wildcard_terms(pattern.lower())
+        plists = self._postings_map(terms)
+        arrs = [p.doc_ids for p in plists.values() if p is not None]
+        if not arrs:
+            return np.empty(0, np.int64)
+        return np.unique(np.concatenate(arrs))
+
+    def regex_docs(self, pattern: str) -> np.ndarray:
+        """Docs containing ANY dictionary term whose whole surface form
+        matches the regex (portable Python-re ∩ RE2 subset — see
+        ``_regex_compiled``). Like the wildcard path, the expansion runs
+        WHERE the dictionary lives (per segment / per actor), narrowed
+        to the regex's required literal prefix; the pattern is
+        lowercased but not stemmed."""
+        terms = self._regex_terms(pattern.lower())
         plists = self._postings_map(terms)
         arrs = [p.doc_ids for p in plists.values() if p is not None]
         if not arrs:
@@ -1043,6 +1124,8 @@ class SearchEngine:
             return self._prefix_docs(tok.value)
         if tok.kind == "wildcard":
             return self._wildcard_docs(tok.value)
+        if tok.kind == "regex":
+            return self.regex_docs(tok.value)
         if tok.kind == "phrase":
             return self._phrase_docs(tok.value)
         if tok.kind == "phrase_prefix":

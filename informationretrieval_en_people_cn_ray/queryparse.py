@@ -74,6 +74,16 @@ def classify(raw: str) -> Token:
         if raw.endswith("'") and len(raw) >= 2:
             return Token("phrase", raw[1:-1])
         raise QueryParseError(f"unterminated phrase: {raw}")
+    if raw.startswith("/") and raw.endswith("/") and len(raw) >= 3:
+        # engine extension: /regex/ term token — matches whole dictionary
+        # surface forms over the portable Python-re ∩ RE2 subset (the
+        # lexer splits on whitespace, so the pattern itself must be
+        # whitespace-free; a term regex never needs \\s).
+        try:
+            re.compile(raw[1:-1])
+        except re.error as e:
+            raise QueryParseError(f"bad regex token {raw}: {e}")
+        return Token("regex", raw[1:-1])
     if raw.endswith("*") and len(raw) > 1 and raw.count("*") == 1:
         return Token("prefix", raw[:-1])
     if "*" in raw:

@@ -537,3 +537,62 @@ def test_ranked_filtered_candidates(engine):
     # empty filter → empty result
     ids, scores = engine.search(q, k=5, allowed=np.empty(0, np.int64))
     assert ids.size == 0 and scores.size == 0
+
+
+# ---------------- regex term search (engine extension) ------------------
+
+
+def test_regex_literal_prefix():
+    from informationretrieval_en_people_cn_ray.pipelines.search import (
+        _regex_literal_prefix,
+    )
+
+    assert _regex_literal_prefix("dat[ae]") == "dat"
+    assert _regex_literal_prefix("data*") == "dat"   # * makes 'a' optional
+    assert _regex_literal_prefix("data+") == "data"  # + keeps it required
+    assert _regex_literal_prefix("da?t") == "d"
+    assert _regex_literal_prefix(".*x") == ""
+    assert _regex_literal_prefix("plain") == "plain"
+
+
+def test_regex_docs_vs_oracle(engine, oracle):
+    import re
+
+    for pat in ["s[ct][a-z]+", "d.t[a-z]*", "(the|a)", "[a-z]*ow", "x{2,}"]:
+        rx = re.compile(f"^(?:{pat})$")
+        terms = [t for t in oracle.postings if rx.match(t)]
+        exp = sorted({d for t in terms for d in oracle.term_docs(t)})
+        got = engine.regex_docs(pat)
+        assert got.tolist() == exp, pat
+
+
+def test_regex_docs_actor_mode(ray_session, engine):
+    from informationretrieval_en_people_cn_ray.pipelines.search import (
+        SearchEngine,
+    )
+
+    eng2 = SearchEngine(engine.local.index_dir, mode="actors", num_actors=2)
+    for pat in ["s[ct][a-z]+", "(the|a)", "[a-z]*ow"]:
+        assert (
+            eng2.regex_docs(pat).tolist() == engine.regex_docs(pat).tolist()
+        )
+
+
+def test_parse_regex_token():
+    p = parse("/s[ct][a-z]+/ AND data")
+    assert p.kind == "boolean"
+    assert p.groups[0].positive[0].kind == "regex"
+    assert p.groups[0].positive[0].value == "s[ct][a-z]+"
+    with pytest.raises(QueryParseError):
+        parse("/bad(/ AND x")
+
+
+def test_regex_boolean_path(engine, oracle):
+    import re
+
+    rx = re.compile("^(?:s[ct][a-z]+)$")
+    terms = [t for t in oracle.postings if rx.match(t)]
+    re_docs = {d for t in terms for d in oracle.term_docs(t)}
+    data_docs = set(oracle.term_docs("data"))
+    exp = sorted(re_docs & data_docs)
+    assert _ids(engine.search("/s[ct][a-z]+/ AND data")) == exp
