@@ -887,6 +887,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": lambda sf: dp.cohort_retention(sf),
         "funnel_counts": lambda sf: dp.funnel_counts(sf),
         "doc_rank_by_length": lambda sf: dp.doc_rank_by_length(sf),
+        "data_audit": lambda sf: dp.data_audit(sf),
         "winsorize_values": lambda sf: dp.winsorize_values(sf),
         "normalize_text": lambda sf: dp.normalize_text(sf),
     }
@@ -2102,6 +2103,17 @@ select 3::bigint, '{dp.FUNNEL_STEPS[2]}', count(*)::bigint from s3
         "doc_rank_by_length": """
 select doc_id, n_chars,
        row_number() over (order by n_chars, doc_id)::bigint as rnk
+from documents
+""",
+        "data_audit": """
+select count(*)::bigint as n_rows,
+       sum(case when text is null then 1 else 0 end)::bigint
+         as n_null_text,
+       sum(case when text = '' then 1 else 0 end)::bigint as n_empty_text,
+       count(distinct doc_id)::bigint as n_distinct_doc_id,
+       (count(*) - count(distinct doc_id))::bigint as n_dup_doc_id,
+       coalesce(min(doc_id), 0)::bigint as min_doc_id,
+       coalesce(max(doc_id), 0)::bigint as max_doc_id
 from documents
 """,
         "winsorize_values": f"""

@@ -6201,3 +6201,97 @@ def normalize_text(sf_dir: str):
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         f, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# data-quality audit (ingest gate)
+
+AUDIT_BUCKETS = 256
+
+
+@unreserved
+def data_audit(sf_dir: str):
+    """Single-row (n_rows, n_null_text, n_empty_text, n_distinct_doc_id,
+    n_dup_doc_id, min_doc_id, max_doc_id) — the ingest-gate audit every
+    training-data pipeline runs before anything else: row count, null /
+    empty payloads, key uniqueness, key range.
+
+    Counts and min/max reduce as one streamed pass of constant-size
+    per-batch partials (driver merges a handful of ints per block). The
+    EXACT distinct-key count is the only part that must co-locate keys:
+    per-batch unique partials → one hash-bucket ``groupby`` whose groups
+    count their own uniques — shuffle payload is bounded by distinct
+    keys per batch, never rows, and no single task ever sees more than
+    one bucket's key range."""
+
+    def stat_partial(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = batch["text"]
+        nulls = int(t.null_count)
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        empt = int(
+            pa.compute.sum(
+                pa.compute.equal(t, pa.scalar(""))
+            ).as_py()
+            or 0
+        )
+        return pa.table(
+            {
+                "n": pa.array([len(did)], pa.int64()),
+                "nulls": pa.array([nulls], pa.int64()),
+                "empties": pa.array([empt], pa.int64()),
+                "mn": pa.array(
+                    [int(did.min()) if len(did) else 2**62], pa.int64()
+                ),
+                "mx": pa.array(
+                    [int(did.max()) if len(did) else -(2**62)], pa.int64()
+                ),
+            }
+        )
+
+    def key_partial(batch: pa.Table) -> pa.Table:
+        ks = np.unique(
+            batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(ks % AUDIT_BUCKETS, pa.int64()),
+                "k": pa.array(ks, pa.int64()),
+            }
+        )
+
+    def bucket_distinct(group: pa.Table) -> pa.Table:
+        n = len(np.unique(group["k"].to_numpy(zero_copy_only=False)))
+        return pa.table({"nd": pa.array([n], pa.int64())})
+
+    docs = read_documents(sf_dir, ["doc_id", "text"])
+    stats = _to_table(docs.map_batches(stat_partial, batch_format="pyarrow"))
+    nd_parts = _to_table(
+        docs.map_batches(key_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_distinct, batch_format="pyarrow")
+    )
+    n_rows = int(stats["n"].to_numpy(zero_copy_only=False).sum()) if \
+        stats.num_rows else 0
+    nulls = int(stats["nulls"].to_numpy(zero_copy_only=False).sum()) if \
+        stats.num_rows else 0
+    empties = int(stats["empties"].to_numpy(zero_copy_only=False).sum()) \
+        if stats.num_rows else 0
+    nd = int(nd_parts["nd"].to_numpy(zero_copy_only=False).sum()) if \
+        nd_parts.num_rows else 0
+    mn = int(stats["mn"].to_numpy(zero_copy_only=False).min()) if n_rows \
+        else 0
+    mx = int(stats["mx"].to_numpy(zero_copy_only=False).max()) if n_rows \
+        else 0
+    return pa.table(
+        {
+            "n_rows": pa.array([n_rows], pa.int64()),
+            "n_null_text": pa.array([nulls], pa.int64()),
+            "n_empty_text": pa.array([empties], pa.int64()),
+            "n_distinct_doc_id": pa.array([nd], pa.int64()),
+            "n_dup_doc_id": pa.array([n_rows - nd], pa.int64()),
+            "min_doc_id": pa.array([mn], pa.int64()),
+            "max_doc_id": pa.array([mx], pa.int64()),
+        }
+    )

@@ -211,3 +211,37 @@ def test_jsonl_ingest_to_index_to_query(ray_session, jsonl_corpus, tmp_path):
     ids, _ = eng.search("running characters", k=5)
     assert len(ids) == 1
     assert len(eng.search("tragic AND event")) == 1
+
+
+def test_jsonl_gzip_ingest(ray_session, tmp_path):
+    """Gzipped JSONL (the common at-rest form of training-data shards)
+    reads through the same ingest path — arrow detects the codec from
+    the .gz extension."""
+    import glob
+    import gzip
+    import json as _json
+
+    from informationretrieval_en_people_cn_ray.sources.jsonl_ingest import (
+        ingest_jsonl_corpus,
+    )
+
+    path = str(tmp_path / "shard.jsonl.gz")
+    rows = [
+        {"id": i, "text": f"gz doc {i} payload", "lang": "en"}
+        for i in range(5)
+    ]
+    with gzip.open(path, "wt") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    corpus = str(tmp_path / "corpus_gz")
+    ingest_jsonl_corpus(
+        path,
+        corpus,
+        column_map={"id": "doc_key", "text": "content"},
+    )
+    t = pa.concat_tables(
+        [pq.read_table(f) for f in sorted(glob.glob(corpus + "/*.parquet"))]
+    )
+    assert t.num_rows == 5
+    assert sorted(t["doc_key"].to_pylist()) == [0, 1, 2, 3, 4]
+    assert t["content"].to_pylist()[0].startswith("gz doc")

@@ -879,3 +879,38 @@ def test_normalize_text_planted_and_parity(ray_session, tmp_path):
         E.oracle_sql()["normalize_text"],
         con,
     )
+
+
+def test_data_audit_dirty_table(ray_session, tmp_path):
+    """Nulls, empty strings, and duplicate keys planted; DuckDB parity
+    on the full audit row."""
+    import __ray_entry__ as E
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    d = str(tmp_path)
+    rng = np.random.RandomState(8)
+    n = 2000
+    did = rng.randint(0, 1500, n).astype(np.int64)  # dups guaranteed
+    texts = []
+    for i in range(n):
+        r = rng.rand()
+        texts.append(None if r < 0.05 else ("" if r < 0.12 else f"t{i}"))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * n),
+                "source": pa.array(["s0"] * n),
+                "n_chars": pa.array(
+                    [len(t) if t else 0 for t in texts], pa.int64()
+                ),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    con = _con(d, ["documents"])
+    got = dp._to_table(dp.data_audit(d))
+    assert got["n_dup_doc_id"][0].as_py() > 0
+    assert got["n_null_text"][0].as_py() > 0
+    _check(got, E.oracle_sql()["data_audit"], con)
