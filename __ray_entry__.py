@@ -888,6 +888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_counts": lambda sf: dp.funnel_counts(sf),
         "doc_rank_by_length": lambda sf: dp.doc_rank_by_length(sf),
         "data_audit": lambda sf: dp.data_audit(sf),
+        "value_time_corr": lambda sf: dp.value_time_corr(sf),
         "winsorize_values": lambda sf: dp.winsorize_values(sf),
         "normalize_text": lambda sf: dp.normalize_text(sf),
     }
@@ -2115,6 +2116,28 @@ select count(*)::bigint as n_rows,
        coalesce(min(doc_id), 0)::bigint as min_doc_id,
        coalesce(max(doc_id), 0)::bigint as max_doc_id
 from documents
+""",
+        "value_time_corr": f"""
+with q as (
+  select event_type,
+         floor(value * 10000.0 + 0.5)::bigint as x,
+         ((epoch_us(ts) - {dp.CORR_EPOCH0_US}) // 3600000000)::bigint as y
+  from events
+),
+m as (
+  select event_type, count(*)::bigint as n,
+         sum(x)::bigint as sx, sum(y)::bigint as sy,
+         sum(x * y)::bigint as sxy,
+         sum(x * x)::bigint as sxx, sum(y * y)::bigint as syy
+  from q group by event_type
+)
+select event_type,
+       round((n::double * sxy - sx::double * sy)
+             / sqrt((n::double * sxx - sx::double * sx)
+                    * (n::double * syy - sy::double * sy)), 4) as corr
+from m
+where (n::double * sxx - sx::double * sx) > 0
+  and (n::double * syy - sy::double * sy) > 0
 """,
         "winsorize_values": f"""
 with t as (

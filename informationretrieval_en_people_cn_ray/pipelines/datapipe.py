@@ -6295,3 +6295,83 @@ def data_audit(sf_dir: str):
             "max_doc_id": pa.array([mx], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# per-group Pearson correlation (trend detection)
+
+CORR_EPOCH0_US = 1_577_836_800_000_000  # 2020-01-01 — keeps hour ints small
+_CORR_HOUR_US = 3_600_000_000
+
+
+@unreserved
+def value_time_corr(sf_dir: str):
+    """(event_type, corr) — Pearson correlation between ``value`` and
+    the event's hour index, per event type: the drift/trend detector
+    (is this metric rising over time?).
+
+    ZERO shuffle: per-batch int64 moment partials (n, Σx, Σy, Σxy, Σx²,
+    Σy² over values quantized to 1e-4 units and hours since 2020) are
+    order-independent, merge exactly on the driver (type-domain-sized),
+    and the corr double evaluates the IDENTICAL expression tree as the
+    SQL oracle — DuckDB's own ``corr()`` accumulates doubles and is not
+    parity-safe, which is exactly why the moments stay integer. Zero-
+    variance groups are excluded on both sides. int64 bound: Σxy safe
+    to ~10⁹ rows per type at these magnitudes; past that, carry the
+    partials as decimal128 (same note as ``value_zscore_outliers``)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        x = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 10000.0 + 0.5
+        ).astype(np.int64)
+        y = (
+            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            - CORR_EPOCH0_US
+        ) // _CORR_HOUR_US
+        uu, inv = np.unique(et, return_inverse=True)
+        cols = {"event_type": pa.array(uu.tolist(), pa.string())}
+        n = np.bincount(inv, minlength=len(uu)).astype(np.int64)
+        cols["n"] = pa.array(n, pa.int64())
+        for name, v in (
+            ("sx", x), ("sy", y), ("sxy", x * y),
+            ("sxx", x * x), ("syy", y * y),
+        ):
+            acc = np.zeros(len(uu), np.int64)
+            np.add.at(acc, inv, v)
+            cols[name] = pa.array(acc, pa.int64())
+        return pa.table(cols)
+
+    parts = _to_table(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+        ).map_batches(partial, batch_format="pyarrow")
+    )
+    if parts.num_rows == 0:
+        return pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "corr": pa.array([], pa.float64()),
+            }
+        )
+    et = np.array(parts["event_type"].to_pylist())
+    uu, inv = np.unique(et, return_inverse=True)
+    m = {}
+    for name in ("n", "sx", "sy", "sxy", "sxx", "syy"):
+        acc = np.zeros(len(uu), np.int64)
+        np.add.at(acc, inv, parts[name].to_numpy(zero_copy_only=False))
+        m[name] = acc.astype(np.float64)
+    num = m["n"] * m["sxy"] - m["sx"] * m["sy"]
+    fx = m["n"] * m["sxx"] - m["sx"] * m["sx"]
+    fy = m["n"] * m["syy"] - m["sy"] * m["sy"]
+    keep = (fx > 0) & (fy > 0)
+    with np.errstate(invalid="ignore"):
+        corr = num[keep] / np.sqrt(fx[keep] * fy[keep])
+    return pa.table(
+        {
+            "event_type": pa.array(uu[keep].tolist(), pa.string()),
+            "corr": pa.array(
+                [round4(float(c)) for c in corr], pa.float64()
+            ),
+        }
+    )

@@ -914,3 +914,55 @@ def test_data_audit_dirty_table(ray_session, tmp_path):
     assert got["n_dup_doc_id"][0].as_py() > 0
     assert got["n_null_text"][0].as_py() > 0
     _check(got, E.oracle_sql()["data_audit"], con)
+
+
+def test_value_time_corr_planted_and_fuzz(ray_session, tmp_path):
+    """type 'a' rises linearly with time (corr ≈ 1), type 'b' falls
+    (corr ≈ −1), type 'c' is constant (zero variance → excluded);
+    then DuckDB parity on a seeded table."""
+    import __ray_entry__ as E
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    d = str(tmp_path / "planted")
+    os.makedirs(d)
+    base = np.datetime64("2024-01-01", "us").astype(np.int64)
+    HOUR = 3_600_000_000
+    rows = []
+    for i in range(20):
+        rows.append(("a", i * HOUR, 1.0 + i))
+        rows.append(("b", i * HOUR, 100.0 - i))
+        rows.append(("c", i * HOUR, 5.0))
+    n = len(rows)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(n), pa.int64()),
+                "ts": pa.array(
+                    [base + r[1] for r in rows], pa.int64()
+                ).cast(pa.timestamp("us")),
+                "user_id": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "event_type": pa.array([r[0] for r in rows]),
+                "value": pa.array([r[2] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * n),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    got = (
+        dp._to_table(dp.value_time_corr(d))
+        .to_pandas()
+        .set_index("event_type")["corr"]
+    )
+    assert abs(got["a"] - 1.0) < 1e-9
+    assert abs(got["b"] + 1.0) < 1e-9
+    assert "c" not in got.index  # zero variance excluded
+
+    d2 = str(tmp_path / "fuzz")
+    os.makedirs(d2)
+    _write_events(d2, seed=14, n=4000, n_users=40, n_types=4)
+    con = _con(d2, ["events"])
+    _check(
+        dp._to_table(dp.value_time_corr(d2)),
+        E.oracle_sql()["value_time_corr"],
+        con,
+    )
