@@ -341,6 +341,7 @@ def _q_ordered_proximity(sf_dir: str) -> pa.Table:
     )
 
 
+BOOST_LANG, BOOST_W = "en", 1.25  # document-boost: lang weight
 WILDCARD = "s*a*"  # matches scan/small/spark/stream in the test vocab
 REGEX_QUERY = "s[ct][a-z]+"  # scan/stream/scala-ish terms; portable re∩RE2
 SPELL_WORD = "par"  # misspelling → part(1), spark(2), a(2)
@@ -368,6 +369,21 @@ def _q_wildcard(sf_dir: str) -> pa.Table:
     exercised through the full boolean path."""
     eng = _engine(sf_dir)
     return _ids_table(eng.search(f"{WILDCARD} AND data"))
+
+
+def _q_boosted_bm25(sf_dir: str) -> pa.Table:
+    """Document-boosted BM25: per-doc metadata weights (lang='en' ×1.25)
+    multiply the accumulated score before top-k — the standard
+    recency/quality/field boosting hook. Stats stay global; the weight
+    array is the broadcastable dimension side."""
+    from informationretrieval_en_people_cn_ray.queryparse import parse
+
+    eng = _engine(sf_dir)
+    boost = dp.doc_weights_by_lang(sf_dir, BOOST_LANG, BOOST_W)
+    ids, scores = eng.ranked(
+        parse(Q_TEXT), k=BM25_K, scorer="bm25", boost=boost
+    )
+    return _ranked_table(ids, scores)
 
 
 def _q_regex_search(sf_dir: str) -> pa.Table:
@@ -783,6 +799,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "proximity_search": _q_proximity,
         "wildcard_search": _q_wildcard,
         "regex_search": _q_regex_search,
+        "boosted_bm25_topk": _q_boosted_bm25,
         "spell_suggest": _q_spell_suggest,
         "facet_counts": _q_facet_counts,
         "replyto_children": _q_replyto,
@@ -903,10 +920,16 @@ def _bm25_sql(
     qt_sql: str | None = None,
     where: str = "",
     k: int | None = None,
+    boost_join: str = "",
+    boost_expr: str = "1.0",
+    group_extra: str = "",
 ) -> str:
     """OR-BM25 oracle body. ``qt_sql`` overrides the fixed query-term
     VALUES list with a computed CTE body (more_like_this); ``where``
-    injects a predicate on the scored rows (seed-doc exclusion)."""
+    injects a predicate on the scored rows (seed-doc exclusion);
+    ``boost_join``/``boost_expr``/``group_extra`` multiply the summed
+    score by a per-document weight (document boosting) — the engine
+    applies the identical multiply after term accumulation."""
     vals = ", ".join(f"('{t}')" for t in Q_TERMS)
     qt = qt_sql if qt_sql is not None else f"qt(term) as (values {vals})"
     return f"""
@@ -932,18 +955,19 @@ select f.doc_id,
          ln(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))
          * f.tf * 2.5
          / (f.tf + 1.5 * (0.25 + 0.75 * d.dl / (s.c::double / s.n)))
-       ), 4) as score
+       ) * {boost_expr}, 4) as score
 from tf f
 join tstats t on f.term = t.term
 join dl d on f.doc_id = d.doc_id
 {extra_join}
+{boost_join}
 cross join stats s
 {where}
-group by f.doc_id
+group by f.doc_id{group_extra}
 order by sum(
   ln(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))
   * f.tf * 2.5 / (f.tf + 1.5 * (0.25 + 0.75 * d.dl / (s.c::double / s.n)))
-) desc, f.doc_id
+) * {boost_expr} desc, f.doc_id
 limit {BM25_K if k is None else k}
 """
 
@@ -1396,6 +1420,15 @@ group by a.doc_id
 having min(abs(a.pos - b.pos)) <= 5
 """,
         "bm25_topk": _bm25_sql(),
+        "boosted_bm25_topk": _bm25_sql(
+            boost_join=(
+                f"join (select doc_id, case when lang = '{BOOST_LANG}' "
+                f"then {BOOST_W} else 1.0 end as w from documents) bw "
+                "on bw.doc_id = f.doc_id"
+            ),
+            boost_expr="bw.w",
+            group_extra=", bw.w",
+        ),
         "bm25_topk_filtered": _bm25_sql(
             extra_join=(
                 "join documents dd on dd.doc_id = f.doc_id "

@@ -6375,3 +6375,19 @@ def value_time_corr(sf_dir: str):
             ),
         }
     )
+
+
+def doc_weights_by_lang(sf_dir: str, lang: str = "en", w: float = 1.25):
+    """(sorted doc ids, weights) — static per-document score boosts from
+    metadata (``w`` for ``lang`` docs, 1.0 otherwise): the broadcastable
+    small side of document-boosted ranking. Pruned two-column read, same
+    budget as ``doc_ids_where``."""
+    t = _to_table(read_documents(sf_dir, ["doc_id", "lang"]))
+    if t.num_columns == 0 or t.num_rows == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    ids = t["doc_id"].to_numpy().astype(np.int64)
+    lg = t["lang"].to_numpy(zero_copy_only=False)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    weights = np.where(lg[order] == lang, w, 1.0)
+    return ids, weights

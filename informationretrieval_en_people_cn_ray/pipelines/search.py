@@ -1173,6 +1173,7 @@ class SearchEngine:
         mu: float = DIRICHLET_MU,
         cutoff: float | None | str = "auto",
         allowed: np.ndarray | None = None,
+        boost: tuple[np.ndarray, np.ndarray] | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Ranked top-k over the union of the query tokens' candidates.
 
@@ -1184,7 +1185,13 @@ class SearchEngine:
         ``allowed`` (sorted unique doc ids) restricts the CANDIDATE set
         (metadata-filtered search, e.g. lang='en' only); collection and
         term statistics stay global — the standard filtered-search
-        semantics, so a doc's score is filter-independent."""
+        semantics, so a doc's score is filter-independent.
+
+        ``boost`` = (sorted doc ids, weights): static per-document score
+        multipliers applied AFTER term accumulation, before top-k —
+        document boosting by metadata (recency/quality/field weights).
+        Docs absent from the array keep weight 1.0; the array is the
+        broadcastable dimension side (``dp.doc_weights_by_lang``)."""
         if cutoff == "auto":
             # reference applies the frequent-term skip only in the
             # Dirichlet scorer (SearchEngine.py:88-91); BM25 has none
@@ -1225,6 +1232,13 @@ class SearchEngine:
                 )
             else:
                 raise ValueError(f"unknown scorer {scorer}")
+        if boost is not None:
+            bids, bw = boost
+            idx = np.searchsorted(bids, cand)
+            idx[idx >= bids.size] = max(bids.size - 1, 0)
+            if bids.size:
+                hit = bids[idx] == cand
+                scores = scores * np.where(hit, bw[idx], 1.0)
         return topk(cand, scores, k)
 
     def ranked_pruned(

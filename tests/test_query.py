@@ -596,3 +596,27 @@ def test_regex_boolean_path(engine, oracle):
     data_docs = set(oracle.term_docs("data"))
     exp = sorted(re_docs & data_docs)
     assert _ids(engine.search("/s[ct][a-z]+/ AND data")) == exp
+
+
+def test_boosted_ranking(engine, oracle):
+    """All-ones boost is a no-op; a selective boost multiplies exactly
+    those docs' scores and re-ranks deterministically."""
+    from informationretrieval_en_people_cn_ray.queryparse import parse
+
+    plan = parse("data values result")
+    ids0, sc0 = engine.ranked(plan, k=10, scorer="bm25")
+    all_ids = np.arange(0, max(ids0.max() + 1, 1), dtype=np.int64)
+    ids1, sc1 = engine.ranked(
+        plan, k=10, scorer="bm25",
+        boost=(all_ids, np.ones(len(all_ids))),
+    )
+    assert ids1.tolist() == ids0.tolist()
+    assert np.allclose(sc1, sc0)
+    # boost exactly one known hit 10x — it must take rank 1 with 10x score
+    target = ids0[-1]
+    w = np.ones(len(all_ids))
+    w[target] = 10.0
+    ids2, sc2 = engine.ranked(plan, k=10, scorer="bm25",
+                              boost=(all_ids, w))
+    assert ids2[0] == target
+    assert abs(sc2[0] - 10.0 * sc0[-1]) < 1e-9
