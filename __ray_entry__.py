@@ -2141,9 +2141,10 @@ from documents
 """,
         "data_audit": """
 select count(*)::bigint as n_rows,
-       sum(case when text is null then 1 else 0 end)::bigint
+       coalesce(sum(case when text is null then 1 else 0 end), 0)::bigint
          as n_null_text,
-       sum(case when text = '' then 1 else 0 end)::bigint as n_empty_text,
+       coalesce(sum(case when text = '' then 1 else 0 end), 0)::bigint
+         as n_empty_text,
        count(distinct doc_id)::bigint as n_distinct_doc_id,
        (count(*) - count(distinct doc_id))::bigint as n_dup_doc_id,
        coalesce(min(doc_id), 0)::bigint as min_doc_id,

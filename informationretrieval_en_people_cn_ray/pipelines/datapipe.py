@@ -2870,7 +2870,11 @@ def tfidf_topk_terms(sf_dir: str, k: int = 5):
         .groupby("term")
         .aggregate(Sum("df", alias_name="df"))
     )
-    terms_sorted = np.array(df_t["term"].to_pylist())
+    terms_sorted = (
+        np.array(df_t["term"].to_pylist())
+        if df_t.num_columns and df_t.num_rows
+        else np.empty(0, object)
+    )
     order = np.argsort(terms_sorted)
     terms_sorted = terms_sorted[order]
     df_sorted = (
@@ -4257,13 +4261,15 @@ def lang_source_rollup(sf_dir: str):
             Sum("n", alias_name="n"), Sum("chars", alias_name="chars")
         )
     )
-    if fine.num_rows == 0:
+    if fine.num_columns == 0 or fine.num_rows == 0:
+        # SQL ROLLUP always emits the () grouping set: one grand-total
+        # row even over zero input rows (count 0, NULL sum)
         return pa.table(
             {
-                "lang": pa.array([], pa.string()),
-                "source": pa.array([], pa.string()),
-                "n": pa.array([], pa.int64()),
-                "chars": pa.array([], pa.int64()),
+                "lang": pa.array(["ALL"], pa.string()),
+                "source": pa.array(["ALL"], pa.string()),
+                "n": pa.array([0], pa.int64()),
+                "chars": pa.array([None], pa.int64()),
             }
         )
     lang = np.asarray(fine["lang"].to_pylist(), object)
@@ -6125,14 +6131,18 @@ def winsorize_values(sf_dir: str):
         .groupby("event_type")
         .map_groups(qrow, batch_format="pyarrow")
     )
-    thresholds = {
-        t: (lo, hi)
-        for t, lo, hi in zip(
-            th["event_type"].to_pylist(),
-            th["lo"].to_pylist(),
-            th["hi"].to_pylist(),
-        )
-    }
+    thresholds = (
+        {
+            t: (lo, hi)
+            for t, lo, hi in zip(
+                th["event_type"].to_pylist(),
+                th["lo"].to_pylist(),
+                th["hi"].to_pylist(),
+            )
+        }
+        if th.num_columns and th.num_rows
+        else {}
+    )
     state = ray.put(thresholds)
 
     def clip(batch: pa.Table) -> pa.Table:

@@ -263,8 +263,11 @@ def revenue_band_filter(sf_dir: str):
         ),
     ).map_batches(partial, batch_format="pyarrow")
     t = _to_table(ds)  # one row per block
-    rev = int(t["rev_e6"].to_numpy(zero_copy_only=False).sum())
-    n = int(t["n"].to_numpy(zero_copy_only=False).sum())
+    if t.num_columns == 0 or t.num_rows == 0:  # nothing in the date band
+        rev, n = 0, 0
+    else:
+        rev = int(t["rev_e6"].to_numpy(zero_copy_only=False).sum())
+        n = int(t["n"].to_numpy(zero_copy_only=False).sum())
     return pa.table(
         {
             "revenue": pa.array([round4(rev / 1e6)], pa.float64()),
