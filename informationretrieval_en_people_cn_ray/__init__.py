@@ -31,3 +31,37 @@ __version__ = "0.1.0"
 from .hostmem import disable_thp as _disable_thp
 
 THP_DISABLED = _disable_thp()
+
+
+def _settle_fsspec_http() -> None:
+    """Concurrent-plan import-race fix. Ray's ``read_parquet`` probes
+    ``fsspec.implementations.http`` on EVERY read; in environments
+    without ``aiohttp`` that module import raises and is removed from
+    ``sys.modules``, so every dataset creation re-attempts it — and two
+    plans created in concurrent threads can hit CPython's circular-
+    import deadlock-avoidance path, where the second thread receives
+    the half-initialized module and dies with ``ImportError: cannot
+    import name 'HTTPFileSystem'`` instead of Ray's caught
+    ``ModuleNotFoundError`` (reproduced by tests/test_concurrent_plans
+    before this fix). Settle it ONCE at import: if the real module
+    can't load, pin a sentinel module exposing an ``HTTPFileSystem``
+    class no filesystem will ever be an instance of — Ray's
+    ``isinstance`` probe then returns False, race-free."""
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except ModuleNotFoundError:
+        import sys
+        import types
+
+        stub = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # sentinel: nothing instantiates it
+            pass
+
+        stub.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = stub
+    except Exception:
+        pass  # any other import outcome: leave the environment alone
+
+
+_settle_fsspec_http()

@@ -281,7 +281,13 @@ def main(argv: list[str] | None = None) -> int:
         help="query a built index (or comma-separated generation list)",
     )
     ps.add_argument("index_dir")
-    ps.add_argument("--query")
+    ps.add_argument(
+        "--query",
+        help=(
+            "query text: keyword | 'phrase' | pre* | s*a* | /regex/ | "
+            "ReplyTo:<id> | AND/OR/NOT combinations"
+        ),
+    )
     ps.add_argument("--query-file")
     ps.add_argument("--k", type=int, default=10)
     ps.add_argument("--scorer", choices=("bm25", "dirichlet"), default="bm25")
