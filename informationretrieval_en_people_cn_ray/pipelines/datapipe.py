@@ -1326,10 +1326,12 @@ def events_sliding_window(sf_dir: str, window_hours: int = 2, hop_hours: int = 1
 def media_decode(sf_dir: str, n: int = 200):
     """(media_id, kind, width, height, n_frames, feature) — multimodal
     decode through the actor-pool stage over a deterministic synthetic
-    media table (binary payload + typed metadata; the decode itself is
-    the honestly-stubbed fake, the Ray plumbing is real — see
-    stages/multimodal.py). Rows-only driver check (no SQL media
-    decode)."""
+    media table (binary payload + typed metadata). The decode is REAL
+    pixel/sample math for BMP/PPM/WAV/Y4M via the pure-python codecs
+    (stages/mediacodecs.py) — true dimensions, luminance-histogram and
+    rFFT-band features; compressed formats (PIL/ffmpeg territory) fall
+    back to the honestly-guarded fake. Rows-only driver check (no SQL
+    media decode)."""
     from ..stages.multimodal import MediaDecode, synthesize_media_table
 
     ds = ray.data.from_arrow(synthesize_media_table(n, seed=7))

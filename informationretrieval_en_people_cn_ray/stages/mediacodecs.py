@@ -1,0 +1,224 @@
+"""Pure-Python/numpy media codecs for the UNCOMPRESSED interchange
+formats — real decode/encode with zero external libraries:
+
+- **BMP** (Windows bitmap, 24-bit uncompressed ``BI_RGB``): header parse,
+  4-byte row stride, bottom-up row order.
+- **PPM** (Netpbm ``P6``, maxval 255): text header + raw RGB.
+- **WAV** (RIFF PCM 16-bit): stdlib ``wave`` + ``np.frombuffer``.
+- **Y4M** (YUV4MPEG2, 4:2:0 planar): text stream header, per-frame
+  ``FRAME`` markers, Y/U/V planes.
+
+Compressed codecs (JPEG/PNG/MP3/MP4…) genuinely need PIL/ffmpeg, which
+this container does not have — ``sniff`` returns ``None`` for them and
+the multimodal stages fall back to their honestly-guarded stub. These
+four cover the common raw-capture/intermediate forms, so the decode,
+resize and frame-sample stages run REAL pixel/sample math end to end.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+
+
+def sniff(payload: bytes) -> str | None:
+    """Magic-byte format detection: 'bmp' | 'ppm' | 'wav' | 'y4m' | None."""
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:2] == b"P6":
+        return "ppm"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload[:9] == b"YUV4MPEG2":
+        return "y4m"
+    return None
+
+
+# ---------------------------------------------------------------------------
+# BMP (24-bit BI_RGB)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """BMP bytes → (H, W, 3) uint8 RGB. 24-bit uncompressed only."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only 24-bit BI_RGB supported (bpp={bpp}, comp={comp})")
+    flip = h > 0  # positive height = bottom-up rows
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)[:, : w * 3]
+    img = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    return img[::-1] if flip else img
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → 24-bit BI_RGB BMP bytes."""
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), np.uint8)
+    body[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    raw = body.tobytes()
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(raw), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raw), 2835, 2835, 0, 0)
+    return header + info + raw
+
+
+# ---------------------------------------------------------------------------
+# PPM (P6)
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """P6 PPM bytes → (H, W, 3) uint8 RGB (maxval 255)."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header: P6 <w> <h> <maxval> with comments/whitespace
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while payload[pos : pos + 1] not in (b"\n", b""):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only maxval 255 supported, got {maxval}")
+    return np.frombuffer(payload, np.uint8, count=w * h * 3, offset=pos).reshape(
+        h, w, 3
+    )
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF PCM 16-bit)
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """WAV bytes → (samples[int16, interleaved], sample_rate, channels)."""
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        if f.getsampwidth() != 2:
+            raise ValueError("only 16-bit PCM supported")
+        rate, ch, n = f.getframerate(), f.getnchannels(), f.getnframes()
+        samples = np.frombuffer(f.readframes(n), np.int16)
+    return samples, rate, ch
+
+
+def encode_wav(samples: np.ndarray, rate: int, channels: int = 1) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(channels)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(samples.astype(np.int16).tobytes())
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# Y4M (YUV4MPEG2, 4:2:0)
+
+
+def decode_y4m(payload: bytes) -> np.ndarray:
+    """Y4M bytes → (n_frames, H, W) uint8 luma planes (chroma skipped)."""
+    nl = payload.index(b"\n")
+    header = payload[:nl].decode("ascii", "replace")
+    if not header.startswith("YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = None
+    for tok in header.split()[1:]:
+        if tok[0] == "W":
+            w = int(tok[1:])
+        elif tok[0] == "H":
+            h = int(tok[1:])
+        elif tok[0] == "C" and not tok[1:].startswith("420"):
+            raise ValueError(f"only 4:2:0 supported, got {tok}")
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    ysz, csz = w * h, (w // 2) * (h // 2)
+    frame_bytes = ysz + 2 * csz
+    pos, frames = nl + 1, []
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("corrupt Y4M frame marker")
+        pos = fnl + 1
+        frames.append(
+            np.frombuffer(payload, np.uint8, count=ysz, offset=pos).reshape(h, w)
+        )
+        pos += frame_bytes
+    return np.stack(frames) if frames else np.zeros((0, h, w), np.uint8)
+
+
+def encode_y4m(frames: np.ndarray) -> bytes:
+    """(n, H, W) uint8 luma → Y4M 4:2:0 (chroma = neutral 128)."""
+    n, h, w = frames.shape
+    out = [b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420\n" % (w, h)]
+    chroma = np.full((h // 2) * (w // 2) * 2, 128, np.uint8).tobytes()
+    for i in range(n):
+        out.append(b"FRAME\n")
+        out.append(frames[i].tobytes())
+        out.append(chroma)
+    return b"".join(out)
+
+
+# ---------------------------------------------------------------------------
+# shared pixel/sample math (real, numpy)
+
+
+def resize_nearest(img: np.ndarray, nw: int, nh: int) -> np.ndarray:
+    """(H, W[, C]) → (nh, nw[, C]) nearest-neighbor resample."""
+    h, w = img.shape[:2]
+    yi = np.minimum((np.arange(nh) * h) // nh, h - 1)
+    xi = np.minimum((np.arange(nw) * w) // nw, w - 1)
+    return img[yi][:, xi]
+
+
+def luma_histogram(img: np.ndarray, bins: int = 16) -> np.ndarray:
+    """Unit-L2 normalized luminance histogram feature (float32)."""
+    if img.ndim == 3:
+        y = (
+            0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+        ).astype(np.float32)
+    else:
+        y = img.astype(np.float32)
+    hist, _ = np.histogram(y, bins=bins, range=(0.0, 256.0))
+    v = hist.astype(np.float32)
+    n = float(np.linalg.norm(v)) or 1.0
+    return v / n
+
+
+def spectral_bands(samples: np.ndarray, bands: int = 16) -> np.ndarray:
+    """Unit-L2 normalized |rFFT| band-magnitude feature (float32)."""
+    if samples.size == 0:
+        return np.zeros(bands, np.float32)
+    mag = np.abs(np.fft.rfft(samples.astype(np.float64)))
+    if mag.size < bands:
+        mag = np.pad(mag, (0, bands - mag.size))
+    edges = np.linspace(0, mag.size, bands + 1).astype(np.int64)
+    v = np.array(
+        [mag[edges[i]:edges[i + 1]].sum() for i in range(bands)], np.float32
+    )
+    n = float(np.linalg.norm(v)) or 1.0
+    return v / n

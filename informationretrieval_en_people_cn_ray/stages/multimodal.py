@@ -2,17 +2,25 @@
 
 A 100 TB training-data pipeline carries media as ``binary`` columns with
 sidecar metadata; decode / feature-extract / resize / frame-sample are
-stateful actor-pool ``map_batches`` stages. The decode libraries (PIL,
-ffmpeg, torchvision, …) are NOT in this container, so the codec calls are
-stubbed behind ``import``-guards / a deterministic fake — but everything
-Ray-side is real and tested: the schema contract, actor signature, batch
-sizing for large binary payloads, and the output layout.
+stateful actor-pool ``map_batches`` stages.
+
+Decoding is REAL — pure Python/numpy codecs in ``mediacodecs`` — for the
+uncompressed interchange formats: BMP (24-bit), PPM (P6), WAV (PCM16),
+Y4M (YUV4MPEG2 4:2:0). Features are real pixel/sample math (luminance
+histograms, rFFT band magnitudes); resize is a real nearest-neighbor
+resample re-encoded in the source format. COMPRESSED codecs (JPEG/PNG/
+MP3/MP4…) need PIL/ffmpeg, which are NOT in this container: those
+payloads fall back to a deterministic fake in non-strict mode, and
+``strict=True`` raises ``NotImplementedError`` the moment one is seen.
 
 Schema contract:
 
     media(media_id:int64, kind:string, payload:binary, meta:string-JSON)
       → decoded(media_id, kind, width:int32, height:int32,
                 n_frames:int32, feature:list<float>)
+
+Dimension semantics per kind: image (w, h, 1); video (w, h, n_frames);
+audio (width=sample_rate, height=channels, n_frames=n_samples).
 
 Batch-size note (scale): with multi-MB payloads, ``batch_size`` must be
 small (16-64) and ``target_max_block_size`` raised so Ray doesn't split
@@ -28,6 +36,8 @@ import json
 import numpy as np
 import pyarrow as pa
 
+from . import mediacodecs as mc
+
 DECODED_SCHEMA = pa.schema(
     [
         ("media_id", pa.int64()),
@@ -41,20 +51,49 @@ DECODED_SCHEMA = pa.schema(
 
 FEATURE_DIM = 16
 
+_STUB_MSG = (
+    "payload is not one of the real pure-python codecs (BMP/PPM/WAV/Y4M); "
+    "compressed formats need PIL/ffmpeg which are not in this container — "
+    "run with strict=False to apply the deterministic fake decoder"
+)
 
-def _try_real_decoder():
-    try:  # pragma: no cover - not installed in this container
-        import PIL.Image  # noqa: F401
 
-        return True
-    except ImportError:
-        return False
+def real_decode(payload: bytes) -> dict | None:
+    """Real decode for the formats ``mediacodecs`` covers; None if the
+    payload is not one of them (caller picks strict/fake handling)."""
+    fmt = mc.sniff(payload)
+    if fmt is None:
+        return None
+    if fmt in ("bmp", "ppm"):
+        img = mc.decode_bmp(payload) if fmt == "bmp" else mc.decode_ppm(payload)
+        return {
+            "width": int(img.shape[1]),
+            "height": int(img.shape[0]),
+            "n_frames": 1,
+            "feature": mc.luma_histogram(img, FEATURE_DIM).tolist(),
+        }
+    if fmt == "wav":
+        samples, rate, ch = mc.decode_wav(payload)
+        return {
+            "width": int(rate),
+            "height": int(ch),
+            "n_frames": int(len(samples) // max(ch, 1)),
+            "feature": mc.spectral_bands(samples, FEATURE_DIM).tolist(),
+        }
+    frames = mc.decode_y4m(payload)  # y4m
+    n, h, w = frames.shape
+    return {
+        "width": int(w),
+        "height": int(h),
+        "n_frames": int(n),
+        "feature": mc.luma_histogram(frames, FEATURE_DIM).tolist(),
+    }
 
 
 def fake_decode(payload: bytes, kind: str) -> dict:
-    """Deterministic stand-in for the codec call: derives stable
-    pseudo-dimensions and a unit-norm feature vector from the payload
-    bytes. Replace with the real decoder where the libs exist."""
+    """Deterministic stand-in for the codec call on formats the real
+    decoders don't cover: stable pseudo-dimensions and a unit-norm
+    feature vector derived from the payload bytes."""
     h = hashlib.sha256(payload).digest()
     width = 64 + h[0]
     height = 64 + h[1]
@@ -80,14 +119,8 @@ class MediaDecode:
     """
 
     def __init__(self, strict: bool = False, keep_payload: bool = False):
-        self.have_real = _try_real_decoder()
+        self.strict = strict
         self.keep_payload = keep_payload  # for decode→resize chaining
-        if strict and not self.have_real:
-            raise NotImplementedError(
-                "real media decoding needs PIL/ffmpeg which are not in "
-                "this container; run with strict=False to use the "
-                "deterministic fake decoder"
-            )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["media_id"].to_pylist()
@@ -95,7 +128,11 @@ class MediaDecode:
         payloads = batch["payload"].to_pylist()
         width, height, n_frames, feats = [], [], [], []
         for p, k in zip(payloads, kinds):
-            d = fake_decode(p, k)
+            d = real_decode(p)
+            if d is None:
+                if self.strict:
+                    raise NotImplementedError(_STUB_MSG)
+                d = fake_decode(p, k)
             width.append(d["width"])
             height.append(d["height"])
             n_frames.append(d["n_frames"])
@@ -115,21 +152,19 @@ class MediaDecode:
 
 class MediaResize:
     """Actor-pool stage: fit image/video dimensions into a target box
-    (aspect-preserving) and re-emit the payload — the resize math and
-    the Ray plumbing (binary in/out, metadata update) are real; the
-    pixel resample itself is the honestly-stubbed fake (payload bytes
-    scaled proportionally to the area change), same guard contract as
-    MediaDecode."""
+    (aspect-preserving). For the real codecs the pixels are genuinely
+    resampled (nearest-neighbor) and re-encoded in the source format —
+    BMP/PPM per image, Y4M per frame; audio passes through. Unrecognized
+    (compressed) payloads keep the honestly-stubbed fake (payload bytes
+    scaled with pixel area) unless ``strict=True``."""
 
     def __init__(self, max_w: int = 128, max_h: int = 128, strict: bool = False):
         self.max_w, self.max_h = max_w, max_h
-        self.have_real = _try_real_decoder()
-        if strict and not self.have_real:
-            raise NotImplementedError(
-                "real media resampling needs PIL/ffmpeg which are not in "
-                "this container; run with strict=False to use the "
-                "deterministic fake"
-            )
+        self.strict = strict
+
+    def _fit(self, w: int, h: int) -> tuple[int, int]:
+        scale = min(self.max_w / w, self.max_h / h)
+        return max(1, int(w * scale)), max(1, int(h * scale))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_w, out_h, out_payload = [], [], []
@@ -140,12 +175,34 @@ class MediaResize:
             batch["height"].to_pylist(),
         ):
             if k == "audio" or (w <= self.max_w and h <= self.max_h):
-                nw, nh = w, h
-                body = p
+                out_w.append(w)
+                out_h.append(h)
+                out_payload.append(p)
+                continue
+            fmt = mc.sniff(p)
+            nw, nh = self._fit(w, h)
+            if fmt in ("bmp", "ppm"):
+                img = (
+                    mc.decode_bmp(p) if fmt == "bmp" else mc.decode_ppm(p)
+                )
+                small = mc.resize_nearest(img, nw, nh)
+                body = (
+                    mc.encode_bmp(small)
+                    if fmt == "bmp"
+                    else mc.encode_ppm(small)
+                )
+            elif fmt == "y4m":
+                frames = mc.decode_y4m(p)
+                nw -= nw % 2  # 4:2:0 needs even dims
+                nh -= nh % 2
+                nw, nh = max(nw, 2), max(nh, 2)
+                small = np.stack(
+                    [mc.resize_nearest(f, nw, nh) for f in frames]
+                ) if len(frames) else np.zeros((0, nh, nw), np.uint8)
+                body = mc.encode_y4m(small)
             else:
-                scale = min(self.max_w / w, self.max_h / h)
-                nw = max(1, int(w * scale))
-                nh = max(1, int(h * scale))
+                if self.strict:
+                    raise NotImplementedError(_STUB_MSG)
                 # fake resample: payload shrinks with pixel area; content
                 # stays payload-determined (deterministic, testable)
                 keep = max(1, int(len(p) * (nw * nh) / (w * h)))
@@ -167,7 +224,8 @@ class MediaResize:
 
 class FrameSample:
     """Actor-pool stage: sample every k-th frame index of video rows —
-    demonstrates the flat_map-shaped (1 row → n rows) media transform."""
+    the flat_map-shaped (1 row → n rows) media transform. ``n_frames``
+    comes from the (now real, for Y4M) decode stage."""
 
     def __init__(self, every: int = 8):
         self.every = every
@@ -192,12 +250,60 @@ class FrameSample:
         )
 
 
-def synthesize_media_table(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic fake media rows for tests (payload = seeded bytes)."""
+def synthesize_media_table(n: int, seed: int = 42, real: bool = True) -> pa.Table:
+    """Deterministic media rows for tests/benchmarks.
+
+    ``real=True`` (default) emits REAL payloads the pure-python codecs
+    decode — BMP gradient images, Y4M moving-gradient clips, WAV sine
+    tones; ``real=False`` keeps the legacy opaque random bytes that
+    exercise the compressed-format fallback path."""
     rng = np.random.RandomState(seed)
     kinds = ["image", "video", "audio"]
     rows_kind = [kinds[i % 3] for i in range(n)]
-    payloads = [rng.bytes(128 + int(rng.randint(0, 512))) for _ in range(n)]
+    if not real:
+        payloads = [
+            rng.bytes(128 + int(rng.randint(0, 512))) for _ in range(n)
+        ]
+    else:
+        payloads = []
+        for i, k in enumerate(rows_kind):
+            if k == "image":
+                w = int(rng.randint(20, 90))
+                h = int(rng.randint(20, 90))
+                x = np.arange(w, dtype=np.uint8)[None, :]
+                y = np.arange(h, dtype=np.uint8)[:, None]
+                img = np.stack(
+                    [
+                        np.broadcast_to((x * 3 + i) % 256, (h, w)),
+                        np.broadcast_to((y * 5) % 256, (h, w)),
+                        np.full((h, w), i % 256),
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                payloads.append(
+                    mc.encode_bmp(img) if i % 2 else mc.encode_ppm(img)
+                )
+            elif k == "video":
+                w = 2 * int(rng.randint(8, 32))
+                h = 2 * int(rng.randint(8, 32))
+                nf = int(rng.randint(2, 12))
+                base = (
+                    np.arange(w, dtype=np.uint16)[None, :]
+                    + np.arange(h, dtype=np.uint16)[:, None]
+                )
+                frames = np.stack(
+                    [((base + 7 * f + i) % 256).astype(np.uint8) for f in range(nf)]
+                )
+                payloads.append(mc.encode_y4m(frames))
+            else:
+                rate = 8000
+                dur = int(rng.randint(200, 2000))
+                t = np.arange(dur)
+                freq = 100 + 50 * (i % 7)
+                tone = (
+                    3000 * np.sin(2 * np.pi * freq * t / rate)
+                ).astype(np.int16)
+                payloads.append(mc.encode_wav(tone, rate, 1))
     meta = [json.dumps({"src": f"media/{i}"}) for i in range(n)]
     return pa.table(
         {

@@ -159,13 +159,37 @@ def test_media_decode_stage(ray_session):
     assert all(kinds[m] == "video" for m in ftbl["media_id"].to_pylist())
 
 
-def test_media_strict_raises():
+def test_media_strict_and_real_codecs(ray_session):
+    """strict mode decodes REAL payloads (BMP/PPM/WAV/Y4M pure-python
+    codecs) and raises only when a compressed-format payload appears."""
+    import pyarrow as pa
+
     from informationretrieval_en_people_cn_ray.stages.multimodal import (
         MediaDecode,
+        synthesize_media_table,
     )
 
-    with pytest.raises(NotImplementedError, match="PIL|ffmpeg"):
-        MediaDecode(strict=True)
+    real = synthesize_media_table(9, seed=5, real=True)
+    out = MediaDecode(strict=True)(real)
+    assert out.num_rows == 9
+    # image rows decode their true encoded dimensions
+    from informationretrieval_en_people_cn_ray.stages import mediacodecs as mc
+    for i in range(9):
+        p = real["payload"][i].as_py()
+        fmt = mc.sniff(p)
+        assert fmt is not None
+        if fmt in ("bmp", "ppm"):
+            img = mc.decode_bmp(p) if fmt == "bmp" else mc.decode_ppm(p)
+            assert out["width"][i].as_py() == img.shape[1]
+            assert out["height"][i].as_py() == img.shape[0]
+        if fmt == "y4m":
+            assert out["n_frames"][i].as_py() == len(mc.decode_y4m(p))
+
+    fake = synthesize_media_table(3, seed=5, real=False)
+    with pytest.raises(NotImplementedError, match="PIL/ffmpeg"):
+        MediaDecode(strict=True)(fake)
+    # non-strict falls back to the deterministic fake on the same rows
+    assert MediaDecode(strict=False)(fake).num_rows == 3
 
 
 def test_hashing_embedder_deterministic_and_geometric():
@@ -450,51 +474,89 @@ def test_hll_distinct_users_error_bound(ray_session):
 
 
 def test_media_resize_stage(ray_session):
-    """Aspect-preserving fit into the target box through the actor-pool
-    stage; audio passes through; payload shrinks with pixel area."""
+    """Aspect-preserving fit through the actor-pool stage with REAL
+    pixel resampling for the pure-python codecs: resized BMP/PPM
+    payloads re-decode to the new dimensions with nearest-neighbor
+    pixel identity; Y4M keeps its frame count at even fitted dims;
+    audio passes through; unrecognized payloads use the fake fallback
+    (and raise under strict)."""
     import ray.data
 
+    from informationretrieval_en_people_cn_ray.stages import mediacodecs as mc
     from informationretrieval_en_people_cn_ray.stages.multimodal import (
+        MediaDecode,
         MediaResize,
-        fake_decode,
         synthesize_media_table,
     )
 
-    src = synthesize_media_table(60, seed=3)
-    dims = [fake_decode(p.as_py(), k.as_py()) for p, k in zip(src["payload"], src["kind"])]
-    decoded = pa.table(
-        {
-            "media_id": src["media_id"],
-            "kind": src["kind"],
-            "width": pa.array([d["width"] for d in dims], pa.int32()),
-            "height": pa.array([d["height"] for d in dims], pa.int32()),
-            "n_frames": pa.array([d["n_frames"] for d in dims], pa.int32()),
-            "payload": src["payload"],
-        }
-    )
+    src = synthesize_media_table(30, seed=3, real=True)
+    decoded = MediaDecode(keep_payload=True)(src)
     out = ray.data.from_arrow(decoded).map_batches(
-        MediaResize, fn_constructor_kwargs=dict(max_w=100, max_h=80),
-        batch_size=16, batch_format="pyarrow", concurrency=2,
+        MediaResize, fn_constructor_kwargs=dict(max_w=24, max_h=20),
+        batch_size=8, batch_format="pyarrow", concurrency=2,
     )
     from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
 
     t = dp._to_table(out).combine_chunks()
     by_id = {r["media_id"]: r for r in t.to_pylist()}
-    for i, d in enumerate(dims):
+    for i in range(30):
         r = by_id[i]
         k = src["kind"][i].as_py()
-        w, h = d["width"], d["height"]
-        if k == "audio" or (w <= 100 and h <= 80):
+        w = decoded["width"][i].as_py()
+        h = decoded["height"][i].as_py()
+        p0 = src["payload"][i].as_py()
+        if k == "audio" or (w <= 24 and h <= 20):
             assert (r["width"], r["height"]) == (w, h)
-            assert len(r["payload"]) == len(src["payload"][i].as_py())
-        else:
-            assert r["width"] <= 100 and r["height"] <= 80
-            # aspect preserved to integer rounding
-            assert abs(r["width"] / r["height"] - w / h) < 0.1
-            assert 0 < len(r["payload"]) <= len(src["payload"][i].as_py())
-    with pytest.raises(NotImplementedError):
-        MediaResize(strict=True)
+            assert r["payload"] == p0
+            continue
+        assert r["width"] <= 24 and r["height"] <= 20
+        fmt = mc.sniff(p0)
+        if fmt in ("bmp", "ppm"):
+            # aspect preserved to integer rounding; pixels really resampled
+            assert abs(r["width"] / r["height"] - w / h) < 0.35
+            img0 = mc.decode_bmp(p0) if fmt == "bmp" else mc.decode_ppm(p0)
+            img1 = (
+                mc.decode_bmp(r["payload"])
+                if fmt == "bmp"
+                else mc.decode_ppm(r["payload"])
+            )
+            assert img1.shape == (r["height"], r["width"], 3)
+            import numpy as np
 
+            assert np.array_equal(
+                img1, mc.resize_nearest(img0, r["width"], r["height"])
+            )
+        elif fmt == "y4m":
+            frames1 = mc.decode_y4m(r["payload"])
+            assert len(frames1) == decoded["n_frames"][i].as_py()
+            assert r["width"] % 2 == 0 and r["height"] % 2 == 0
+            assert frames1.shape[1:] == (r["height"], r["width"])
+
+    # unrecognized payloads: fake fallback shrinks bytes; strict raises
+    fake_src = synthesize_media_table(6, seed=3, real=False)
+    from informationretrieval_en_people_cn_ray.stages.multimodal import (
+        fake_decode,
+    )
+    dims = [
+        fake_decode(p.as_py(), k.as_py())
+        for p, k in zip(fake_src["payload"], fake_src["kind"])
+    ]
+    fake_decoded = pa.table(
+        {
+            "media_id": fake_src["media_id"],
+            "kind": fake_src["kind"],
+            "width": pa.array([d["width"] for d in dims], pa.int32()),
+            "height": pa.array([d["height"] for d in dims], pa.int32()),
+            "n_frames": pa.array([d["n_frames"] for d in dims], pa.int32()),
+            "payload": fake_src["payload"],
+        }
+    )
+    shrunk = MediaResize(max_w=40, max_h=40)(fake_decoded)
+    for i in range(6):
+        if fake_src["kind"][i].as_py() != "audio":
+            assert shrunk["width"][i].as_py() <= 40
+    with pytest.raises(NotImplementedError, match="PIL/ffmpeg"):
+        MediaResize(max_w=40, max_h=40, strict=True)(fake_decoded)
 
 def test_embedding_cosine_pairs_lsh_subset_and_recall(ray_session):
     """LSH-bucketed near-dup is a strict subset of the exact op with
@@ -530,7 +592,7 @@ def test_media_pipeline_end_to_end(ray_session):
     video rows emit frames, stride respected, deterministic."""
     from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
     from informationretrieval_en_people_cn_ray.stages.multimodal import (
-        fake_decode,
+        real_decode,
         synthesize_media_table,
     )
 
@@ -540,7 +602,7 @@ def test_media_pipeline_end_to_end(ray_session):
     expected = 0
     for i, k in enumerate(kinds):
         if k == "video":
-            nf = fake_decode(src["payload"][i].as_py(), k)["n_frames"]
+            nf = real_decode(src["payload"][i].as_py())["n_frames"]
             expected += len(range(0, nf, 8))
     assert t.num_rows == expected
     frames = t["frame"].to_pylist()

@@ -1,0 +1,76 @@
+"""Pure-python media codecs: byte-exact roundtrips, golden pixel checks,
+format sniffing, and the real feature math."""
+
+import numpy as np
+import pytest
+
+from informationretrieval_en_people_cn_ray.stages import mediacodecs as mc
+
+
+def test_bmp_roundtrip_and_stride_padding():
+    # width 3 → row stride pads to 12 bytes; values survive exactly
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    payload = mc.encode_bmp(img)
+    assert mc.sniff(payload) == "bmp"
+    assert np.array_equal(mc.decode_bmp(payload), img)
+    # odd widths across the 4-byte boundary
+    for w in (1, 2, 5, 7):
+        im = np.random.RandomState(w).randint(
+            0, 256, (3, w, 3)
+        ).astype(np.uint8)
+        assert np.array_equal(mc.decode_bmp(mc.encode_bmp(im)), im)
+
+
+def test_ppm_roundtrip_and_comment_header():
+    img = np.random.RandomState(1).randint(0, 256, (4, 5, 3)).astype(np.uint8)
+    payload = mc.encode_ppm(img)
+    assert mc.sniff(payload) == "ppm"
+    assert np.array_equal(mc.decode_ppm(payload), img)
+    # header comments are legal PPM
+    commented = b"P6\n# a comment\n5 4\n255\n" + img.tobytes()
+    assert np.array_equal(mc.decode_ppm(commented), img)
+
+
+def test_wav_roundtrip_and_spectra():
+    rate = 8000
+    t = np.arange(4000)
+    tone = (3000 * np.sin(2 * np.pi * 440 * t / rate)).astype(np.int16)
+    payload = mc.encode_wav(tone, rate, 1)
+    assert mc.sniff(payload) == "wav"
+    samples, r, c = mc.decode_wav(payload)
+    assert (r, c) == (rate, 1)
+    assert np.array_equal(samples, tone)
+    # a pure tone concentrates energy in one rFFT band
+    bands = mc.spectral_bands(samples, 16)
+    assert abs(np.linalg.norm(bands) - 1.0) < 1e-6
+    assert bands.max() > 0.9
+
+
+def test_y4m_roundtrip_and_frame_count():
+    frames = np.stack(
+        [np.full((6, 8), 10 * f, np.uint8) for f in range(5)]
+    )
+    payload = mc.encode_y4m(frames)
+    assert mc.sniff(payload) == "y4m"
+    out = mc.decode_y4m(payload)
+    assert np.array_equal(out, frames)
+
+
+def test_resize_nearest_golden():
+    img = np.arange(4, dtype=np.uint8).reshape(2, 2)
+    up = mc.resize_nearest(img, 4, 4)
+    assert up.tolist() == [
+        [0, 0, 1, 1], [0, 0, 1, 1], [2, 2, 3, 3], [2, 2, 3, 3]
+    ]
+
+
+def test_luma_histogram_unit_norm():
+    img = np.zeros((8, 8, 3), np.uint8)
+    v = mc.luma_histogram(img, 16)
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-6
+    assert v[0] == 1.0  # all-black → all mass in bin 0
+
+
+def test_sniff_rejects_unknown():
+    assert mc.sniff(b"\x89PNG\r\n\x1a\n....") is None
+    assert mc.sniff(b"\xff\xd8\xff\xe0 jpeg") is None
