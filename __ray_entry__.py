@@ -345,6 +345,7 @@ BOOST_LANG, BOOST_W = "en", 1.25  # document-boost: lang weight
 WILDCARD = "s*a*"  # matches scan/small/spark/stream in the test vocab
 REGEX_QUERY = "s[ct][a-z]+"  # scan/stream/scala-ish terms; portable re∩RE2
 SPELL_WORD = "par"  # misspelling → part(1), spark(2), a(2)
+FUZZY_WORD = "scon"  # typo → scan (1 edit); fuzzy search includes matches
 FACET_QUERY = "scan AND join"
 
 
@@ -369,6 +370,13 @@ def _q_wildcard(sf_dir: str) -> pa.Table:
     exercised through the full boolean path."""
     eng = _engine(sf_dir)
     return _ids_table(eng.search(f"{WILDCARD} AND data"))
+
+
+def _q_fuzzy_search(sf_dir: str) -> pa.Table:
+    """Typo-tolerant search: docs containing any dictionary term within
+    1 edit of the (misspelled) query word."""
+    eng = _engine(sf_dir)
+    return _ids_table(eng.fuzzy_docs(FUZZY_WORD, max_dist=1))
 
 
 def _q_boosted_bm25(sf_dir: str) -> pa.Table:
@@ -800,6 +808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wildcard_search": _q_wildcard,
         "regex_search": _q_regex_search,
         "boosted_bm25_topk": _q_boosted_bm25,
+        "fuzzy_search": _q_fuzzy_search,
         "spell_suggest": _q_spell_suggest,
         "facet_counts": _q_facet_counts,
         "replyto_children": _q_replyto,
@@ -906,6 +915,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rank_by_length": lambda sf: dp.doc_rank_by_length(sf),
         "data_audit": lambda sf: dp.data_audit(sf),
         "value_time_corr": lambda sf: dp.value_time_corr(sf),
+        # rows-only: media features aren't SQL-expressible
+        "media_similarity_topk": lambda sf: dp.media_similarity_topk(sf),
         "winsorize_values": lambda sf: dp.winsorize_values(sf),
         "normalize_text": lambda sf: dp.normalize_text(sf),
     }
@@ -1853,6 +1864,12 @@ intersect select doc_id from tok where term = 'data'
 with {_TOK_CTE}
 select distinct doc_id from tok
 where regexp_matches(term, '^(?:{REGEX_QUERY})$')
+  and len(term) between 2 and 128
+""",
+        "fuzzy_search": f"""
+with {_TOK_CTE}
+select distinct doc_id from tok
+where levenshtein(term, '{FUZZY_WORD}') <= 1
   and len(term) between 2 and 128
 """,
         "spell_suggest": f"""

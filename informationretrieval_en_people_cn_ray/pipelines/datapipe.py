@@ -6403,3 +6403,67 @@ def doc_weights_by_lang(sf_dir: str, lang: str = "en", w: float = 1.25):
     ids = ids[order]
     weights = np.where(lg[order] == lang, w, 1.0)
     return ids, weights
+
+
+@unreserved
+def media_similarity_topk(sf_dir: str, n: int = 200, k: int = 10):
+    """(media_id, kind, cos) — multimodal retrieval end to end: REAL
+    decode (BMP/PPM/WAV/Y4M codecs) → real features (luma histogram /
+    rFFT bands) → brute-force cosine top-k against media_id 0's feature
+    (the query row excluded). Same per-batch partial-top-k shape as
+    ``embedding_topk``: the query vector broadcasts via ``ray.put``,
+    every batch emits ≤ k candidates, the driver merges k·blocks rows.
+    Rows-only driver check (features aren't SQL-expressible)."""
+    from ..stages.multimodal import MediaDecode, real_decode, \
+        synthesize_media_table
+
+    tbl = synthesize_media_table(n, seed=7)
+    q = np.array(
+        real_decode(tbl["payload"][0].as_py())["feature"], np.float64
+    )
+    qn = float(np.linalg.norm(q)) or 1.0
+    qref = ray.put(q / qn)
+
+    def score(batch: pa.Table) -> pa.Table:
+        qv = ray.get(qref)
+        ids = batch["media_id"].to_numpy(zero_copy_only=False)
+        keep = ids != 0
+        if not keep.any():
+            return pa.table(
+                {
+                    "media_id": pa.array([], pa.int64()),
+                    "kind": pa.array([], pa.string()),
+                    "cos": pa.array([], pa.float64()),
+                }
+            )
+        feats = np.array(
+            batch["feature"].to_pylist(), np.float64
+        )[keep]
+        norms = np.linalg.norm(feats, axis=1)
+        norms[norms == 0] = 1.0
+        cos = (feats / norms[:, None]) @ qv
+        order = np.lexsort((ids[keep], -cos))[:k]
+        sel = np.flatnonzero(keep)[order]
+        return pa.table(
+            {
+                "media_id": batch["media_id"].take(pa.array(sel, pa.int64())),
+                "kind": batch["kind"].take(pa.array(sel, pa.int64())),
+                "cos": pa.array(
+                    [round4(float(c)) for c in cos[order]], pa.float64()
+                ),
+            }
+        )
+
+    parts = _to_table(
+        ray.data.from_arrow(tbl)
+        .map_batches(
+            MediaDecode, batch_size=32, batch_format="pyarrow", concurrency=2
+        )
+        .map_batches(score, batch_format="pyarrow")
+    )
+    if parts.num_rows == 0:
+        return parts
+    cos = parts["cos"].to_numpy(zero_copy_only=False)
+    ids = parts["media_id"].to_numpy(zero_copy_only=False)
+    top = np.lexsort((ids, -cos))[:k]
+    return parts.take(pa.array(top.astype(np.int64), pa.int64()))

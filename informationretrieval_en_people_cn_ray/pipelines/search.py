@@ -959,6 +959,28 @@ class SearchEngine:
         )[:k]
         return [(t, dist, -negdf) for dist, negdf, t in ranked]
 
+    def fuzzy_docs(self, word: str, max_dist: int = 1) -> np.ndarray:
+        """Typo-tolerant term search: docs containing ANY dictionary
+        term within ``max_dist`` edits of ``lower(word)`` — the word
+        itself INCLUDED (unlike ``suggest``, which proposes
+        alternatives). Candidate expansion runs where the dictionary
+        lives (the ``suggest`` scan); the postings union is the
+        wildcard path's."""
+        w = word.lower()
+        if self.mode != "actors":
+            cands = self.local.spell_candidates(w, max_dist)
+        else:
+            cands = {}
+            for r in ray.get(
+                [a.spell_candidates.remote(w, max_dist) for a in self.actors]
+            ):
+                cands.update(r)
+        plists = self._postings_map(sorted(cands))
+        arrs = [p.doc_ids for p in plists.values() if p is not None]
+        if not arrs:
+            return np.empty(0, np.int64)
+        return np.unique(np.concatenate(arrs))
+
     def _anchored(self, phrase: str) -> list[tuple[int, str]]:
         terms = [self.az.term(t) for t in self.az.tokens(phrase)]
         return [

@@ -1812,3 +1812,20 @@ def test_chunk_then_embed_topk_self_hit(ray_session):
     assert (int(a.iloc[0]["doc_id"]), int(a.iloc[0]["chunk_idx"])) == (0, 0)
     assert a.iloc[0]["cos"] == pytest.approx(1.0, abs=1e-4)
     assert (a["cos"].diff()[1:] <= 1e-12).all()  # descending scores
+
+
+def test_media_similarity_topk(ray_session):
+    """End-to-end multimodal retrieval over REAL decoded features:
+    top-k are images when the query is an image (same feature family
+    scores closest), cosines descend, the query row is excluded, and
+    the result is deterministic across runs."""
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    t = dp._to_table(dp.media_similarity_topk("", n=60, k=10)).to_pandas()
+    assert len(t) == 10
+    assert 0 not in t["media_id"].tolist()
+    assert (t["cos"].values[:-1] >= t["cos"].values[1:] - 1e-12).all()
+    # media_id 0 is an image (luma-histogram feature); images dominate
+    assert (t["kind"] == "image").sum() >= 5
+    t2 = dp._to_table(dp.media_similarity_topk("", n=60, k=10)).to_pandas()
+    assert t.equals(t2)

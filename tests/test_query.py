@@ -620,3 +620,26 @@ def test_boosted_ranking(engine, oracle):
                               boost=(all_ids, w))
     assert ids2[0] == target
     assert abs(sc2[0] - 10.0 * sc0[-1]) < 1e-9
+
+
+def test_fuzzy_docs_vs_oracle(engine, oracle):
+    from informationretrieval_en_people_cn_ray.pipelines.search import (
+        levenshtein,
+    )
+
+    for w, d in [("scon", 1), ("dat", 1), ("the", 2)]:
+        terms = [t for t in oracle.postings if levenshtein(t, w) <= d]
+        exp = sorted({doc for t in terms for doc in oracle.term_docs(t)})
+        assert engine.fuzzy_docs(w, max_dist=d).tolist() == exp, w
+
+
+def test_fuzzy_docs_actor_mode(ray_session, engine):
+    from informationretrieval_en_people_cn_ray.pipelines.search import (
+        SearchEngine,
+    )
+
+    eng2 = SearchEngine(engine.local.index_dir, mode="actors", num_actors=2)
+    for w in ["scon", "dat"]:
+        assert (
+            eng2.fuzzy_docs(w, 1).tolist() == engine.fuzzy_docs(w, 1).tolist()
+        )
