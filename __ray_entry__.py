@@ -137,6 +137,11 @@ def _q_more_like_this(sf_dir: str) -> pa.Table:
     seed = pads.dataset(os.path.join(sf_dir, "documents.parquet")).to_table(
         columns=["text"], filter=pads.field("doc_id") == MLT_SEED
     )
+    if seed.num_rows == 0:
+        raise ValueError(
+            f"more_like_this seed doc_id={MLT_SEED} is absent from "
+            f"{sf_dir}/documents.parquet"
+        )
     text = seed["text"][0].as_py()
     tf: dict[str, int] = {}
     for w in eng.az.tokens(text):

@@ -95,3 +95,51 @@ def test_every_oracle_entry_on_empty_tables(ray_session, empty_sf, con):
     # the guard set is index-/anchor-backed only; growth means a new op
     # started refusing empty input — check it is intentional
     assert guarded <= 30, f"too many guarded entries: {guarded}"
+
+
+@pytest.fixture(scope="module")
+def one_row_sf(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("one_sf"))
+    for t in TABLES:
+        tb = pq.read_table(f"/root/testdata/sf0.001/{t}.parquet")
+        pq.write_table(tb.slice(0, 1), f"{d}/{t}.parquet")
+    return d
+
+
+def test_every_oracle_entry_on_one_row_tables(ray_session, one_row_sf):
+    """Single-row tables: the degenerate-but-nonempty case (no pairs, no
+    windows beyond one element, sd 0 groups, HAVING selects nothing,
+    an incremental split whose first generation is empty, a missing
+    anchor row). Same contract as the empty gate: match the oracle or
+    raise the clean guard."""
+    import __ray_entry__ as E
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"create view {t} as select * from '{one_row_sf}/{t}.parquet'"
+        )
+    qs, sqls = E.queries(), E.oracle_sql()
+    bad = []
+    for name, sql in sorted(sqls.items()):
+        try:
+            got = _norm(_to_df(qs[name](one_row_sf)))
+        except ValueError as e:
+            if any(s in str(e) for s in GUARDED_SUBSTRINGS):
+                continue
+            bad.append((name, f"unexpected ValueError: {e}"))
+            continue
+        except Exception as e:
+            bad.append((name, f"{type(e).__name__}: {e}"))
+            continue
+        exp = _norm(con.sql(sql).df())
+        if len(got) == len(exp) == 0:
+            continue
+        try:
+            pd.testing.assert_frame_equal(
+                got, exp, check_dtype=False, check_exact=False,
+                rtol=0, atol=1e-12,
+            )
+        except AssertionError as e:
+            bad.append((name, str(e).splitlines()[0]))
+    assert not bad, bad
