@@ -920,6 +920,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rank_by_length": lambda sf: dp.doc_rank_by_length(sf),
         "data_audit": lambda sf: dp.data_audit(sf),
         "value_time_corr": lambda sf: dp.value_time_corr(sf),
+        "doc_ntile_by_length": lambda sf: dp.doc_ntile_by_length(sf),
         # rows-only: media features aren't SQL-expressible
         "media_similarity_topk": lambda sf: dp.media_similarity_topk(sf),
         "winsorize_values": lambda sf: dp.winsorize_values(sf),
@@ -2159,6 +2160,11 @@ select 3::bigint, '{dp.FUNNEL_STEPS[2]}', count(*)::bigint from s3
         "doc_rank_by_length": """
 select doc_id, n_chars,
        row_number() over (order by n_chars, doc_id)::bigint as rnk
+from documents
+""",
+        "doc_ntile_by_length": f"""
+select doc_id, n_chars,
+       ntile({dp.NTILE_K}) over (order by n_chars, doc_id)::bigint as tile
 from documents
 """,
         "data_audit": """

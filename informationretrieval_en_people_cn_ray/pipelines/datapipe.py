@@ -6467,3 +6467,50 @@ def media_similarity_topk(sf_dir: str, n: int = 200, k: int = 10):
     ids = parts["media_id"].to_numpy(zero_copy_only=False)
     top = np.lexsort((ids, -cos))[:k]
     return parts.take(pa.array(top.astype(np.int64), pa.int64()))
+
+
+NTILE_K = 10
+
+
+@unreserved
+def doc_ntile_by_length(sf_dir: str, k: int = NTILE_K):
+    """(doc_id, n_chars, tile) — exact SQL ``NTILE(k)`` over the global
+    (n_chars, doc_id) order: the first ``n % k`` tiles hold ``n//k + 1``
+    rows, the rest ``n//k`` (DuckDB's bucket-size rule). Same two-pass
+    distributed shape as ``doc_rank_by_length`` — the closed-form
+    rank→tile map runs inside the rank stage against the broadcast
+    total, so the full table never lands on the driver."""
+    ranked = doc_rank_by_length(sf_dir)
+    # n is a by-product of pass 1; recomputing it here is one tiny
+    # metadata read, not a data pass
+    import pyarrow.parquet as _pq
+
+    n = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    if n == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_chars": pa.array([], pa.int64()),
+                "tile": pa.array([], pa.int64()),
+            }
+        )
+    q, rem = divmod(n, k)
+    big = rem * (q + 1)
+
+    def add_tile(batch: pa.Table) -> pa.Table:
+        r0 = batch["rnk"].to_numpy(zero_copy_only=False) - 1  # 0-based
+        if q == 0:
+            tile = r0 + 1  # n < k: one row per tile
+        else:
+            tile = np.where(
+                r0 < big, r0 // (q + 1) + 1, rem + (r0 - big) // q + 1
+            )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": batch["n_chars"],
+                "tile": pa.array(tile.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ranked.map_batches(add_tile, batch_format="pyarrow")

@@ -966,3 +966,19 @@ def test_value_time_corr_planted_and_fuzz(ray_session, tmp_path):
         E.oracle_sql()["value_time_corr"],
         con,
     )
+
+
+@pytest.mark.parametrize("n", [2497, 2500, 7])
+def test_doc_ntile_matches_duckdb(ray_session, tmp_path, n):
+    """NTILE bucket-size rule (first n%k tiles one bigger) at n%k != 0,
+    n%k == 0, and n < k."""
+    import __ray_entry__ as E
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    d = str(tmp_path)
+    _write_documents(d, seed=int(n), n=n)
+    con = _con(d, ["documents"])
+    got = dp._to_table(dp.doc_ntile_by_length(d))
+    sizes = got.to_pandas().groupby("tile").size()
+    assert sizes.max() - sizes.min() <= 1
+    _check(got, E.oracle_sql()["doc_ntile_by_length"], con)
