@@ -921,6 +921,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "data_audit": lambda sf: dp.data_audit(sf),
         "value_time_corr": lambda sf: dp.value_time_corr(sf),
         "doc_ntile_by_length": lambda sf: dp.doc_ntile_by_length(sf),
+        "orders_per_customer_histogram": lambda sf: (
+            dp.orders_per_customer_histogram(sf)
+        ),
+        "lead_event_gap": lambda sf: dp.lead_event_gap(sf),
+        "dow_hour_heatmap": lambda sf: dp.dow_hour_heatmap(sf),
         # rows-only: media features aren't SQL-expressible
         "media_similarity_topk": lambda sf: dp.media_similarity_topk(sf),
         "winsorize_values": lambda sf: dp.winsorize_values(sf),
@@ -2166,6 +2171,26 @@ from documents
 select doc_id, n_chars,
        ntile({dp.NTILE_K}) over (order by n_chars, doc_id)::bigint as tile
 from documents
+""",
+        "orders_per_customer_histogram": """
+select n as n_orders, count(*)::bigint as n_customers
+from (select o_custkey, count(*)::bigint as n from orders group by 1)
+group by n
+""",
+        "lead_event_gap": """
+select event_id, user_id, gap_us from (
+  select event_id, user_id,
+         (lead(epoch_us(ts)) over (partition by user_id
+                                   order by ts, event_id)
+          - epoch_us(ts))::bigint as gap_us
+  from events
+) t where gap_us is not null
+""",
+        "dow_hour_heatmap": """
+select ((epoch_us(ts) // 86400000000) + 4) % 7 as dow,
+       (epoch_us(ts) % 86400000000) // 3600000000 as hour,
+       count(*)::bigint as n_events
+from events group by 1, 2
 """,
         "data_audit": """
 select count(*)::bigint as n_rows,

@@ -6514,3 +6514,165 @@ def doc_ntile_by_length(sf_dir: str, k: int = NTILE_K):
         )
 
     return ranked.map_batches(add_tile, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# aggregate-of-aggregate: orders-per-customer histogram
+
+
+@unreserved
+def orders_per_customer_histogram(sf_dir: str):
+    """(n_orders, n_customers) — how many customers placed exactly k
+    orders: the classic activity-distribution report, an aggregate OF an
+    aggregate. Stage 1 pre-combines per-batch (custkey, count) partials
+    and sums them in one key-domain-bounded groupby; stage 2's input is
+    already histogram-sized, so its partials reduce driver-side."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        uu, cnt = np.unique(ck, return_counts=True)
+        return pa.table(
+            {
+                "c": pa.array(uu, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    per_cust = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(4)
+        .groupby("c")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uu, cnt = np.unique(n, return_counts=True)
+        return pa.table(
+            {
+                "n_orders": pa.array(uu, pa.int64()),
+                "n_customers": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = _to_table(
+        per_cust.map_batches(hist_partial, batch_format="pyarrow")
+    )
+    if parts.num_columns == 0 or parts.num_rows == 0:
+        return pa.table(
+            {
+                "n_orders": pa.array([], pa.int64()),
+                "n_customers": pa.array([], pa.int64()),
+            }
+        )
+    k = parts["n_orders"].to_numpy(zero_copy_only=False)
+    uu = np.unique(k)
+    acc = np.zeros(len(uu), np.int64)
+    np.add.at(
+        acc,
+        np.searchsorted(uu, k),
+        parts["n_customers"].to_numpy(zero_copy_only=False),
+    )
+    return pa.table(
+        {
+            "n_orders": pa.array(uu, pa.int64()),
+            "n_customers": pa.array(acc, pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# lead window: gap to each user's NEXT event
+
+
+@unreserved
+def lead_event_gap(sf_dir: str):
+    """(event_id, user_id, gap_us) — microseconds until the same user's
+    NEXT event in (ts, event_id) order; each user's last event is
+    omitted (no lead) — the forward sibling of ``event_value_delta``'s
+    lag. One ``groupby(user_id)`` shuffle, vectorized lexsort + diff."""
+
+    def per_user(group: pa.Table) -> pa.Table:
+        group = group.combine_chunks()
+        ts = group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        uid = group["user_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        order = np.lexsort((eid, ts))
+        tss = ts[order]
+        gap = tss[1:] - tss[:-1]
+        sel = order[:-1]
+        return pa.table(
+            {
+                "event_id": pa.array(eid[sel], pa.int64()),
+                "user_id": pa.array(uid[sel], pa.int64()),
+                "gap_us": pa.array(gap, pa.int64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+        )
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# calendar heatmap: events by (day-of-week, hour)
+
+_DAY_US = 86_400_000_000
+
+
+@unreserved
+def dow_hour_heatmap(sf_dir: str):
+    """(dow, hour, n_events) — the activity heatmap. Day-of-week is
+    integer epoch arithmetic ((days since 1970-01-01 + 4) % 7, Sunday=0
+    — 1970-01-01 was a Thursday), written EXPLICITLY on both oracle
+    sides rather than relying on dialect-specific dayofweek(). Zero
+    shuffle: per-batch 7×24 count partials merge driver-side."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dow = ((us // _DAY_US) + 4) % 7
+        hour = (us % _DAY_US) // 3_600_000_000
+        key = dow * 24 + hour
+        acc = np.bincount(key, minlength=7 * 24).astype(np.int64)
+        nz = np.flatnonzero(acc)
+        return pa.table(
+            {
+                "k": pa.array(nz, pa.int64()),
+                "n": pa.array(acc[nz], pa.int64()),
+            }
+        )
+
+    parts = _to_table(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts"]
+        ).map_batches(partial, batch_format="pyarrow")
+    )
+    acc = np.zeros(7 * 24, np.int64)
+    if parts.num_columns and parts.num_rows:
+        np.add.at(
+            acc,
+            parts["k"].to_numpy(zero_copy_only=False),
+            parts["n"].to_numpy(zero_copy_only=False),
+        )
+    nz = np.flatnonzero(acc)
+    return pa.table(
+        {
+            "dow": pa.array(nz // 24, pa.int64()),
+            "hour": pa.array(nz % 24, pa.int64()),
+            "n_events": pa.array(acc[nz], pa.int64()),
+        }
+    )

@@ -982,3 +982,31 @@ def test_doc_ntile_matches_duckdb(ray_session, tmp_path, n):
     sizes = got.to_pandas().groupby("tile").size()
     assert sizes.max() - sizes.min() <= 1
     _check(got, E.oracle_sql()["doc_ntile_by_length"], con)
+
+
+@pytest.mark.parametrize("seed,hot", [(4, 0.0), (44, 0.7)])
+def test_orders_histogram_matches_duckdb(ray_session, tmp_path, seed, hot):
+    import __ray_entry__ as E
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    d = str(tmp_path)
+    _write_tpch(d, seed, n_li=50, n_ord=1500, n_cust=200, hot_frac=hot)
+    con = _con(d, ["orders"])
+    _check(
+        dp._to_table(dp.orders_per_customer_histogram(d)),
+        E.oracle_sql()["orders_per_customer_histogram"],
+        con,
+    )
+
+
+@pytest.mark.parametrize("seed", [21, 42])
+def test_lead_gap_and_heatmap_match_duckdb(ray_session, tmp_path, seed):
+    import __ray_entry__ as E
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    d = str(tmp_path)
+    _write_events_coarse(d, seed, n=3000, n_users=25, n_types=3)  # ts ties
+    con = _con(d, ["events"])
+    sqls = E.oracle_sql()
+    _check(dp._to_table(dp.lead_event_gap(d)), sqls["lead_event_gap"], con)
+    _check(dp._to_table(dp.dow_hour_heatmap(d)), sqls["dow_hour_heatmap"], con)
