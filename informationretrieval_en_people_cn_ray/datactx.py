@@ -23,26 +23,45 @@ flag is restored (verified against Ray 2.49: ``ExecutionPlan._context``).
 from __future__ import annotations
 
 import functools
+import threading
+
+# Concurrent-plan safety: the flag is GLOBAL process state, so a naive
+# per-call save/restore races when two pipelines overlap in threads
+# (thread B saves thread A's already-disabled value and "restores" False
+# forever — caught by tests/test_concurrent_plans.py). First entrant
+# saves, last exiter restores, under a lock; nesting is the depth
+# counter's natural case.
+_lock = threading.Lock()
+_depth = 0
+_saved: bool | None = None
 
 
 def unreserved(fn):
     """Decorator: run ``fn`` (a pipeline that creates Ray Datasets) with
-    per-op resource reservation disabled, restoring the global flag on
-    exit. Safe to nest; a no-op if Ray Data isn't importable yet."""
+    per-op resource reservation disabled, restoring the global flag when
+    the LAST concurrent/nested entrant exits. Thread-safe; a no-op if
+    Ray Data isn't importable yet."""
 
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
+        global _depth, _saved
         try:
             from ray.data import DataContext
 
             ctx = DataContext.get_current()
         except Exception:
             return fn(*args, **kwargs)
-        prev = ctx.op_resource_reservation_enabled
-        ctx.op_resource_reservation_enabled = False
+        with _lock:
+            if _depth == 0:
+                _saved = ctx.op_resource_reservation_enabled
+                ctx.op_resource_reservation_enabled = False
+            _depth += 1
         try:
             return fn(*args, **kwargs)
         finally:
-            ctx.op_resource_reservation_enabled = prev
+            with _lock:
+                _depth -= 1
+                if _depth == 0:
+                    ctx.op_resource_reservation_enabled = _saved
 
     return wrapper

@@ -959,6 +959,39 @@ class SearchEngine:
         )[:k]
         return [(t, dist, -negdf) for dist, negdf, t in ranked]
 
+    def explain(self, query: str) -> dict:
+        """Query debugging surface: the parsed plan plus each scoring
+        term's dictionary statistics (df, ctf, max_tf — the MaxScore
+        bound inputs) WITHOUT decoding any posting blob. Answered by the
+        dictionary owners in actor mode, pure metadata reads locally."""
+        plan = parse(query)
+        toks = (
+            plan.tokens
+            if plan.kind == "ranked"
+            else [t for g in plan.groups for t in g.positive + g.negative]
+        )
+        qterms = self.az.query_terms(plan.text) if plan.kind == "ranked" \
+            else []
+        meta = self._term_meta(qterms)
+        return {
+            "kind": plan.kind,
+            "tokens": [(t.kind, t.value) for t in toks],
+            "terms": {
+                t: (
+                    None
+                    if meta.get(t) is None
+                    else {
+                        "df": int(meta[t][0]),
+                        "ctf": int(meta[t][1]),
+                        "max_tf": int(meta[t][2]),
+                    }
+                )
+                for t in qterms
+            },
+            "n_docs": int(self.N),
+            "collection_tokens": int(self.C),
+        }
+
     def fuzzy_docs(self, word: str, max_dist: int = 1) -> np.ndarray:
         """Typo-tolerant term search: docs containing ANY dictionary
         term within ``max_dist`` edits of ``lower(word)`` — the word

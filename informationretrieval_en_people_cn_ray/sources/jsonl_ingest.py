@@ -62,3 +62,12 @@ def ingest_jsonl_corpus(
         )
     ds.write_parquet(out_dir)
     return out_dir
+
+
+def export_jsonl_corpus(corpus_dir: str, out_dir: str) -> str:
+    """Parquet corpus → JSONL shards (the interchange direction OUT):
+    one JSON object per row, one file per block via ``write_json`` —
+    streaming, partitioned, no driver materialization. Round-trips
+    through ``ingest_jsonl_corpus`` (gated by test)."""
+    ray.data.read_parquet(corpus_dir).write_json(out_dir)
+    return out_dir

@@ -245,3 +245,39 @@ def test_jsonl_gzip_ingest(ray_session, tmp_path):
     assert t.num_rows == 5
     assert sorted(t["doc_key"].to_pylist()) == [0, 1, 2, 3, 4]
     assert t["content"].to_pylist()[0].startswith("gz doc")
+
+
+def test_jsonl_export_roundtrip(ray_session, tmp_path):
+    """corpus → JSONL export → re-ingest → identical content."""
+    import glob
+
+    from informationretrieval_en_people_cn_ray.sources.jsonl_ingest import (
+        export_jsonl_corpus,
+        ingest_jsonl_corpus,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    src = pa.table(
+        {
+            "doc_key": pa.array([0, 1, 2], pa.int64()),
+            "content": pa.array(["alpha beta", "gamma", "delta eps"]),
+            "lang": pa.array(["en", "en", "de"]),
+        }
+    )
+    pq.write_table(src, os.path.join(corpus, "part-0.parquet"))
+    out = str(tmp_path / "jsonl")
+    export_jsonl_corpus(corpus, out)
+    back = str(tmp_path / "back")
+    ingest_jsonl_corpus(
+        out,
+        back,
+        column_map={"doc_key": "doc_key", "content": "content",
+                    "lang": "lang"},
+        text_columns=["content"],
+    )
+    t = pa.concat_tables(
+        [pq.read_table(f) for f in sorted(glob.glob(back + "/*.parquet"))]
+    ).sort_by("doc_key")
+    assert t["content"].to_pylist() == src["content"].to_pylist()
+    assert t["lang"].to_pylist() == src["lang"].to_pylist()

@@ -643,3 +643,15 @@ def test_fuzzy_docs_actor_mode(ray_session, engine):
         assert (
             eng2.fuzzy_docs(w, 1).tolist() == engine.fuzzy_docs(w, 1).tolist()
         )
+
+
+def test_explain(engine, oracle):
+    ex = engine.explain("data values result")
+    assert ex["kind"] == "ranked"
+    assert ex["n_docs"] == oracle.N
+    for t, m in ex["terms"].items():
+        if m is not None:
+            assert m["df"] == oracle.df(t), t
+    ex2 = engine.explain("data AND values")
+    assert ex2["kind"] == "boolean"
+    assert ("keyword", "data") in ex2["tokens"]
