@@ -926,6 +926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "lead_event_gap": lambda sf: dp.lead_event_gap(sf),
         "dow_hour_heatmap": lambda sf: dp.dow_hour_heatmap(sf),
+        "event_transition_matrix": lambda sf: dp.event_transition_matrix(sf),
         # rows-only: media features aren't SQL-expressible
         "media_similarity_topk": lambda sf: dp.media_similarity_topk(sf),
         "winsorize_values": lambda sf: dp.winsorize_values(sf),
@@ -2191,6 +2192,17 @@ select ((epoch_us(ts) // 86400000000) + 4) % 7 as dow,
        (epoch_us(ts) % 86400000000) // 3600000000 as hour,
        count(*)::bigint as n_events
 from events group by 1, 2
+""",
+        "event_transition_matrix": """
+with seq as (
+  select user_id, event_type,
+         lead(event_type) over (partition by user_id
+                                order by ts, event_id) as nxt
+  from events
+)
+select event_type as from_type, nxt as to_type, count(*)::bigint as n
+from seq where nxt is not null
+group by 1, 2
 """,
         "data_audit": """
 select count(*)::bigint as n_rows,

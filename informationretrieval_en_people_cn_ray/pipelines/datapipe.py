@@ -6676,3 +6676,85 @@ def dow_hour_heatmap(sf_dir: str):
             "n_events": pa.array(acc[nz], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# event-type transition matrix (sequence analytics)
+
+
+@unreserved
+def event_transition_matrix(sf_dir: str):
+    """(from_type, to_type, n) — counts of consecutive event-type
+    transitions within each user's (ts, event_id)-ordered stream: the
+    Markov-chain view of user behavior (what follows what).
+
+    One ``groupby(user_id)`` shuffle; each group reduces to its local
+    |types|² pair counts (vectorized shift + composite-key unique), so
+    the post-shuffle payload is type-matrix-bounded per user and the
+    final merge is a driver-side |types|²-int reduce."""
+
+    def per_user(group: pa.Table) -> pa.Table:
+        group = group.combine_chunks()
+        ts = group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        et = group["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        seq = et[order]
+        if len(seq) < 2:
+            return pa.table(
+                {
+                    "from_type": pa.array([], pa.string()),
+                    "to_type": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        pair = np.char.add(
+            np.char.add(seq[:-1].astype(str), "\x01"),
+            seq[1:].astype(str),
+        )
+        uu, cnt = np.unique(pair, return_counts=True)
+        parts = np.char.partition(uu, "\x01")
+        return pa.table(
+            {
+                "from_type": pa.array(parts[:, 0], pa.string()),
+                "to_type": pa.array(parts[:, 2], pa.string()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = _to_table(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type"],
+        )
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+    )
+    if parts.num_columns == 0 or parts.num_rows == 0:
+        return pa.table(
+            {
+                "from_type": pa.array([], pa.string()),
+                "to_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+    key = np.char.add(
+        np.char.add(
+            np.asarray(parts["from_type"].to_pylist(), object).astype(str),
+            "\x01",
+        ),
+        np.asarray(parts["to_type"].to_pylist(), object).astype(str),
+    )
+    uu, inv = np.unique(key, return_inverse=True)
+    acc = np.zeros(len(uu), np.int64)
+    np.add.at(acc, inv, parts["n"].to_numpy(zero_copy_only=False))
+    sp = np.char.partition(uu, "\x01")
+    return pa.table(
+        {
+            "from_type": pa.array(sp[:, 0], pa.string()),
+            "to_type": pa.array(sp[:, 2], pa.string()),
+            "n": pa.array(acc, pa.int64()),
+        }
+    )

@@ -1010,3 +1010,22 @@ def test_lead_gap_and_heatmap_match_duckdb(ray_session, tmp_path, seed):
     sqls = E.oracle_sql()
     _check(dp._to_table(dp.lead_event_gap(d)), sqls["lead_event_gap"], con)
     _check(dp._to_table(dp.dow_hour_heatmap(d)), sqls["dow_hour_heatmap"], con)
+
+
+@pytest.mark.parametrize("seed", [18, 52])
+def test_transition_matrix_matches_duckdb(ray_session, tmp_path, seed):
+    """Tie-heavy event streams (coarse day grid): the (ts, event_id)
+    ordering must match the window oracle exactly."""
+    import __ray_entry__ as E
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    d = str(tmp_path)
+    _write_events_coarse(d, seed, n=2500, n_users=20, n_types=4)
+    con = _con(d, ["events"])
+    got = dp._to_table(dp.event_transition_matrix(d))
+    # conservation: transitions = events − users-with-events
+    import duckdb as _dd
+    n_ev = con.sql("select count(*) from events").fetchone()[0]
+    n_us = con.sql("select count(distinct user_id) from events").fetchone()[0]
+    assert sum(got["n"].to_pylist()) == n_ev - n_us
+    _check(got, E.oracle_sql()["event_transition_matrix"], con)
