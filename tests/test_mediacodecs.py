@@ -74,3 +74,47 @@ def test_luma_histogram_unit_norm():
 def test_sniff_rejects_unknown():
     assert mc.sniff(b"\x89PNG\r\n\x1a\n....") is None
     assert mc.sniff(b"\xff\xd8\xff\xe0 jpeg") is None
+
+
+def test_codec_roundtrips_property():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 24), h=st.integers(1, 24),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def bmp_ppm(w, h, seed):
+        img = np.random.RandomState(seed).randint(
+            0, 256, (h, w, 3)
+        ).astype(np.uint8)
+        assert np.array_equal(mc.decode_bmp(mc.encode_bmp(img)), img)
+        assert np.array_equal(mc.decode_ppm(mc.encode_ppm(img)), img)
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        n=st.integers(0, 400), rate=st.sampled_from([8000, 16000, 44100]),
+        ch=st.integers(1, 2), seed=st.integers(0, 2**31 - 1),
+    )
+    def wav(n, rate, ch, seed):
+        x = np.random.RandomState(seed).randint(
+            -(2**15), 2**15, n * ch
+        ).astype(np.int16)
+        s, r, c = mc.decode_wav(mc.encode_wav(x, rate, ch))
+        assert (r, c) == (rate, ch)
+        assert np.array_equal(s, x)
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 12), h=st.integers(1, 12),
+        n=st.integers(0, 6), seed=st.integers(0, 2**31 - 1),
+    )
+    def y4m(w, h, n, seed):
+        frames = np.random.RandomState(seed).randint(
+            0, 256, (n, 2 * h, 2 * w)
+        ).astype(np.uint8)
+        assert np.array_equal(mc.decode_y4m(mc.encode_y4m(frames)), frames)
+
+    bmp_ppm()
+    wav()
+    y4m()
