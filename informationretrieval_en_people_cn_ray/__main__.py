@@ -260,6 +260,65 @@ def _cmd_delete(args: argparse.Namespace) -> int:
     return 0
 
 
+def _pipeline_registry():
+    """{name: callable(table_dir)} — every public zero-extra-arg pipeline
+    in datapipe/relational (the library's data-processing surface,
+    distinct from the index lifecycle commands)."""
+    import inspect
+
+    from .pipelines import datapipe as dp
+    from .pipelines import relational as rel
+
+    out = {}
+    for mod in (dp, rel):
+        for name, fn in vars(mod).items():
+            if name.startswith("_") or not inspect.isfunction(fn):
+                continue
+            if getattr(fn, "__module__", "") != mod.__name__:
+                continue
+            params = list(inspect.signature(fn).parameters.values())
+            if not params or params[0].name != "sf_dir":
+                continue
+            if any(
+                q.default is inspect.Parameter.empty for q in params[1:]
+            ):
+                continue
+            out[name] = fn
+    return out
+
+
+def _cmd_pipeline(args: argparse.Namespace) -> int:
+    reg = _pipeline_registry()
+    if args.list or not args.name:
+        for name in sorted(reg):
+            print(name)
+        return 0
+    if args.name not in reg:
+        print(f"unknown pipeline {args.name!r}; --list shows names",
+              file=sys.stderr)
+        return 2
+    if not args.table_dir:
+        print("table_dir is required", file=sys.stderr)
+        return 2
+    _ensure_ray(args.num_cpus)
+    from .pipelines.datapipe import _to_table
+
+    res = reg[args.name](args.table_dir)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = res if isinstance(res, pa.Table) else _to_table(res)
+    if args.out:
+        pq.write_table(t, args.out)
+        print(json.dumps({"rows": t.num_rows, "out": args.out}))
+    else:
+        print(json.dumps({"rows": t.num_rows,
+                          "columns": t.column_names}))
+        for row in t.slice(0, args.head).to_pylist():
+            print(json.dumps(row, default=str))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="informationretrieval_en_people_cn_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -360,6 +419,25 @@ def main(argv: list[str] | None = None) -> int:
     pg.add_argument("--k", type=int, default=10)
     pg.add_argument("--max-dist", type=int, default=2)
     pg.set_defaults(fn=_cmd_suggest)
+
+    pr = sub.add_parser(
+        "pipeline",
+        help=(
+            "run a named datapipe/relational pipeline over a table "
+            "directory (e.g. lang_id, exact_dedup_keepers, pagerank, "
+            "pricing_summary); --list shows every name"
+        ),
+    )
+    pr.add_argument("name", nargs="?", help="pipeline function name")
+    pr.add_argument("table_dir", nargs="?",
+                    help="directory of the input parquet tables")
+    pr.add_argument("--out", help="write result parquet here instead of "
+                    "printing the head")
+    pr.add_argument("--head", type=int, default=20)
+    pr.add_argument("--list", action="store_true",
+                    help="list available pipeline names")
+    pr.add_argument("--num-cpus", type=int)
+    pr.set_defaults(fn=_cmd_pipeline)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -175,3 +175,37 @@ def test_cli_search_generation_list(ray_session, corpus_dir, tmp_path, capsys):
     assert main(["search", m_i, "--query", "data AND the"]) == 0
     merged_res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert gens_res["doc_ids"] == merged_res["doc_ids"]
+
+
+def test_cli_pipeline_runner(ray_session, tmp_path, capsys):
+    """`pipeline` subcommand: --list names every zero-extra-arg op;
+    running one prints head rows; --out writes parquet."""
+    import json
+
+    import pyarrow.parquet as _pq
+
+    from informationretrieval_en_people_cn_ray.__main__ import main
+
+    rc = main(["pipeline", "--list"])
+    assert rc == 0
+    names = capsys.readouterr().out.split()
+    assert "lang_id" in names and "pagerank" in names \
+        and "pricing_summary" in names
+    assert len(names) >= 90
+
+    rc = main(["pipeline", "lang_id", "/root/testdata/sf0.001",
+               "--head", "2"])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    hdr = json.loads(lines[0])
+    assert hdr["rows"] == 500 and "pred_lang" in hdr["columns"]
+    assert len(lines) == 3
+
+    out = str(tmp_path / "res.parquet")
+    rc = main(["pipeline", "dow_hour_heatmap", "/root/testdata/sf0.001",
+               "--out", out])
+    assert rc == 0
+    t = _pq.read_table(out)
+    assert t.num_rows > 0 and "n_events" in t.column_names
+
+    assert main(["pipeline", "nope", "/tmp"]) == 2
