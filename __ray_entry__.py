@@ -927,6 +927,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lead_event_gap": lambda sf: dp.lead_event_gap(sf),
         "dow_hour_heatmap": lambda sf: dp.dow_hour_heatmap(sf),
         "event_transition_matrix": lambda sf: dp.event_transition_matrix(sf),
+        "asof_join_forward": lambda sf: dp.asof_join_forward(sf),
         # rows-only: media features aren't SQL-expressible
         "media_similarity_topk": lambda sf: dp.media_similarity_topk(sf),
         "winsorize_values": lambda sf: dp.winsorize_values(sf),
@@ -2203,6 +2204,18 @@ with seq as (
 select event_type as from_type, nxt as to_type, count(*)::bigint as n
 from seq where nxt is not null
 group by 1, 2
+""",
+        "asof_join_forward": """
+with pairs as (
+  select e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+         row_number() over (
+           partition by e.event_id
+           order by o.o_orderdate asc, o.o_orderkey asc
+         ) as rn
+  from events e
+  join orders o on o.o_custkey = e.user_id and o.o_orderdate >= e.ts
+)
+select event_id, user_id, o_orderkey, o_totalprice from pairs where rn = 1
 """,
         "data_audit": """
 select count(*)::bigint as n_rows,

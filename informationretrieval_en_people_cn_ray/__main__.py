@@ -19,6 +19,11 @@ plus the index-maintenance lifecycle the reference lacks:
 - ``compact INDEX [INDEX...] OUT_DIR`` — merge generations / physically
   drop tombstoned docs
 
+and the data-processing surface:
+
+- ``pipeline NAME TABLE_DIR [--out F.parquet]`` — run any named
+  datapipe/relational pipeline (``pipeline --list`` prints all names)
+
 This is the one module that owns a Ray session when run standalone
 (``ray job submit``-compatible); it never re-inits an existing session,
 so it also runs inside a driver-initialised cluster.

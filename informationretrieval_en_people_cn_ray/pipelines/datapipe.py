@@ -6758,3 +6758,82 @@ def event_transition_matrix(sf_dir: str):
             "n": pa.array(acc, pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# forward as-of join (direction='forward')
+
+
+def _asof_group_fwd(group: pa.Table) -> pa.Table:
+    """Forward sibling of ``_asof_group``: the EARLIEST order at-or-after
+    the event time (ties on o_orderdate broken by MIN o_orderkey)."""
+    import pyarrow.compute as pc
+
+    group = group.combine_chunks()
+    is_ev = pc.is_valid(group["event_id"])
+    g_ev = group.filter(is_ev)
+    g_or = group.filter(pc.invert(is_ev))
+    eid = g_ev["event_id"].to_numpy(zero_copy_only=False)
+    ets = g_ev["ts_us"].to_numpy(zero_copy_only=False)
+    okey = g_or["o_orderkey"].to_numpy(zero_copy_only=False)
+    odate = g_or["date_us"].to_numpy(zero_copy_only=False)
+    oprice = g_or["o_totalprice"].to_numpy(zero_copy_only=False)
+    if len(eid) == 0 or len(okey) == 0:
+        return _ASOF_EMPTY
+    # sort orders by (date, orderkey); searchsorted 'left' lands on the
+    # first order with date >= ts — min orderkey among equal dates
+    order = np.lexsort((okey, odate))
+    odate, okey, oprice = odate[order], okey[order], oprice[order]
+    pos = np.searchsorted(odate, ets, side="left")
+    hit = pos < len(okey)
+    if not hit.any():
+        return _ASOF_EMPTY
+    key = int(group["key"][0].as_py())
+    return pa.table(
+        {
+            "event_id": pa.array(eid[hit].astype(np.int64), pa.int64()),
+            "user_id": pa.array(
+                np.full(int(hit.sum()), key, np.int64), pa.int64()
+            ),
+            "o_orderkey": pa.array(
+                okey[pos[hit]].astype(np.int64), pa.int64()
+            ),
+            "o_totalprice": pa.array(oprice[pos[hit]], pa.float64()),
+        }
+    )
+
+
+@unreserved
+def asof_join_forward(sf_dir: str):
+    """(event_id, user_id, o_orderkey, o_totalprice) — FORWARD as-of
+    join: for each event, the same key's EARLIEST order at-or-after the
+    event time (pandas ``merge_asof(direction='forward')`` semantics;
+    ties on o_orderdate broken by min o_orderkey; inner — events with
+    no later order drop). Same by_key shape and semi-join pushdown as
+    ``asof_join_events_orders``; the skew-safe by_time decomposition
+    applies symmetrically (carry from the NEXT range instead of the
+    previous) and is omitted here — the backward op demonstrates it."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+    evn = ev.map_batches(_asof_ev_rows, batch_format="pyarrow")
+    orn = orders.map_batches(_asof_ord_rows, batch_format="pyarrow")
+    ev_keys_ref = ray.put(_event_user_set(sf_dir))
+
+    def keep_orders_with_events(batch: pa.Table) -> pa.Table:
+        ks = ray.get(ev_keys_ref)
+        if not ks.size or batch.num_rows == 0:
+            return batch.slice(0, 0)
+        key = batch["key"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(ks, key)
+        idx[idx >= ks.size] = ks.size - 1
+        return batch.filter(pa.array(ks[idx] == key))
+
+    orn = orn.map_batches(keep_orders_with_events, batch_format="pyarrow")
+    return evn.union(orn).groupby("key").map_groups(
+        _asof_group_fwd, batch_format="pyarrow"
+    )
