@@ -2207,15 +2207,19 @@ group by 1, 2
 """,
         "asof_join_forward": """
 with pairs as (
-  select e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+  select o.o_orderkey, l.l_linenumber,
+         epoch_us(l.l_shipdate)::bigint as ship_us,
+         floor(l.l_extendedprice * 100.0 + 0.5)::bigint as price_cents,
          row_number() over (
-           partition by e.event_id
-           order by o.o_orderdate asc, o.o_orderkey asc
+           partition by o.o_orderkey
+           order by l.l_shipdate asc, l.l_linenumber asc
          ) as rn
-  from events e
-  join orders o on o.o_custkey = e.user_id and o.o_orderdate >= e.ts
+  from orders o
+  join lineitem l on l.l_orderkey = o.o_orderkey
+                 and l.l_shipdate >= o.o_orderdate
 )
-select event_id, user_id, o_orderkey, o_totalprice from pairs where rn = 1
+select o_orderkey, l_linenumber, ship_us, price_cents
+from pairs where rn = 1
 """,
         "data_audit": """
 select count(*)::bigint as n_rows,

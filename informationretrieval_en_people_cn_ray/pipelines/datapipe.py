@@ -6761,79 +6761,123 @@ def event_transition_matrix(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
-# forward as-of join (direction='forward')
-
-
-def _asof_group_fwd(group: pa.Table) -> pa.Table:
-    """Forward sibling of ``_asof_group``: the EARLIEST order at-or-after
-    the event time (ties on o_orderdate broken by MIN o_orderkey)."""
-    import pyarrow.compute as pc
-
-    group = group.combine_chunks()
-    is_ev = pc.is_valid(group["event_id"])
-    g_ev = group.filter(is_ev)
-    g_or = group.filter(pc.invert(is_ev))
-    eid = g_ev["event_id"].to_numpy(zero_copy_only=False)
-    ets = g_ev["ts_us"].to_numpy(zero_copy_only=False)
-    okey = g_or["o_orderkey"].to_numpy(zero_copy_only=False)
-    odate = g_or["date_us"].to_numpy(zero_copy_only=False)
-    oprice = g_or["o_totalprice"].to_numpy(zero_copy_only=False)
-    if len(eid) == 0 or len(okey) == 0:
-        return _ASOF_EMPTY
-    # sort orders by (date, orderkey); searchsorted 'left' lands on the
-    # first order with date >= ts — min orderkey among equal dates
-    order = np.lexsort((okey, odate))
-    odate, okey, oprice = odate[order], okey[order], oprice[order]
-    pos = np.searchsorted(odate, ets, side="left")
-    hit = pos < len(okey)
-    if not hit.any():
-        return _ASOF_EMPTY
-    key = int(group["key"][0].as_py())
-    return pa.table(
-        {
-            "event_id": pa.array(eid[hit].astype(np.int64), pa.int64()),
-            "user_id": pa.array(
-                np.full(int(hit.sum()), key, np.int64), pa.int64()
-            ),
-            "o_orderkey": pa.array(
-                okey[pos[hit]].astype(np.int64), pa.int64()
-            ),
-            "o_totalprice": pa.array(oprice[pos[hit]], pa.float64()),
-        }
-    )
+# forward as-of join (direction='forward'): first shipment per order
 
 
 @unreserved
 def asof_join_forward(sf_dir: str):
-    """(event_id, user_id, o_orderkey, o_totalprice) — FORWARD as-of
-    join: for each event, the same key's EARLIEST order at-or-after the
-    event time (pandas ``merge_asof(direction='forward')`` semantics;
-    ties on o_orderdate broken by min o_orderkey; inner — events with
-    no later order drop). Same by_key shape and semi-join pushdown as
-    ``asof_join_events_orders``; the skew-safe by_time decomposition
-    applies symmetrically (carry from the NEXT range instead of the
-    previous) and is omitted here — the backward op demonstrates it."""
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
-    )
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
-    )
-    evn = ev.map_batches(_asof_ev_rows, batch_format="pyarrow")
-    orn = orders.map_batches(_asof_ord_rows, batch_format="pyarrow")
-    ev_keys_ref = ray.put(_event_user_set(sf_dir))
+    """(o_orderkey, l_linenumber, ship_us, price_cents) — FORWARD as-of
+    join (pandas ``merge_asof(direction='forward')`` semantics): each
+    order's EARLIEST lineitem shipped at-or-after its order date (ties
+    on l_shipdate broken by min l_linenumber; inner — orders with no
+    at-or-after shipment drop).
 
-    def keep_orders_with_events(batch: pa.Table) -> pa.Table:
-        ks = ray.get(ev_keys_ref)
-        if not ks.size or batch.num_rows == 0:
-            return batch.slice(0, 0)
-        key = batch["key"].to_numpy(zero_copy_only=False)
-        idx = np.searchsorted(ks, key)
-        idx[idx >= ks.size] = ks.size - 1
-        return batch.filter(pa.array(ks[idx] == key))
+    Same key-partition shape as the backward ``asof_join_events_orders``
+    (union both sides under the join key → one ``groupby(key)`` shuffle,
+    vectorized searchsorted per group — 'left' side instead of
+    'right'−1); the skew-safe by_time decomposition applies
+    symmetrically (carry from the NEXT range instead of the previous)
+    and is demonstrated on the backward op."""
 
-    orn = orn.map_batches(keep_orders_with_events, batch_format="pyarrow")
-    return evn.union(orn).groupby("key").map_groups(
-        _asof_group_fwd, batch_format="pyarrow"
+    def probe_rows(batch: pa.Table) -> pa.Table:
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        ts = batch["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        n = len(ok)
+        return pa.table(
+            {
+                "key": pa.array(ok, pa.int64()),
+                "ts_us": pa.array(ts, pa.int64()),
+                "ln": pa.nulls(n, pa.int64()),
+                "ship_us": pa.nulls(n, pa.int64()),
+                "price_c": pa.nulls(n, pa.int64()),
+            }
+        )
+
+    def build_rows(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        ship = batch["l_shipdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        ln = batch["l_linenumber"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        pc_ = np.floor(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+            + 0.5
+        ).astype(np.int64)
+        n = len(ok)
+        return pa.table(
+            {
+                "key": pa.array(ok, pa.int64()),
+                "ts_us": pa.nulls(n, pa.int64()),
+                "ln": pa.array(ln, pa.int64()),
+                "ship_us": pa.array(ship, pa.int64()),
+                "price_c": pa.array(pc_, pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "o_orderkey": pa.array([], pa.int64()),
+            "l_linenumber": pa.array([], pa.int64()),
+            "ship_us": pa.array([], pa.int64()),
+            "price_cents": pa.array([], pa.int64()),
+        }
+    )
+
+    def fwd_group(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        group = group.combine_chunks()
+        is_probe = pc.is_valid(group["ts_us"])
+        g_p = group.filter(is_probe)
+        g_b = group.filter(pc.invert(is_probe))
+        if g_p.num_rows == 0 or g_b.num_rows == 0:
+            return empty
+        ts = g_p["ts_us"].to_numpy(zero_copy_only=False)
+        ln = g_b["ln"].to_numpy(zero_copy_only=False)
+        ship = g_b["ship_us"].to_numpy(zero_copy_only=False)
+        price = g_b["price_c"].to_numpy(zero_copy_only=False)
+        # sort by (ship, linenumber); 'left' lands on the first shipment
+        # >= the order date — min linenumber among equal dates
+        order = np.lexsort((ln, ship))
+        ship, ln, price = ship[order], ln[order], price[order]
+        pos = np.searchsorted(ship, ts, side="left")
+        hit = pos < len(ship)
+        if not hit.any():
+            return empty
+        key = int(group["key"][0].as_py())
+        return pa.table(
+            {
+                "o_orderkey": pa.array(
+                    np.full(int(hit.sum()), key, np.int64), pa.int64()
+                ),
+                "l_linenumber": pa.array(
+                    ln[pos[hit]].astype(np.int64), pa.int64()
+                ),
+                "ship_us": pa.array(
+                    ship[pos[hit]].astype(np.int64), pa.int64()
+                ),
+                "price_cents": pa.array(
+                    price[pos[hit]].astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    probes = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(probe_rows, batch_format="pyarrow")
+    builds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_shipdate",
+                 "l_extendedprice"],
+    ).map_batches(build_rows, batch_format="pyarrow")
+    return probes.union(builds).groupby("key").map_groups(
+        fwd_group, batch_format="pyarrow"
     )

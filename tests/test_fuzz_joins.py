@@ -178,41 +178,3 @@ def test_fuzz_range_join_matches_duckdb(ray_session, tmp_path, seed, width):
         .fetchall()
     )
     assert got == exp
-
-
-@pytest.mark.parametrize("seed", [61, 72])
-def test_fuzz_asof_forward_matches_duckdb(ray_session, tmp_path, seed):
-    """direction='forward': earliest at-or-after order, min-orderkey
-    tie-break — duplicate (key, date) pairs exercised by construction."""
-    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
-
-    d = str(tmp_path)
-    _write_tables(d, seed, n_events=300, n_orders=200, n_keys=12)
-    t = dp._to_table(dp.asof_join_forward(d))
-    got = {
-        e: (k, p)
-        for e, k, p in zip(
-            t["event_id"].to_pylist(),
-            t["o_orderkey"].to_pylist(),
-            t["o_totalprice"].to_pylist(),
-        )
-    }
-    con = _con(d)
-    exp = {
-        e: (k, p)
-        for e, k, p in con.sql(
-            """with pairs as (
-                 select e.event_id, o.o_orderkey, o.o_totalprice,
-                        row_number() over (
-                          partition by e.event_id
-                          order by o.o_orderdate asc, o.o_orderkey asc
-                        ) as rn
-                 from events e
-                 join orders o
-                   on o.o_custkey = e.user_id and o.o_orderdate >= e.ts)
-               select event_id, o_orderkey, o_totalprice
-               from pairs where rn = 1"""
-        )
-        .fetchall()
-    }
-    assert got == exp

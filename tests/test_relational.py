@@ -1029,3 +1029,19 @@ def test_transition_matrix_matches_duckdb(ray_session, tmp_path, seed):
     n_us = con.sql("select count(distinct user_id) from events").fetchone()[0]
     assert sum(got["n"].to_pylist()) == n_ev - n_us
     _check(got, E.oracle_sql()["event_transition_matrix"], con)
+
+
+@pytest.mark.parametrize("seed,hot", [(63, 0.0), (74, 0.5)])
+def test_asof_forward_first_shipment(ray_session, tmp_path, seed, hot):
+    """Forward as-of: each order's earliest at-or-after shipment, min
+    l_linenumber tie-break (duplicate ship dates occur by construction;
+    the hot leg piles lineitems onto one order)."""
+    import __ray_entry__ as E
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    d = str(tmp_path)
+    _write_tpch(d, seed, n_li=3000, n_ord=400, n_cust=60, hot_frac=hot)
+    con = _con(d, ["orders", "lineitem"])
+    got = dp._to_table(dp.asof_join_forward(d))
+    assert got.num_rows > 0
+    _check(got, E.oracle_sql()["asof_join_forward"], con)
