@@ -1024,7 +1024,6 @@ def test_transition_matrix_matches_duckdb(ray_session, tmp_path, seed):
     con = _con(d, ["events"])
     got = dp._to_table(dp.event_transition_matrix(d))
     # conservation: transitions = events − users-with-events
-    import duckdb as _dd
     n_ev = con.sql("select count(*) from events").fetchone()[0]
     n_us = con.sql("select count(distinct user_id) from events").fetchone()[0]
     assert sum(got["n"].to_pylist()) == n_ev - n_us
