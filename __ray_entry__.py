@@ -2212,7 +2212,8 @@ with pairs as (
          floor(l.l_extendedprice * 100.0 + 0.5)::bigint as price_cents,
          row_number() over (
            partition by o.o_orderkey
-           order by l.l_shipdate asc, l.l_linenumber asc
+           order by l.l_shipdate asc, l.l_linenumber asc,
+                    floor(l.l_extendedprice * 100.0 + 0.5) asc
          ) as rn
   from orders o
   join lineitem l on l.l_orderkey = o.o_orderkey

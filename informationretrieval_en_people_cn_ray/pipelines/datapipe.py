@@ -6769,8 +6769,9 @@ def asof_join_forward(sf_dir: str):
     """(o_orderkey, l_linenumber, ship_us, price_cents) — FORWARD as-of
     join (pandas ``merge_asof(direction='forward')`` semantics): each
     order's EARLIEST lineitem shipped at-or-after its order date (ties
-    on l_shipdate broken by min l_linenumber; inner — orders with no
-    at-or-after shipment drop).
+    broken by min l_linenumber then min price-cents — a TOTAL order
+    over the output columns; inner — orders with no at-or-after
+    shipment drop).
 
     Same key-partition shape as the backward ``asof_join_events_orders``
     (union both sides under the join key → one ``groupby(key)`` shuffle,
@@ -6844,9 +6845,12 @@ def asof_join_forward(sf_dir: str):
         ln = g_b["ln"].to_numpy(zero_copy_only=False)
         ship = g_b["ship_us"].to_numpy(zero_copy_only=False)
         price = g_b["price_c"].to_numpy(zero_copy_only=False)
-        # sort by (ship, linenumber); 'left' lands on the first shipment
-        # >= the order date — min linenumber among equal dates
-        order = np.lexsort((ln, ship))
+        # sort by (ship, linenumber, price); 'left' lands on the first
+        # shipment >= the order date — min linenumber among equal dates,
+        # min price among duplicate (date, linenumber) rows: the key is
+        # TOTAL over the output columns, so the pick is deterministic
+        # even when the synthetic lineitem repeats line numbers
+        order = np.lexsort((price, ln, ship))
         ship, ln, price = ship[order], ln[order], price[order]
         pos = np.searchsorted(ship, ts, side="left")
         hit = pos < len(ship)
