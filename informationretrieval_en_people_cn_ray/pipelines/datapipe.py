@@ -6546,7 +6546,10 @@ def orders_per_customer_histogram(sf_dir: str):
             f"{sf_dir}/orders.parquet", columns=["o_custkey"]
         )
         .map_batches(partial, batch_format="pyarrow")
-        .repartition(4)
+        # no coalescing repartition: the partials are already one
+        # key-bounded row-set per input block, and the extra all-to-all
+        # barrier measured SLOWER than the groupby it fed (2.7→1.9 s
+        # warm at sf0.1)
         .groupby("c")
         .aggregate(Sum("n", alias_name="n"))
     )
