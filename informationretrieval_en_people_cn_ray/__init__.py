@@ -53,6 +53,14 @@ def _settle_fsspec_http() -> None:
         import sys
         import types
 
+        if "fsspec" not in sys.modules:
+            # fsspec itself is absent: stubbing the submodule would mask
+            # a genuine missing dependency — leave the environment alone.
+            try:
+                import fsspec.implementations  # noqa: F401
+            except Exception:
+                return
+
         stub = types.ModuleType("fsspec.implementations.http")
 
         class HTTPFileSystem:  # sentinel: nothing instantiates it
@@ -60,6 +68,12 @@ def _settle_fsspec_http() -> None:
 
         stub.HTTPFileSystem = HTTPFileSystem
         sys.modules["fsspec.implementations.http"] = stub
+        # Keep attribute access consistent with sys.modules so
+        # `import fsspec.implementations.http as m` and
+        # `fsspec.implementations.http` both resolve to the stub.
+        parent = sys.modules.get("fsspec.implementations")
+        if parent is not None:
+            parent.http = stub
     except Exception:
         pass  # any other import outcome: leave the environment alone
 

@@ -309,10 +309,25 @@ def _cmd_pipeline(args: argparse.Namespace) -> int:
     from .pipelines.datapipe import _to_table
 
     res = reg[args.name](args.table_dir)
+    import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
+    import ray.data
 
-    t = res if isinstance(res, pa.Table) else _to_table(res)
+    if isinstance(res, pa.Table):
+        t = res
+    elif isinstance(res, pd.DataFrame):
+        t = pa.Table.from_pandas(res, preserve_index=False)
+    elif isinstance(res, ray.data.Dataset):
+        t = _to_table(res)
+    else:
+        print(
+            f"pipeline {args.name!r} returned non-tabular "
+            f"{type(res).__name__}; it is a library helper, not a CLI "
+            "pipeline",
+            file=sys.stderr,
+        )
+        return 2
     if args.out:
         pq.write_table(t, args.out)
         print(json.dumps({"rows": t.num_rows, "out": args.out}))

@@ -58,11 +58,43 @@ def _regex_compiled(pattern: str) -> re.Pattern:
     return re.compile(f"^(?:{pattern})$")
 
 
+def _has_toplevel_alternation(pattern: str) -> bool:
+    """True when an unescaped ``|`` sits at paren-depth 0 outside any
+    character class — then NO literal prefix is required (``scan|join``
+    must match ``join*`` terms too, so the range scan must not narrow)."""
+    depth = 0
+    in_class = False
+    i = 0
+    n = len(pattern)
+    while i < n:
+        ch = pattern[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if in_class:
+            if ch == "]":
+                in_class = False
+        elif ch == "[":
+            in_class = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(0, depth - 1)
+        elif ch == "|" and depth == 0:
+            return True
+        i += 1
+    return False
+
+
 def _regex_literal_prefix(pattern: str) -> str:
     """Longest REQUIRED literal prefix of a regex — the dictionary
     range narrower (same role as the wildcard's pre-star literal). Stops
     at the first metacharacter; a trailing ``*``/``?``/``{`` quantifier
-    makes the preceding literal optional, so it is dropped."""
+    makes the preceding literal optional, so it is dropped. A top-level
+    alternation (``scan|join``) makes the leading literal one branch
+    only, so the prefix is '' (no narrowing) in that case."""
+    if _has_toplevel_alternation(pattern):
+        return ""
     out: list[str] = []
     specials = set(".^$*+?{}[]|()\\")
     for ch in pattern:
@@ -71,6 +103,29 @@ def _regex_literal_prefix(pattern: str) -> str:
                 out.pop()
             break
         out.append(ch)
+    return "".join(out)
+
+
+def _regex_casefold(pattern: str) -> str:
+    """Case-fold a regex against the all-lowercase dictionary by
+    lowercasing LITERAL characters only. Characters following a
+    backslash are preserved verbatim — ``pattern.lower()`` would invert
+    the uppercase escape classes (``\\W``→``\\w``, ``\\D``→``\\d``,
+    ``\\S``→``\\s``), giving the opposite semantics. ``[A-Z]`` ranges DO
+    fold to ``[a-z]``: that is the correct case-insensitive reading over
+    a lowercased term dictionary."""
+    out: list[str] = []
+    i = 0
+    n = len(pattern)
+    while i < n:
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < n:
+            out.append(ch)
+            out.append(pattern[i + 1])
+            i += 2
+            continue
+        out.append(ch.lower())
+        i += 1
     return "".join(out)
 
 
@@ -921,8 +976,9 @@ class SearchEngine:
         ``_regex_compiled``). Like the wildcard path, the expansion runs
         WHERE the dictionary lives (per segment / per actor), narrowed
         to the regex's required literal prefix; the pattern is
-        lowercased but not stemmed."""
-        terms = self._regex_terms(pattern.lower())
+        case-folded on LITERALS only (escape sequences preserved — see
+        ``_regex_casefold``) but not stemmed."""
+        terms = self._regex_terms(_regex_casefold(pattern))
         plists = self._postings_map(terms)
         arrs = [p.doc_ids for p in plists.values() if p is not None]
         if not arrs:

@@ -209,3 +209,9 @@ def test_cli_pipeline_runner(ray_session, tmp_path, capsys):
     assert t.num_rows > 0 and "n_events" in t.column_names
 
     assert main(["pipeline", "nope", "/tmp"]) == 2
+
+    # non-tabular helpers admitted by the signature filter must fail
+    # cleanly (rc=2 + message), not crash in _to_table (ADVICE r4)
+    rc = main(["pipeline", "doc_weights_by_lang", "/root/testdata/sf0.001"])
+    assert rc == 2
+    assert "non-tabular" in capsys.readouterr().err

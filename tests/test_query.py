@@ -553,12 +553,39 @@ def test_regex_literal_prefix():
     assert _regex_literal_prefix("da?t") == "d"
     assert _regex_literal_prefix(".*x") == ""
     assert _regex_literal_prefix("plain") == "plain"
+    # top-level alternation: leading literal is just one branch, NOT a
+    # required prefix — no narrowing allowed (ADVICE r4 high)
+    assert _regex_literal_prefix("scan|join") == ""
+    assert _regex_literal_prefix("a|b") == ""
+    assert _regex_literal_prefix("ab\\|c") == "ab"    # escaped | is literal
+    assert _regex_literal_prefix("ab[|]c") == "ab"    # class | is literal
+    assert _regex_literal_prefix("ab(c|d)") == "ab"   # grouped alt is fine
+
+
+def test_regex_casefold():
+    from informationretrieval_en_people_cn_ray.pipelines.search import (
+        _regex_casefold,
+    )
+
+    assert _regex_casefold("DATA[A-Z]+") == "data[a-z]+"
+    # uppercase escape classes must survive (\W != \w)
+    assert _regex_casefold(r"\Wx\D\S") == r"\Wx\D\S"
+    assert _regex_casefold(r"A\\B") == r"a\\b"  # escaped backslash then literal
 
 
 def test_regex_docs_vs_oracle(engine, oracle):
     import re
 
-    for pat in ["s[ct][a-z]+", "d.t[a-z]*", "(the|a)", "[a-z]*ow", "x{2,}"]:
+    for pat in [
+        "s[ct][a-z]+",
+        "d.t[a-z]*",
+        "(the|a)",
+        "[a-z]*ow",
+        "x{2,}",
+        # top-level alternation: both branches must contribute docs
+        "the|a",
+        "sh[a-z]+|d.ta",
+    ]:
         rx = re.compile(f"^(?:{pat})$")
         terms = [t for t in oracle.postings if rx.match(t)]
         exp = sorted({d for t in terms for d in oracle.term_docs(t)})
