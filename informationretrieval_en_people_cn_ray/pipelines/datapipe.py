@@ -98,6 +98,49 @@ def _to_table(ds) -> pa.Table:
     typed = [t for t in tables if t.num_rows > 0]
     return pa.concat_tables(typed) if typed else tables[0]
 
+def _table_bytes(sf_dir: str, name: str = "documents") -> int:
+    """On-disk footprint of one input table (file or partitioned dir) —
+    the cheap scale signal for sizing pre-shuffle coalesces."""
+    import os
+
+    p = f"{sf_dir}/{name}.parquet"
+    if os.path.isfile(p):
+        return os.path.getsize(p)
+    total = 0
+    for root, _, files in os.walk(p):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def _coalesced(
+    ds,
+    sf_dir: str,
+    table: str = "documents",
+    expansion: float = 1.0,
+    floor: int = 8,
+    cap: int = 64,
+    target_bytes: int = 64 << 20,
+):
+    """Pre-shuffle coalesce sized from the INPUT's on-disk footprint.
+
+    Small inputs (the measured 2-3× win at sf0.1) coalesce into
+    ``floor``..``cap`` ~``target_bytes`` blocks before a groupby, so the
+    shuffle sees a few dense blocks instead of hundreds of slivers. When
+    the derived block count exceeds ``cap`` the input is already wide
+    and the repartition is SKIPPED — forcing a 100× corpus through an
+    8-block all-to-all would itself be the bottleneck. ``expansion``
+    scales the footprint for upstream fan-out (e.g. ×LSH_BANDS band
+    rows per doc)."""
+    import math
+
+    n = max(
+        floor,
+        math.ceil(_table_bytes(sf_dir, table) * expansion / target_bytes),
+    )
+    return ds if n > cap else ds.repartition(n)
+
+
 def read_documents(sf_dir: str, columns: list[str] | None = None):
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
@@ -464,6 +507,11 @@ def near_dup_pairs(sf_dir: str, jaccard_threshold: float = 0.8):
     (doc_a, doc_b) groupby dedupes pairs that collide in several bands.
     Jaccard is an exact int/int division on both the engine and oracle
     sides, so values match bit-for-bit without rounding."""
+    if jaccard_threshold <= 0:
+        # the sparse verifier only materializes pairs that SHARE at least
+        # one shingle; a non-positive threshold would also claim
+        # zero-overlap pairs, which no LSH candidate path can produce
+        raise ValueError("jaccard_threshold must be > 0")
 
     def band_rows(batch: pa.Table) -> pa.Table:
         lens, starts, codes, S, sigs = _shingle_hashes_and_sigs(batch)
@@ -502,45 +550,176 @@ def near_dup_pairs(sf_dir: str, jaccard_threshold: float = 0.8):
     )
 
     def bucket_verify(group: pa.Table) -> pa.Table:
+        """Vectorized verification of ONE band bucket's candidates.
+
+        Hot-bucket shape (the 100×-scale hazard: thousands of
+        near-identical docs landing in one band bucket) is handled in
+        two steps, replacing the former per-pair Python
+        ``np.intersect1d`` loop:
+
+        1. EXACT-set collapse — docs whose shingle sets are identical
+           (verified bytewise, not just by signature) form one class;
+           a bucket of n exact dups costs O(n·set) + the inherent
+           output pairs (jaccard 1.0), never an O(n²) verify.
+        2. Class representatives are verified by SPARSE intersection
+           counting: one argsort of (shingle, rep) incidences, then a
+           fully vectorized within-run pair expansion + ``np.unique``
+           count. Memory and work are O(Σ_shingle k·(k−1)/2) — exactly
+           the inherent sparse pair-verify cost — with NO dense
+           reps×shingles or reps×reps slab at any bucket size.
+        """
         group = group.combine_chunks()
         ids = group["doc_id"].to_numpy()
-        order = np.argsort(ids, kind="stable")
         sh = group["sh"].chunk(0) if hasattr(group["sh"], "chunk") else group["sh"]
         vals = sh.values.to_numpy(zero_copy_only=False)
-        offs = sh.offsets.to_numpy()
-        a_out, b_out, j_out = [], [], []
-        for x in range(len(order)):
-            i = int(order[x])
-            sa = vals[offs[i] : offs[i + 1]]
-            for y in range(x + 1, len(order)):
-                jj = int(order[y])
-                if ids[jj] == ids[i]:
-                    continue  # same doc landed twice (identical band rows)
-                sb = vals[offs[jj] : offs[jj + 1]]
-                inter = np.intersect1d(sa, sb, assume_unique=True).size
-                union = sa.size + sb.size - inter
-                j = (inter / union) if union else 1.0
-                if j >= jaccard_threshold:
-                    a_out.append(int(ids[i]))
-                    b_out.append(int(ids[jj]))
-                    j_out.append(j)
+        offs = sh.offsets.to_numpy().astype(np.int64)
+
+        # sort by doc id; drop same-doc repeats (identical band rows)
+        order = np.argsort(ids, kind="stable")
+        keep = np.ones(len(order), bool)
+        keep[1:] = ids[order[1:]] != ids[order[:-1]]
+        order = order[keep]
+        n = len(order)
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+        if n < 2:
+            return empty
+        ids_s = ids[order]
+        lens = (offs[order + 1] - offs[order]).astype(np.int64)
+
+        # ---- 1. exact-set classes (signature, then bytewise verify) ----
+        pad = np.zeros(len(vals) + 1, np.int64)
+        np.cumsum(vals, out=pad[1:])
+        sums = pad[offs[order] + lens] - pad[offs[order]]
+        cls = np.full(n, -1, np.int64)  # row -> class id
+        next_cls = 0
+        sig_order = np.lexsort((sums, lens))
+        sig_bounds = np.flatnonzero(
+            np.diff(lens[sig_order]) | np.diff(sums[sig_order])
+        )
+        for grp in np.split(sig_order, sig_bounds + 1):
+            if len(grp) == 1:
+                cls[grp[0]] = next_cls
+                next_cls += 1
+                continue
+            L = int(lens[grp[0]])
+            if L == 0:
+                cls[grp] = next_cls
+                next_cls += 1
+                continue
+            M = vals[offs[order[grp], None] + np.arange(L)]
+            _, inv = np.unique(M, axis=0, return_inverse=True)
+            cls[grp] = next_cls + inv
+            next_cls += int(inv.max()) + 1
+        reps_rows = np.zeros(next_cls, np.int64)  # class -> first row
+        seen = np.zeros(next_cls, bool)
+        for r in range(n):
+            c = cls[r]
+            if not seen[c]:
+                seen[c] = True
+                reps_rows[c] = r
+        R = next_cls
+
+        # ---- 2. rep × rep verify via sparse intersection counting ------
+        rep_offs = offs[order[reps_rows]]
+        rep_lens = lens[reps_rows]
+        flat = (
+            np.concatenate(
+                [
+                    vals[rep_offs[i] : rep_offs[i] + rep_lens[i]]
+                    for i in range(R)
+                ]
+            )
+            if rep_lens.sum()
+            else np.empty(0, np.int64)
+        )
+        row_of = np.repeat(np.arange(R), rep_lens)
+        cls_a = np.empty(0, np.int64)
+        cls_b = np.empty(0, np.int64)
+        cls_j = np.empty(0, np.float64)
+        if len(flat):
+            by_code = np.argsort(flat, kind="stable")
+            codes_s = flat[by_code]
+            rows_s = row_of[by_code]  # within a run: strictly increasing
+            starts = np.flatnonzero(np.r_[True, np.diff(codes_s) != 0])
+            run_len = np.diff(np.r_[starts, len(codes_s)])
+            # every non-last element of a run anchors (k-1-local_i) pairs
+            run_of = np.repeat(np.arange(len(starts)), run_len)
+            local_i = np.arange(len(codes_s)) - starts[run_of]
+            counts = run_len[run_of] - 1 - local_i  # pairs anchored here
+            anchors = np.flatnonzero(counts > 0)
+            counts = counts[anchors]
+            if len(anchors):
+                a_pos = np.repeat(anchors, counts)
+                goff = np.r_[0, np.cumsum(counts[:-1])]
+                within = np.arange(int(counts.sum())) - np.repeat(
+                    goff, counts
+                )
+                b_pos = a_pos + 1 + within
+                # rows strictly increase within a run -> ra < rb always
+                pair_key = rows_s[a_pos] * np.int64(R) + rows_s[b_pos]
+                keys, inter = np.unique(pair_key, return_counts=True)
+                ra = keys // R
+                rb = keys % R
+                la = rep_lens[ra].astype(np.float64)
+                lb = rep_lens[rb].astype(np.float64)
+                union = la + lb - inter
+                jac = np.where(union == 0, 1.0, inter / np.maximum(union, 1))
+                hit = jac >= jaccard_threshold
+                cls_a, cls_b, cls_j = ra[hit], rb[hit], jac[hit]
+
+        # ---- expand classes back to doc pairs --------------------------
+        members: list[np.ndarray] = [None] * R  # class -> sorted doc ids
+        cls_sorted = np.argsort(cls, kind="stable")
+        mb = np.flatnonzero(np.diff(cls[cls_sorted]))
+        for grp in np.split(cls_sorted, mb + 1):
+            members[cls[grp[0]]] = ids_s[np.sort(grp)]
+        a_parts, b_parts, j_parts = [], [], []
+        # within-class: all pairs, jaccard exactly 1.0 (identical sets)
+        if 1.0 >= jaccard_threshold:
+            for m in members:
+                k = len(m)
+                if k > 1:
+                    iu, ju = np.triu_indices(k, 1)
+                    a_parts.append(m[iu])
+                    b_parts.append(m[ju])
+                    j_parts.append(np.ones(len(iu), np.float64))
+        # cross-class pairs
+        for x in range(len(cls_a)):
+            ma, mbm = members[cls_a[x]], members[cls_b[x]]
+            A = np.repeat(ma, len(mbm))
+            B = np.tile(mbm, len(ma))
+            a_parts.append(np.minimum(A, B))
+            b_parts.append(np.maximum(A, B))
+            j_parts.append(np.full(len(A), cls_j[x]))
+        if not a_parts:
+            return empty
         return pa.table(
             {
-                "doc_a": pa.array(a_out, pa.int64()),
-                "doc_b": pa.array(b_out, pa.int64()),
-                "jaccard": pa.array(j_out, pa.float64()),
+                "doc_a": pa.array(np.concatenate(a_parts), pa.int64()),
+                "doc_b": pa.array(np.concatenate(b_parts), pa.int64()),
+                "jaccard": pa.array(np.concatenate(j_parts), pa.float64()),
             }
         )
 
-    pairs = banded.repartition(8).groupby("band_key").map_groups(
-        bucket_verify, batch_format="pyarrow"
-    )
+    # pre-shuffle coalesce sized from the corpus footprint (×LSH_BANDS
+    # expansion) — NOT a hard-coded 8: at 100× corpus size the banded
+    # dataset is already wide and a forced 8-block all-to-all would be a
+    # bottleneck, so the coalesce is skipped above the width cap.
+    pairs = _coalesced(
+        banded, sf_dir, expansion=float(LSH_BANDS)
+    ).groupby("band_key").map_groups(bucket_verify, batch_format="pyarrow")
     # dedupe pairs that matched in several bands (identical jaccard)
     from ray.data.aggregate import Min
 
-    return pairs.repartition(4).groupby(["doc_a", "doc_b"]).aggregate(
-        Min("jaccard", alias_name="jaccard")
-    )
+    return _coalesced(pairs, sf_dir, floor=4).groupby(
+        ["doc_a", "doc_b"]
+    ).aggregate(Min("jaccard", alias_name="jaccard"))
 
 
 @unreserved
@@ -5103,53 +5282,63 @@ def mode_event_type(sf_dir: str):
     all of a user's partials land in one bucket, so no second exchange
     is needed. At 100 TB the shuffle payload is bounded by distinct
     (user, type) pairs per batch, not events."""
-    import pandas as pd
-
     def partial(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
-            {
-                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
-                "event_type": batch["event_type"].to_numpy(
-                    zero_copy_only=False
-                ),
-            }
+        batch = batch.combine_chunks()
+        u = batch["user_id"].to_numpy().astype(np.int64, copy=False)
+        types, tcode = np.unique(
+            np.asarray(batch["event_type"].to_numpy(zero_copy_only=False)),
+            return_inverse=True,
         )
-        g = (
-            df.groupby(["user_id", "event_type"], sort=False)
-            .size()
-            .reset_index(name="n")
-        )
-        u = g["user_id"].to_numpy().astype(np.int64)
+        o = np.lexsort((tcode, u))
+        ku, kt = u[o], tcode[o]
+        new = np.r_[True, (np.diff(ku) != 0) | (np.diff(kt) != 0)]
+        starts = np.flatnonzero(new)
+        n = np.diff(np.r_[starts, len(ku)])  # run length = count
+        gu = ku[new]
         return pa.table(
             {
-                "bucket": pa.array(u % MODE_BUCKETS, pa.int64()),
-                "user_id": pa.array(u, pa.int64()),
-                "event_type": pa.array(
-                    g["event_type"].tolist(), pa.string()
-                ),
-                "n": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+                "bucket": pa.array(gu % MODE_BUCKETS, pa.int64()),
+                "user_id": pa.array(gu, pa.int64()),
+                "event_type": pa.array(types[kt[new]], pa.string()),
+                "n": pa.array(n, pa.int64()),
             }
         )
 
     def combine_argmax(group: pa.Table) -> pa.Table:
-        df = (
-            group.to_pandas()
-            .groupby(["user_id", "event_type"], sort=False)["n"]
-            .sum()
-            .reset_index()
+        # Arrow/numpy all the way (the library's np.unique/reduceat
+        # idiom): dictionary-encode types, one lexsort to co-locate
+        # (user, type) runs, reduceat-sum the partials, then a second
+        # lexsort by (user, -n, type) whose first-per-user row IS the
+        # deterministic argmax (ties -> lexicographically smallest).
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "mode_type": pa.array([], pa.string()),
+                "n_events": pa.array([], pa.int64()),
+            }
         )
-        df = df.sort_values(
-            ["user_id", "n", "event_type"], ascending=[True, False, True]
-        ).drop_duplicates("user_id")
+        if group.num_rows == 0:
+            return empty
+        group = group.combine_chunks()
+        u = group["user_id"].to_numpy()
+        types, tcode = np.unique(
+            np.asarray(group["event_type"].to_numpy(zero_copy_only=False)),
+            return_inverse=True,
+        )
+        n = group["n"].to_numpy()
+        o = np.lexsort((tcode, u))
+        ku, kt, kn = u[o], tcode[o], n[o]
+        new = np.r_[True, (np.diff(ku) != 0) | (np.diff(kt) != 0)]
+        sums = np.add.reduceat(kn, np.flatnonzero(new))
+        gu, gt = ku[new], kt[new]
+        o2 = np.lexsort((gt, -sums, gu))
+        first = np.r_[True, np.diff(gu[o2]) != 0]
+        pick = o2[first]
         return pa.table(
             {
-                "user_id": pa.array(
-                    df["user_id"].to_numpy().astype(np.int64), pa.int64()
-                ),
-                "mode_type": pa.array(df["event_type"].tolist(), pa.string()),
-                "n_events": pa.array(
-                    df["n"].to_numpy().astype(np.int64), pa.int64()
-                ),
+                "user_id": pa.array(gu[pick], pa.int64()),
+                "mode_type": pa.array(types[gt[pick]], pa.string()),
+                "n_events": pa.array(sums[pick], pa.int64()),
             }
         )
 
