@@ -4,14 +4,15 @@ A 100 TB training-data pipeline carries media as ``binary`` columns with
 sidecar metadata; decode / feature-extract / resize / frame-sample are
 stateful actor-pool ``map_batches`` stages.
 
-Decoding is REAL — pure Python/numpy codecs in ``mediacodecs`` — for the
-uncompressed interchange formats: BMP (24-bit), PPM (P6), WAV (PCM16),
-Y4M (YUV4MPEG2 4:2:0). Features are real pixel/sample math (luminance
-histograms, rFFT band magnitudes); resize is a real nearest-neighbor
-resample re-encoded in the source format. COMPRESSED codecs (JPEG/PNG/
-MP3/MP4…) need PIL/ffmpeg, which are NOT in this container: those
-payloads fall back to a deterministic fake in non-strict mode, and
-``strict=True`` raises ``NotImplementedError`` the moment one is seen.
+Decoding is REAL — pure Python/numpy codecs in ``mediacodecs`` — for
+PNG (8-bit, zlib + numpy defilter) and the uncompressed interchange
+formats: BMP (24-bit), PPM (P6), WAV (PCM16), Y4M (YUV4MPEG2 4:2:0).
+Features are real pixel/sample math (luminance histograms, rFFT band
+magnitudes); resize is a real nearest-neighbor resample re-encoded in
+the source format. The remaining COMPRESSED codecs (JPEG/MP3/MP4…)
+need PIL/ffmpeg, which are NOT in this container: those payloads fall
+back to a deterministic fake in non-strict mode, and ``strict=True``
+raises ``NotImplementedError`` the moment one is seen.
 
 Schema contract:
 
@@ -52,10 +53,23 @@ DECODED_SCHEMA = pa.schema(
 FEATURE_DIM = 16
 
 _STUB_MSG = (
-    "payload is not one of the real pure-python codecs (BMP/PPM/WAV/Y4M); "
-    "compressed formats need PIL/ffmpeg which are not in this container — "
-    "run with strict=False to apply the deterministic fake decoder"
+    "payload is not one of the real pure-python codecs "
+    "(PNG/BMP/PPM/WAV/Y4M); other compressed formats need PIL/ffmpeg "
+    "which are not in this container — run with strict=False to apply "
+    "the deterministic fake decoder"
 )
+
+_IMG_DECODERS = {
+    "png": "decode_png",
+    "bmp": "decode_bmp",
+    "ppm": "decode_ppm",
+}
+
+_IMG_ENCODERS = {
+    "png": "encode_png",
+    "bmp": "encode_bmp",
+    "ppm": "encode_ppm",
+}
 
 
 def real_decode(payload: bytes) -> dict | None:
@@ -64,8 +78,8 @@ def real_decode(payload: bytes) -> dict | None:
     fmt = mc.sniff(payload)
     if fmt is None:
         return None
-    if fmt in ("bmp", "ppm"):
-        img = mc.decode_bmp(payload) if fmt == "bmp" else mc.decode_ppm(payload)
+    if fmt in _IMG_DECODERS:
+        img = getattr(mc, _IMG_DECODERS[fmt])(payload)
         return {
             "width": int(img.shape[1]),
             "height": int(img.shape[0]),
@@ -154,9 +168,9 @@ class MediaResize:
     """Actor-pool stage: fit image/video dimensions into a target box
     (aspect-preserving). For the real codecs the pixels are genuinely
     resampled (nearest-neighbor) and re-encoded in the source format —
-    BMP/PPM per image, Y4M per frame; audio passes through. Unrecognized
-    (compressed) payloads keep the honestly-stubbed fake (payload bytes
-    scaled with pixel area) unless ``strict=True``."""
+    PNG/BMP/PPM per image, Y4M per frame; audio passes through.
+    Unrecognized (compressed) payloads keep the honestly-stubbed fake
+    (payload bytes scaled with pixel area) unless ``strict=True``."""
 
     def __init__(self, max_w: int = 128, max_h: int = 128, strict: bool = False):
         self.max_w, self.max_h = max_w, max_h
@@ -181,16 +195,10 @@ class MediaResize:
                 continue
             fmt = mc.sniff(p)
             nw, nh = self._fit(w, h)
-            if fmt in ("bmp", "ppm"):
-                img = (
-                    mc.decode_bmp(p) if fmt == "bmp" else mc.decode_ppm(p)
-                )
+            if fmt in _IMG_DECODERS:
+                img = getattr(mc, _IMG_DECODERS[fmt])(p)
                 small = mc.resize_nearest(img, nw, nh)
-                body = (
-                    mc.encode_bmp(small)
-                    if fmt == "bmp"
-                    else mc.encode_ppm(small)
-                )
+                body = getattr(mc, _IMG_ENCODERS[fmt])(small)
             elif fmt == "y4m":
                 frames = mc.decode_y4m(p)
                 nw -= nw % 2  # 4:2:0 needs even dims
@@ -254,7 +262,7 @@ def synthesize_media_table(n: int, seed: int = 42, real: bool = True) -> pa.Tabl
     """Deterministic media rows for tests/benchmarks.
 
     ``real=True`` (default) emits REAL payloads the pure-python codecs
-    decode — BMP gradient images, Y4M moving-gradient clips, WAV sine
+    decode — PNG/BMP/PPM gradient images, Y4M moving-gradient clips, WAV sine
     tones; ``real=False`` keeps the legacy opaque random bytes that
     exercise the compressed-format fallback path."""
     rng = np.random.RandomState(seed)
@@ -280,9 +288,10 @@ def synthesize_media_table(n: int, seed: int = 42, real: bool = True) -> pa.Tabl
                     ],
                     axis=-1,
                 ).astype(np.uint8)
-                payloads.append(
-                    mc.encode_bmp(img) if i % 2 else mc.encode_ppm(img)
+                enc = (mc.encode_ppm, mc.encode_bmp)[i % 2] if i % 3 else (
+                    lambda im: mc.encode_png(im, filter_type="mixed")
                 )
+                payloads.append(enc(img))
             elif k == "video":
                 w = 2 * int(rng.randint(8, 32))
                 h = 2 * int(rng.randint(8, 32))
