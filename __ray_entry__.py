@@ -928,6 +928,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dow_hour_heatmap": lambda sf: dp.dow_hour_heatmap(sf),
         "event_transition_matrix": lambda sf: dp.event_transition_matrix(sf),
         "asof_join_forward": lambda sf: dp.asof_join_forward(sf),
+        # skew-safe forward variant (reverse carry from NEXT time range)
+        "asof_join_forward_by_time": lambda sf: dp.asof_join_forward(
+            sf, mode="by_time", time_ranges=8
+        ),
         # rows-only: media features aren't SQL-expressible
         "media_similarity_topk": lambda sf: dp.media_similarity_topk(sf),
         "winsorize_values": lambda sf: dp.winsorize_values(sf),
@@ -2206,6 +2210,23 @@ from seq where nxt is not null
 group by 1, 2
 """,
         "asof_join_forward": """
+with pairs as (
+  select o.o_orderkey, l.l_linenumber,
+         epoch_us(l.l_shipdate)::bigint as ship_us,
+         floor(l.l_extendedprice * 100.0 + 0.5)::bigint as price_cents,
+         row_number() over (
+           partition by o.o_orderkey
+           order by l.l_shipdate asc, l.l_linenumber asc,
+                    floor(l.l_extendedprice * 100.0 + 0.5) asc
+         ) as rn
+  from orders o
+  join lineitem l on l.l_orderkey = o.o_orderkey
+                 and l.l_shipdate >= o.o_orderdate
+)
+select o_orderkey, l_linenumber, ship_us, price_cents
+from pairs where rn = 1
+""",
+        "asof_join_forward_by_time": """
 with pairs as (
   select o.o_orderkey, l.l_linenumber,
          epoch_us(l.l_shipdate)::bigint as ship_us,

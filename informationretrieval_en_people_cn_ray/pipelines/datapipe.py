@@ -1970,11 +1970,11 @@ def _asof_group(group: pa.Table) -> pa.Table:
     )
 
 
-def _events_ts_bounds(path: str) -> tuple[int, int] | None:
-    """(min, max) event timestamp in µs from parquet ROW-GROUP STATISTICS
-    — no data scan (the scale-shaped way to size the time ranges; at
-    100 TB an extra aggregate pass over events just to pick partition
-    boundaries would double the read)."""
+def _events_ts_bounds(path: str, col_name: str = "ts") -> tuple[int, int] | None:
+    """(min, max) of a timestamp column in µs from parquet ROW-GROUP
+    STATISTICS — no data scan (the scale-shaped way to size the time
+    ranges; at 100 TB an extra aggregate pass over the data just to pick
+    partition boundaries would double the read)."""
     import pandas as pd
     import pyarrow.parquet as pq
 
@@ -1984,7 +1984,7 @@ def _events_ts_bounds(path: str) -> tuple[int, int] | None:
         g = f.metadata.row_group(rg)
         for ci in range(g.num_columns):
             col = g.column(ci)
-            if col.path_in_schema != "ts":
+            if col.path_in_schema != col_name:
                 continue
             st = col.statistics
             if st is None or not st.has_min_max:
@@ -5880,27 +5880,39 @@ TRI_BUCKETS = 256
 
 
 @unreserved
-def triangle_count(sf_dir: str):
+def triangle_count(sf_dir: str, with_wedges: bool = False):
     """Single-row (n_triangles) — triangle count of the UNDIRECTED
     customer graph (``_order_pair_edges`` canonicalized to u<v, distinct)
-    via the classic MapReduce wedge-check: generate each wedge once at
-    its center, then verify which wedges close against the edge set —
-    never a broadcast of the edge list and never a driver adjacency.
+    via the DEGREE-ORDERED MapReduce wedge-check (Cohen 2009 / the
+    node-iterator++ refinement): orient every edge from its lower-rank
+    endpoint to its higher-rank endpoint under the total rank
+    (degree, node-id), generate wedges only over OUT-neighbors, then
+    verify which wedges close against the edge set — never a broadcast
+    of the edge list and never a driver adjacency.
 
-    Shuffles (all edge- or wedge-bounded):
+    Degree ordering is what makes this hot-hub safe: a celebrity node of
+    degree d has rank above almost all its neighbors, so nearly all its
+    edges point INTO it and it emits ~no wedges; total wedge count drops
+    from Σ d(d−1)/2 to O(m^1.5) regardless of skew. Each triangle
+    {a,b,c} with rank a<b<c is generated exactly once — as the wedge at
+    a over out-neighbors (b, c).
+
+    Shuffles (all edge-bounded; degrees ride along with the adjacency
+    rows, so NO separate degree table is joined or broadcast):
     1. ``groupby(bucket)`` dedups canonical edges inside hash buckets;
-    2. ``groupby(u)`` gathers each node's neighbor list and emits the
-       wedges (v1<v2 pairs) over its GREATER neighbors only, so every
-       triangle is generated exactly once, at its smallest vertex. A
-       degree-d node emits ≤ d·(d−1)/2 wedge rows — the known cost of
-       the wedge algorithm; a hot-hub graph would add the standard
-       degree-ordering refinement (emit wedges only at each edge's
-       lowest-degree endpoint) on the same plumbing;
-    3. wedges ∪ edges ``groupby(bucket)``: inside a bucket the wedge
+    2. ``groupby(c)`` over both-direction adjacency rows: the group size
+       IS deg(c); re-emit each edge keyed by the OTHER endpoint with
+       deg(c) attached;
+    3. ``groupby(n)``: group size is deg(n); each edge appears here
+       twice (once per endpoint), and is emitted exactly once, oriented
+       low-rank → high-rank, by keeping only the appearance at its
+       higher-rank endpoint;
+    4. ``groupby(lo)`` gathers out-neighbor lists and emits the wedges
+       (canonicalized v1<v2 pairs);
+    5. wedges ∪ edges ``groupby(bucket)``: inside a bucket the wedge
        (v1,v2) keys probe the sorted edge keys (``searchsorted`` on a
        packed composite), matched wedge counts sum to triangle partials,
        and the driver adds up one int per bucket.
-
     """
 
     def canon(batch: pa.Table) -> pa.Table:
@@ -5941,8 +5953,9 @@ def triangle_count(sf_dir: str):
     )
 
     def adj_rows(batch: pa.Table) -> pa.Table:
-        # wedge centers: every canonical edge (u,v) puts v in u's
-        # neighbor list AND u in v's (undirected adjacency)
+        # every canonical edge (u,v) puts v in u's neighbor list AND u
+        # in v's (undirected adjacency) — group size at the next
+        # groupby is therefore exactly deg(c)
         u = batch["u"].to_numpy(zero_copy_only=False)
         v = batch["v"].to_numpy(zero_copy_only=False)
         return pa.table(
@@ -5952,11 +5965,48 @@ def triangle_count(sf_dir: str):
             }
         )
 
+    def attach_deg(group: pa.Table) -> pa.Table:
+        # re-key each edge by the OTHER endpoint, carrying deg(c): edges
+        # are distinct, so this group's row count IS c's degree
+        group = group.combine_chunks()
+        c = int(group["c"][0].as_py())
+        nb = group["n"].to_numpy(zero_copy_only=False)
+        deg_c = np.int64(len(nb))
+        return pa.table(
+            {
+                "c": pa.array(nb, pa.int64()),
+                "n": pa.array(np.full(len(nb), c, np.int64), pa.int64()),
+                "nd": pa.array(np.full(len(nb), deg_c, np.int64), pa.int64()),
+            }
+        )
+
+    def orient(group: pa.Table) -> pa.Table:
+        # group key is node n with deg(n) = group size; each row is an
+        # incident edge (other endpoint `o`, deg(o)). Emit the edge
+        # oriented low-rank → high-rank, only at its HIGHER-rank
+        # endpoint, so each undirected edge is emitted exactly once.
+        group = group.combine_chunks()
+        nnode = int(group["c"][0].as_py())
+        o = group["n"].to_numpy(zero_copy_only=False)
+        od = group["nd"].to_numpy(zero_copy_only=False)
+        nd = np.int64(len(o))
+        lower = (od < nd) | ((od == nd) & (o < nnode))
+        lo = o[lower]
+        return pa.table(
+            {
+                "lo": pa.array(lo, pa.int64()),
+                "hi": pa.array(
+                    np.full(len(lo), nnode, np.int64), pa.int64()
+                ),
+            }
+        )
+
     def wedges(group: pa.Table) -> pa.Table:
         group = group.combine_chunks()
-        c = group["c"][0].as_py()
-        nb = np.unique(group["n"].to_numpy(zero_copy_only=False))
-        nb = nb[nb > c]  # count each triangle ONCE, at its smallest vertex
+        # out-neighbors under the (degree, id) rank — a hot hub has ~no
+        # out-edges, so it emits ~no wedges; canonicalize pairs v1<v2
+        # to match the canonical edge keys at the probe
+        nb = np.unique(group["hi"].to_numpy(zero_copy_only=False))
         if nb.size < 2:
             return pa.table(
                 {
@@ -6019,8 +6069,16 @@ def triangle_count(sf_dir: str):
     wedge_ds = (
         edges.map_batches(adj_rows, batch_format="pyarrow")
         .groupby("c")
+        .map_groups(attach_deg, batch_format="pyarrow")
+        .groupby("c")
+        .map_groups(orient, batch_format="pyarrow")
+        .groupby("lo")
         .map_groups(wedges, batch_format="pyarrow")
     )
+    n_wedges = None
+    if with_wedges:  # test/debug: observe the degree-ordering bound
+        wedge_ds = wedge_ds.materialize()
+        n_wedges = wedge_ds.count()
     edge_keyed = edges.map_batches(edge_rows, batch_format="pyarrow")
     parts = _to_table(
         wedge_ds.union(edge_keyed)
@@ -6032,7 +6090,10 @@ def triangle_count(sf_dir: str):
         if parts.num_rows
         else 0
     )
-    return pa.table({"n_triangles": pa.array([total], pa.int64())})
+    out = {"n_triangles": pa.array([total], pa.int64())}
+    if n_wedges is not None:
+        out["n_wedges"] = pa.array([int(n_wedges)], pa.int64())
+    return pa.table(out)
 
 
 # ---------------------------------------------------------------------------
@@ -6957,7 +7018,9 @@ def event_transition_matrix(sf_dir: str):
 
 
 @unreserved
-def asof_join_forward(sf_dir: str):
+def asof_join_forward(
+    sf_dir: str, mode: str = "by_key", time_ranges: int = 16
+):
     """(o_orderkey, l_linenumber, ship_us, price_cents) — FORWARD as-of
     join (pandas ``merge_asof(direction='forward')`` semantics): each
     order's EARLIEST lineitem shipped at-or-after its order date (ties
@@ -6965,12 +7028,22 @@ def asof_join_forward(sf_dir: str):
     over the output columns; inner — orders with no at-or-after
     shipment drop).
 
-    Same key-partition shape as the backward ``asof_join_events_orders``
-    (union both sides under the join key → one ``groupby(key)`` shuffle,
-    vectorized searchsorted per group — 'left' side instead of
-    'right'−1); the skew-safe by_time decomposition applies
-    symmetrically (carry from the NEXT range instead of the previous)
-    and is demonstrated on the backward op."""
+    Two distributed shapes, selected by ``mode``, produce identical rows:
+
+    - ``by_key`` (default): same key-partition shape as the backward
+      ``asof_join_events_orders`` (union both sides under the join key →
+      one ``groupby(key)`` shuffle, vectorized searchsorted per group —
+      'left' side instead of 'right'−1).
+    - ``by_time`` (skew-safe): the exact MIRROR of the backward
+      decomposition — partition the time axis into ``time_ranges``
+      equal-width ranges (bounds from orders' ``o_orderdate`` row-group
+      statistics, no extra scan) and group by (key, range) so a hot
+      key's lineitem history splits across ranges. Boundary replication
+      runs BACKWARD: a per-(key, range) lexmin + per-key reverse scan
+      injects into every range the key's earliest shipment AFTER the
+      range end, so orders late in a range still see their carry-in
+      match from the NEXT ranges. Costs one extra (small) shuffle of
+      per-(key, range) minima."""
 
     def probe_rows(batch: pa.Table) -> pa.Table:
         ok = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(
@@ -7074,6 +7147,138 @@ def asof_join_forward(sf_dir: str):
         columns=["l_orderkey", "l_linenumber", "l_shipdate",
                  "l_extendedprice"],
     ).map_batches(build_rows, batch_format="pyarrow")
-    return probes.union(builds).groupby("key").map_groups(
+    if mode == "by_key":
+        return probes.union(builds).groupby("key").map_groups(
+            fwd_group, batch_format="pyarrow"
+        )
+    if mode != "by_time":
+        raise ValueError(f"unknown asof mode {mode!r}")
+    return _asof_forward_by_time(
+        sf_dir, probes, builds, int(time_ranges), fwd_group, empty
+    )
+
+
+def _asof_forward_by_time(
+    sf_dir: str, probes, builds, R: int, fwd_group, empty: pa.Table
+):
+    """Skew-safe time-axis decomposition of the FORWARD as-of join —
+    the mirror of ``_asof_by_time`` (carry-in comes from the NEXT
+    ranges via a per-key reverse scan instead of the previous ones)."""
+    bounds = _events_ts_bounds(
+        f"{sf_dir}/orders.parquet", col_name="o_orderdate"
+    )
+    if bounds is None:  # no stats → one aggregate pass (fallback)
+        from ray.data.aggregate import Max, Min
+
+        mm = probes.aggregate(Min("ts_us"), Max("ts_us"))
+        if mm["min(ts_us)"] is None:
+            return ray.data.from_arrow(empty)
+        bounds = (int(mm["min(ts_us)"]), int(mm["max(ts_us)"]))
+    t0, t1 = bounds
+    w = max(1, (t1 - t0) // R + 1)
+
+    def tag_probe(batch: pa.Table) -> pa.Table:
+        ts = batch["ts_us"].to_numpy(zero_copy_only=False)
+        rng = np.clip((ts - t0) // w, 0, R - 1).astype(np.int64)
+        return batch.append_column("rng", pa.array(rng, pa.int64()))
+
+    def tag_build(batch: pa.Table) -> pa.Table:
+        ship = batch["ship_us"].to_numpy(zero_copy_only=False)
+        rng = np.clip((ship - t0) // w, 0, R - 1).astype(np.int64)
+        return batch.append_column("rng", pa.array(rng, pa.int64()))
+
+    builds_tagged = builds.map_batches(tag_build, batch_format="pyarrow")
+
+    def lexmin_partial(batch: pa.Table) -> pa.Table:
+        """Per-batch (key, range) lexmin pre-combine — the minima
+        shuffle then moves ≤ keys·ranges rows PER BLOCK instead of
+        every lineitem row (same partial-before-shuffle shape as the
+        backward lexmax)."""
+        batch = batch.combine_chunks()
+        if batch.num_rows == 0:
+            return batch
+        key = batch["key"].to_numpy(zero_copy_only=False)
+        rng = batch["rng"].to_numpy(zero_copy_only=False)
+        ship = batch["ship_us"].to_numpy(zero_copy_only=False)
+        ln = batch["ln"].to_numpy(zero_copy_only=False)
+        price = batch["price_c"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((price, ln, ship, rng, key))
+        k_s, r_s = key[order], rng[order]
+        first = np.r_[True, (k_s[1:] != k_s[:-1]) | (r_s[1:] != r_s[:-1])]
+        return batch.take(pa.array(order[first]))
+
+    def lexmin(group: pa.Table) -> pa.Table:
+        """One row: the (ship, ln, price)-min build of this (key, range)."""
+        group = group.combine_chunks()
+        ship = group["ship_us"].to_numpy(zero_copy_only=False)
+        ln = group["ln"].to_numpy(zero_copy_only=False)
+        price = group["price_c"].to_numpy(zero_copy_only=False)
+        i = int(np.lexsort((price, ln, ship))[0])
+        return group.take(pa.array([i]))
+
+    minima = (
+        builds_tagged.map_batches(lexmin_partial, batch_format="pyarrow")
+        .groupby(["key", "rng"])
+        .map_groups(lexmin, batch_format="pyarrow")
+    )
+
+    def carries(group: pa.Table) -> pa.Table:
+        """Per key: reverse scan over the range minima — inject into
+        every range the running (ship, ln, price)-lexmin of all builds
+        in LATER ranges (the forward carry-in)."""
+        group = group.combine_chunks()
+        rngs = group["rng"].to_numpy(zero_copy_only=False)
+        ship = group["ship_us"].to_numpy(zero_copy_only=False)
+        ln = group["ln"].to_numpy(zero_copy_only=False)
+        price = group["price_c"].to_numpy(zero_copy_only=False)
+        order = np.argsort(rngs, kind="stable")[::-1]
+        out_rng: list[int] = []
+        out_i: list[int] = []
+        best = -1  # index of running (ship, ln, price)-lexmin
+        j = 0
+        for rr in range(int(rngs[order[0]]) - 1, -1, -1):
+            while j < len(order) and rngs[order[j]] > rr:
+                i = int(order[j])
+                if best < 0 or (ship[i], ln[i], price[i]) < (
+                    ship[best], ln[best], price[best]
+                ):
+                    best = i
+                j += 1
+            if best >= 0:
+                out_rng.append(rr)
+                out_i.append(best)
+        n = len(out_i)
+        if n == 0:
+            return pa.table(
+                {
+                    "key": pa.array([], pa.int64()),
+                    "ts_us": pa.array([], pa.int64()),
+                    "ln": pa.array([], pa.int64()),
+                    "ship_us": pa.array([], pa.int64()),
+                    "price_c": pa.array([], pa.int64()),
+                    "rng": pa.array([], pa.int64()),
+                }
+            )
+        key = int(group["key"][0].as_py())
+        return pa.table(
+            {
+                "key": pa.array(np.full(n, key, np.int64), pa.int64()),
+                "ts_us": pa.nulls(n, pa.int64()),
+                "ln": pa.array(ln[out_i], pa.int64()),
+                "ship_us": pa.array(ship[out_i], pa.int64()),
+                "price_c": pa.array(price[out_i], pa.int64()),
+                "rng": pa.array(out_rng, pa.int64()),
+            }
+        )
+
+    carry = minima.groupby("key").map_groups(
+        carries, batch_format="pyarrow"
+    )
+    both = (
+        probes.map_batches(tag_probe, batch_format="pyarrow")
+        .union(builds_tagged)
+        .union(carry)
+    )
+    return both.groupby(["key", "rng"]).map_groups(
         fwd_group, batch_format="pyarrow"
     )

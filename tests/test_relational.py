@@ -663,6 +663,36 @@ def test_triangle_count_planted_and_fuzz(ray_session, tmp_path):
     )
 
 
+def test_triangle_count_hot_hub_wedge_bound(ray_session, tmp_path):
+    """Degree-ordering skew gate: a 100-spoke star must emit ZERO
+    wedges (the hub has no out-edges under the (degree, id) rank; each
+    spoke has one), and closing two spokes into a triangle adds exactly
+    ONE wedge — the naive smallest-vertex wedge algorithm would emit
+    O(d²)≈4950 at the hub."""
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    hub, spokes = 1000, np.arange(100)
+    star = []
+    for s in spokes:
+        star += [hub, int(s)]
+
+    d = str(tmp_path / "star")
+    os.makedirs(d)
+    _write_orders_custseq(d, star)
+    got = dp._to_table(dp.triangle_count(d, with_wedges=True))
+    assert got["n_triangles"].to_pylist() == [0]
+    assert got["n_wedges"].to_pylist() == [0]
+
+    d2 = str(tmp_path / "star_tri")
+    os.makedirs(d2)
+    # close spokes 3-7 (route back through the hub so the only NEW
+    # consecutive-custkey edge is 3-7)
+    _write_orders_custseq(d2, star + [hub, 3, 7])
+    got = dp._to_table(dp.triangle_count(d2, with_wedges=True))
+    assert got["n_triangles"].to_pylist() == [1]
+    assert got["n_wedges"].to_pylist() == [1]
+
+
 def _write_funnel_events(d: str, seed: int, n: int, n_users: int):
     """Events over the funnel's real type names plus a decoy type, on a
     coarse hour grid so strict-after ordering ties are exercised."""
@@ -1044,3 +1074,26 @@ def test_asof_forward_first_shipment(ray_session, tmp_path, seed, hot):
     got = dp._to_table(dp.asof_join_forward(d))
     assert got.num_rows > 0
     _check(got, E.oracle_sql()["asof_join_forward"], con)
+
+
+@pytest.mark.parametrize("seed,hot,ranges", [(63, 0.0, 4), (74, 0.9, 7)])
+def test_asof_forward_by_time_parity(ray_session, tmp_path, seed, hot, ranges):
+    """Skew-safe forward as-of (time-range partition + reverse carry)
+    must equal the by_key answer row-for-row — the hot leg piles 90% of
+    lineitems onto one order so its history genuinely splits across
+    ranges and the carry-in path is exercised."""
+    import __ray_entry__ as E
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    d = str(tmp_path)
+    _write_tpch(d, seed, n_li=3000, n_ord=400, n_cust=60, hot_frac=hot)
+    con = _con(d, ["orders", "lineitem"])
+    got = dp._to_table(
+        dp.asof_join_forward(d, mode="by_time", time_ranges=ranges)
+    )
+    assert got.num_rows > 0
+    _check(got, E.oracle_sql()["asof_join_forward"], con)
+    ref = dp._to_table(dp.asof_join_forward(d)).sort_by(
+        [("o_orderkey", "ascending")]
+    )
+    assert got.sort_by([("o_orderkey", "ascending")]).equals(ref)
