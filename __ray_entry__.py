@@ -836,6 +836,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_cosine_pairs": lambda sf: dp.embedding_cosine_pairs(sf),
         "embedding_cosine_pairs_lsh": lambda sf: dp.embedding_cosine_pairs_lsh(sf),
         "embed_then_topk": lambda sf: dp.embed_then_topk(sf),
+        # TRAINED embeddings (PPMI-SVD; the reference's Doc2Vec analog)
+        # — model scoring, rows-only (geometry is pytest-gated)
+        "embed_documents_trained": lambda sf: dp.embed_documents_trained(sf),
+        "embedding_trained_topk": lambda sf: dp.embedding_trained_topk(sf),
         "kmeans_clusters": lambda sf: dp.kmeans_clusters(sf),
         "group_adjacency": lambda sf: dp.group_adjacency(sf),
         "broadcast_join": lambda sf: dp.broadcast_join_events_customers(sf),

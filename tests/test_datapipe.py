@@ -301,6 +301,77 @@ def test_embed_then_topk_pipeline(ray_session):
     assert cos == sorted(cos, reverse=True)
 
 
+def _write_synonym_corpus(d: str) -> str:
+    """Corpus where 'kumquat' and 'loquat' appear in IDENTICAL context
+    distributions (and 'granite' in a disjoint one) — a trained model
+    must place the synonym pair near each other; the hashing model has
+    no way to (their hashes are unrelated)."""
+    os.makedirs(d, exist_ok=True)
+    ctx = [
+        "the farmer picked a ripe {} from the orchard tree",
+        "she sliced the sweet {} into the fruit salad bowl",
+        "a basket of fresh {} sat on the market stall",
+        "he planted a young {} sapling beside the fence",
+    ]
+    texts = []
+    for i in range(40):
+        texts.append(ctx[i % 4].format("kumquat"))
+        texts.append(ctx[(i + 1) % 4].format("loquat"))
+        texts.append("the mason carved hard granite into a heavy block")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    return d
+
+
+def test_trained_embeddings_synonym_geometry(ray_session, tmp_path):
+    """PPMI-SVD training gate (SURVEY.md §2 ST3, the reference's Doc2Vec):
+    planted synonyms rank in each other's top-3 word neighbors, the
+    disjoint-context word does not rank first, and document embeddings
+    are deterministic, L2-normalized, and batch-placement-invariant."""
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    d = _write_synonym_corpus(str(tmp_path / "syn"))
+    m = dp.train_embeddings(d, dim=8, window=3, vocab_size=64, min_count=1)
+    nb = m.word_neighbors("kumquat", 3)
+    assert "loquat" in [w for w, _ in nb], nb
+    nb2 = m.word_neighbors("loquat", 3)
+    assert "kumquat" in [w for w, _ in nb2], nb2
+    assert m.word_neighbors("granite", 1)[0][0] not in ("kumquat", "loquat")
+
+    texts = ["the farmer picked a ripe kumquat", "granite block", ""]
+    e1 = m.embed(texts)
+    e2 = m.embed([texts[2], texts[0], texts[1]])  # other batch order
+    assert np.allclose(e1[0], e2[1], atol=0) and np.allclose(e1[1], e2[2], atol=0)
+    norms = (e1 * e1).sum(axis=1)
+    assert np.allclose(norms[:2], 1.0) and norms[2] == 0.0  # empty → zero
+
+
+def test_embedding_trained_topk_pipeline(ray_session, tmp_path):
+    """Corpus → train → broadcast → actor-pool inference → top-k: doc 0
+    ranks itself first at cosine 1.0 and same-synonym docs beat the
+    disjoint-context docs."""
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    d = _write_synonym_corpus(str(tmp_path / "syn2"))
+    t = dp.embedding_trained_topk(d, k=10, dim=8)
+    assert t.column_names == ["doc_id", "cos"]
+    assert t.num_rows == 10
+    assert t["doc_id"][0].as_py() == 0 and t["cos"][0].as_py() == 1.0
+    cos = t["cos"].to_pylist()
+    assert cos == sorted(cos, reverse=True)
+    # doc 0 is a kumquat context; every granite doc (ids ≡ 2 mod 3) must
+    # rank below the fruit docs in its top-k
+    top_ids = t["doc_id"].to_pylist()
+    assert all(i % 3 != 2 for i in top_ids[:5]), top_ids
+
+
 def test_partitioned_sink_resume(ray_session, tmp_path):
     """write_partitioned: commit-marker-last, fingerprint-keyed skip on
     re-run, unreadable before commit."""
