@@ -887,6 +887,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "poisson_sample": lambda sf: dp.poisson_sample(sf),
         "countmin_top_ngrams": lambda sf: dp.countmin_top_ngrams(sf),
         "value_quantiles_binned": lambda sf: dp.value_quantiles_binned(sf),
+        # driver-checkable forms of the three sketch ops: exact values +
+        # an error-bound flag, both reproducible by the SQL oracle
+        "countmin_top_ngrams_checked": lambda sf: (
+            dp.countmin_top_ngrams_checked(sf)
+        ),
+        "value_quantiles_checked": lambda sf: dp.value_quantiles_checked(sf),
+        "hll_distinct_users_checked": lambda sf: (
+            dp.hll_distinct_users_checked(sf)
+        ),
         "distinct_users": lambda sf: dp.distinct_users(sf),
         "hll_distinct_users": lambda sf: dp.hll_distinct_users(sf),
         "media_decode": lambda sf: dp.media_decode(sf),
@@ -1587,6 +1596,19 @@ group by e.event_id
 select event_type, count(distinct user_id) as n_users
 from events group by event_type
 """,
+        "hll_distinct_users_checked": """
+select event_type, count(distinct user_id) as n_users,
+       true as within_bound
+from events group by event_type
+""",
+        "value_quantiles_checked": """
+select event_type,
+       quantile_disc(value, 0.50) as p50,
+       quantile_disc(value, 0.90) as p90,
+       quantile_disc(value, 0.99) as p99,
+       true as within_bound
+from events group by event_type
+""",
         "asof_join": """
 with pairs as (
   select e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
@@ -1763,6 +1785,18 @@ r as (select ngram, cnt,
              row_number() over (order by cnt desc, ngram asc) as rnk
       from c)
 select ngram, cnt, rnk from r where rnk <= 20
+""",
+        "countmin_top_ngrams_checked": f"""
+with {_TOK_CTE},
+big as (
+  select a.term || ' ' || b.term as bg
+  from tok a join tok b on b.doc_id = a.doc_id and b.pos = a.pos + 1
+),
+c as (select bg as ngram, count(*)::bigint as cnt from big group by bg),
+r as (select ngram, cnt,
+             row_number() over (order by cnt desc, ngram asc) as rnk
+      from c)
+select ngram, cnt, rnk, true as sketch_ok from r where rnk <= 20
 """,
         "pmi_bigrams": f"""
 with {_TOK_CTE},
@@ -2346,5 +2380,8 @@ join customer c on c.c_custkey = o.o_custkey
         # bm25_topk_stemmed, reference_queryset_stemmed,
         # index_segment_stats_stemmed, embedding_lsh_topk,
         # embedding_ivf_topk, embedding_pq_topk, embed_then_topk,
-        # media_decode, media_pipeline, hll_distinct_users
+        # media_decode, media_pipeline, hll_distinct_users — the
+        # *_checked forms (hll_distinct_users_checked,
+        # countmin_top_ngrams_checked, value_quantiles_checked) carry
+        # exact values + error-bound flags and ARE oracle-gated above
     }

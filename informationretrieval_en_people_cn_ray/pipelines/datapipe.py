@@ -2121,6 +2121,41 @@ def hll_distinct_users(sf_dir: str):
     )
 
 
+@unreserved
+def hll_distinct_users_checked(sf_dir: str):
+    """(event_type, n_users, within_bound) — the DRIVER-CHECKABLE form
+    of the HyperLogLog op (flips its CORRECTNESS row from ``no_oracle``
+    to a value-hash gate): output rows are the EXACT distinct counts
+    (the ``distinct_users`` distributed aggregate, which has a SQL
+    oracle), and ``within_bound`` asserts the sketch's error guarantee
+    per type — |estimate − exact| ≤ max(5·1.04/√m · exact, 16) (≈5σ of
+    the published standard error, plus an absolute floor where linear
+    counting rules). The oracle emits the same exact rows with ``true``
+    — an out-of-bound estimate flips the flag and fails the hash."""
+    exact = _to_table(distinct_users(sf_dir))
+    est_t = _to_table(hll_distinct_users(sf_dir))
+    est_map = {
+        t: int(n)
+        for t, n in zip(
+            est_t["event_type"].to_pylist(), est_t["n_users_est"].to_pylist()
+        )
+    }
+    types = exact["event_type"].to_pylist()
+    n_ex = exact["n_users"].to_numpy(zero_copy_only=False)
+    m = 1 << HLL_P
+    tol = np.maximum(5 * 1.04 / np.sqrt(m) * n_ex, 16.0)
+    est = np.array([est_map.get(t, 0) for t in types], np.float64)
+    ok = np.abs(est - n_ex) <= tol
+    order = np.argsort(np.asarray(types, object))
+    return pa.table(
+        {
+            "event_type": pa.array(np.asarray(types, object)[order], pa.string()),
+            "n_users": pa.array(n_ex[order], pa.int64()),
+            "within_bound": pa.array(ok[order], pa.bool_()),
+        }
+    )
+
+
 def _asof_ev_rows(batch: pa.Table) -> pa.Table:
     n = batch.num_rows
     return pa.table(
@@ -4056,6 +4091,36 @@ def countmin_top_ngrams(sf_dir: str, k: int = 20):
     so the true top-k is always a subset of the candidate set; pytest
     gates estimate ≥ truth and top-k agreement on the bench corpus.
     Approximate → rows-only driver check."""
+    sk, cands = _merge_cms_parts(
+        read_documents(sf_dir, ["text"]).map_batches(
+            _cms_partial_factory(k), batch_format="pyarrow"
+        )
+    )
+    if not cands:
+        return pa.table(
+            {
+                "ngram": pa.array([], pa.string()),
+                "cnt_est": pa.array([], pa.int64()),
+                "rnk": pa.array([], pa.int64()),
+            }
+        )
+    cl = sorted(cands)
+    est = _cms_estimate(sk, cl)
+    ga = np.asarray(cl, object)
+    sel = np.lexsort((ga, -est))[:k]
+    return pa.table(
+        {
+            "ngram": pa.array(ga[sel], pa.string()),
+            "cnt_est": pa.array(est[sel], pa.int64()),
+            "rnk": pa.array(np.arange(1, len(sel) + 1, dtype=np.int64)),
+        }
+    )
+
+
+def _cms_partial_factory(k: int):
+    """Per-batch count-min partial: a (depth × width) count matrix over
+    the batch's bigrams plus the batch's local top-4k candidates — one
+    fixed-size row per batch, regardless of batch length."""
     from ..state.sink import _splitmix64
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -4099,34 +4164,35 @@ def countmin_top_ngrams(sf_dir: str, k: int = 20):
             }
         )
 
-    parts = _arrow_blocks(
-        read_documents(sf_dir, ["text"]).map_batches(
-            partial, batch_format="pyarrow"
-        )
-    )
+    return partial
+
+
+def _merge_cms_parts(ds) -> tuple[np.ndarray, set]:
+    """Driver merge of the per-batch count-min partials: SUM the
+    fixed-size sketch matrices, union the candidate lists — both
+    constant-size in corpus length."""
     sk = np.zeros((CMS_DEPTH, CMS_WIDTH), np.int64)
     cands: set[str] = set()
-    for t in parts:
+    for t in _arrow_blocks(ds):
         if not t.num_columns or not t.num_rows:
             continue
         for b in t["sketch"].to_pylist():
             sk += np.frombuffer(b, np.int64).reshape(CMS_DEPTH, CMS_WIDTH)
         for lst in t["cand"].to_pylist():
             cands.update(lst)
-    if not cands:
-        return pa.table(
-            {
-                "ngram": pa.array([], pa.string()),
-                "cnt_est": pa.array([], pa.int64()),
-                "rnk": pa.array([], pa.int64()),
-            }
-        )
+    return sk, cands
+
+
+def _cms_estimate(sk: np.ndarray, grams: list) -> np.ndarray:
+    """Point-query the merged sketch: min over depth rows (the count-min
+    estimate — never an undercount by construction)."""
     from ..functions.hashing import md5_u64
     from ..state.sink import _splitmix64 as _sm
 
-    cl = sorted(cands)
-    h0 = np.fromiter((md5_u64(g) for g in cl), np.uint64, count=len(cl))
-    est = np.full(len(cl), np.iinfo(np.int64).max)
+    if not grams:
+        return np.empty(0, np.int64)
+    h0 = np.fromiter((md5_u64(g) for g in grams), np.uint64, count=len(grams))
+    est = np.full(len(grams), np.iinfo(np.int64).max)
     with np.errstate(over="ignore"):
         h = h0
         for r in range(CMS_DEPTH):
@@ -4134,18 +4200,69 @@ def countmin_top_ngrams(sf_dir: str, k: int = 20):
             est = np.minimum(
                 est, sk[r][(h % np.uint64(CMS_WIDTH)).astype(np.int64)]
             )
-    ga = np.asarray(cl, object)
-    sel = np.lexsort((ga, -est))[:k]
+    return est
+
+
+@unreserved
+def countmin_top_ngrams_checked(sf_dir: str, k: int = 20):
+    """(ngram, cnt, rnk, sketch_ok) — the DRIVER-CHECKABLE form of the
+    count-min op (flips its CORRECTNESS row from ``no_oracle`` to a
+    value-hash gate): the output rows are the EXACT top-k bigrams (the
+    ``top_ngrams`` distributed aggregate, which has a SQL oracle), and
+    ``sketch_ok`` asserts the count-min guarantees per row against the
+    merged sketch — estimate ≥ true count (structural: counters only
+    over-count) AND estimate ≤ true + 3·N/width + 1 (N = total bigram
+    occurrences, read off any sketch row's sum; the expected collision
+    mass per row is N/width and the min over depth rows sits far below
+    3× it). The oracle emits the same exact rows with ``true`` — a
+    sketch violation flips the flag and fails the value hash."""
+    exact = top_ngrams(sf_dir, k)
+    grams = exact["ngram"].to_pylist()
+    cnt = exact["cnt"].to_numpy(zero_copy_only=False)
+    sk, _ = _merge_cms_parts(
+        read_documents(sf_dir, ["text"]).map_batches(
+            _cms_partial_factory(k), batch_format="pyarrow"
+        )
+    )
+    est = _cms_estimate(sk, grams)
+    n_big = int(sk[0].sum()) if sk.size else 0
+    bound = 3 * n_big // CMS_WIDTH + 1
+    ok = (est >= cnt) & (est <= cnt + bound)
     return pa.table(
         {
-            "ngram": pa.array(ga[sel], pa.string()),
-            "cnt_est": pa.array(est[sel], pa.int64()),
-            "rnk": pa.array(np.arange(1, len(sel) + 1, dtype=np.int64)),
+            "ngram": exact["ngram"],
+            "cnt": exact["cnt"],
+            "rnk": exact["rnk"],
+            "sketch_ok": pa.array(ok, pa.bool_()),
         }
     )
 
 
 @unreserved
+def _value_col_bounds(sf_dir: str) -> tuple[float, float]:
+    """(min, max) of events.value from parquet row-group statistics —
+    no data scan (shared by the binned-quantile op and its checker)."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(f"{sf_dir}/events.parquet")
+    lo, hi = None, None
+    for rg in range(f.metadata.num_row_groups):
+        g = f.metadata.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            if col.path_in_schema != "value":
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                lo = hi = None
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+    if lo is None or hi is None or hi <= lo:
+        lo, hi = 0.0, 1.0
+    return float(lo), float(hi)
+
+
 def value_quantiles_binned(
     sf_dir: str, ps: tuple[int, ...] = (50, 90, 99), n_bins: int = 4096
 ):
@@ -4165,26 +4282,9 @@ def value_quantiles_binned(
     100k default made partials nearly row-sized: every batch row landed
     in its own bin and the 'pre-aggregation' shipped the whole column
     (10.9 s → ~1 s at sf0.1 for the same gated error bound)."""
-    import pyarrow.parquet as pq
-
     from ray.data.aggregate import Sum
 
-    f = pq.ParquetFile(f"{sf_dir}/events.parquet")
-    lo, hi = None, None
-    for rg in range(f.metadata.num_row_groups):
-        g = f.metadata.row_group(rg)
-        for ci in range(g.num_columns):
-            col = g.column(ci)
-            if col.path_in_schema != "value":
-                continue
-            st = col.statistics
-            if st is None or not st.has_min_max:
-                lo = hi = None
-                break
-            lo = st.min if lo is None else min(lo, st.min)
-            hi = st.max if hi is None else max(hi, st.max)
-    if lo is None or hi is None or hi <= lo:
-        lo, hi = 0.0, 1.0
+    lo, hi = _value_col_bounds(sf_dir)
     w = (hi - lo) / n_bins
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -4242,6 +4342,63 @@ def value_quantiles_binned(
         {"event_type": pa.array(out["event_type"], pa.string())}
         | {f"p{p}": pa.array(out[f"p{p}"], pa.float64()) for p in ps}
     )
+
+
+@unreserved
+def value_quantiles_checked(
+    sf_dir: str, ps: tuple[int, ...] = (50, 90, 99), n_bins: int = 4096
+):
+    """(event_type, p50, p90, p99, within_bound) — the DRIVER-CHECKABLE
+    form of the binned-quantile op (flips its CORRECTNESS row from
+    ``no_oracle`` to a value-hash gate): output quantiles are EXACT
+    discrete quantiles (rank = ⌈p·n/100⌉, 1-indexed — DuckDB's
+    ``quantile_disc`` convention, computed with one
+    ``groupby(event_type)`` sort per group, the low-cardinality-domain
+    shape ``group_quantiles`` documents), and ``within_bound`` asserts
+    the histogram method's deterministic guarantee — the bin-midpoint
+    estimate differs from the exact quantile by ≤ half a bin width,
+    (max−min)/(2·n_bins). The oracle emits the same exact rows with
+    ``true``; a bound violation flips the flag and fails the hash."""
+
+    def qrow(group: pa.Table) -> pa.Table:
+        v = np.sort(group["value"].to_numpy(zero_copy_only=False))
+        n = len(v)
+        cols = {"event_type": group["event_type"].slice(0, 1)}
+        for p in ps:
+            rank = (p * n + 99) // 100
+            cols[f"p{p}"] = pa.array(
+                [float(v[max(rank - 1, 0)])], pa.float64()
+            )
+        return pa.table(cols)
+
+    exact = _to_table(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        )
+        .groupby("event_type")
+        .map_groups(qrow, batch_format="pyarrow")
+    )
+    approx = value_quantiles_binned(sf_dir, ps, n_bins)
+    lo, hi = _value_col_bounds(sf_dir)
+    half_w = (hi - lo) / n_bins / 2.0 + 1e-9
+    amap = {
+        t: [approx[f"p{p}"][i].as_py() for p in ps]
+        for i, t in enumerate(approx["event_type"].to_pylist())
+    }
+    types = np.asarray(exact["event_type"].to_pylist(), object)
+    order = np.argsort(types)
+    ok = np.ones(len(types), bool)
+    for j, p in enumerate(ps):
+        ex = exact[f"p{p}"].to_numpy(zero_copy_only=False)
+        ap = np.array(
+            [amap.get(t, [np.inf] * len(ps))[j] for t in types], np.float64
+        )
+        ok &= np.abs(ap - ex) <= half_w
+    cols = {"event_type": pa.array(types[order], pa.string())}
+    for p in ps:
+        cols[f"p{p}"] = exact[f"p{p}"].take(pa.array(order))
+    cols["within_bound"] = pa.array(ok[order], pa.bool_())
+    return pa.table(cols)
 
 
 # ---------------------------------------------------------------------------

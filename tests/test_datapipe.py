@@ -1464,6 +1464,21 @@ from r group by event_type""").df().set_index("event_type")
             assert abs(row[p] - exact.loc[row["event_type"], p]) <= 0.5 / 1000 + 1e-9
 
 
+def test_checked_sketch_entries_flags_true(ray_session):
+    """The driver-checkable sketch forms: exact values + an error-bound
+    flag that must come out TRUE on real data (the SQL oracle emits the
+    same rows with ``true``, so a false flag fails the value hash)."""
+    from informationretrieval_en_people_cn_ray.pipelines import datapipe as dp
+
+    sf = "/root/testdata/sf0.001"
+    h = dp.hll_distinct_users_checked(sf)
+    assert h.num_rows > 0 and all(h["within_bound"].to_pylist())
+    q = dp.value_quantiles_checked(sf)
+    assert q.num_rows > 0 and all(q["within_bound"].to_pylist())
+    c = dp.countmin_top_ngrams_checked(sf)
+    assert c.num_rows > 0 and all(c["sketch_ok"].to_pylist())
+
+
 # ---------------------------------------------------------------------------
 # round-3 continuation: PMI, weighted sampling, unigram-LM scoring
 
