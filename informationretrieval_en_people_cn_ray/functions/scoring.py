@@ -67,9 +67,20 @@ def dirichlet_accumulate(
 def topk(
     doc_ids: np.ndarray, scores: np.ndarray, k: int | None
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Canonical tie-break: score desc, doc_id asc (SURVEY.md §2.6 O4)."""
+    """Canonical tie-break: score desc, doc_id asc (SURVEY.md §2.6 O4).
+
+    Selection fast path: for k ≪ n an O(n) ``argpartition`` narrows to
+    the k-th score boundary first (docs tied AT the boundary are all
+    kept for the lexsort, so the doc-id tie-break stays exact), then
+    only the survivors pay the O(m log m) sort — identical output to
+    the full lexsort by construction."""
     if len(doc_ids) == 0:
         return doc_ids, scores
+    if k is not None and 0 < k < len(doc_ids) // 4:
+        kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+        keep = np.flatnonzero(scores >= kth)
+        order = keep[np.lexsort((doc_ids[keep], -scores[keep]))][:k]
+        return doc_ids[order], scores[order]
     order = np.lexsort((doc_ids, -scores))
     if k is not None:
         order = order[:k]

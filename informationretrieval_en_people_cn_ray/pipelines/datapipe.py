@@ -2133,6 +2133,15 @@ def hll_distinct_users_checked(sf_dir: str):
     counting rules). The oracle emits the same exact rows with ``true``
     — an out-of-bound estimate flips the flag and fails the hash."""
     exact = _to_table(distinct_users(sf_dir))
+    if exact.num_rows == 0 or "event_type" not in exact.column_names:
+        # empty events → groupby yields a schema-less table
+        return pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "n_users": pa.array([], pa.int64()),
+                "within_bound": pa.array([], pa.bool_()),
+            }
+        )
     est_t = _to_table(hll_distinct_users(sf_dir))
     est_map = {
         t: int(n)
@@ -4258,8 +4267,12 @@ def _value_col_bounds(sf_dir: str) -> tuple[float, float]:
                 break
             lo = st.min if lo is None else min(lo, st.min)
             hi = st.max if hi is None else max(hi, st.max)
-    if lo is None or hi is None or hi <= lo:
+    if lo is None or hi is None:
         lo, hi = 0.0, 1.0
+    elif hi <= lo:
+        # degenerate range (all values equal): widen around the real
+        # value so bin 0's midpoint stays within half a bin width of it
+        hi = lo + 1.0
     return float(lo), float(hi)
 
 
@@ -4378,6 +4391,13 @@ def value_quantiles_checked(
         .groupby("event_type")
         .map_groups(qrow, batch_format="pyarrow")
     )
+    if exact.num_rows == 0 or "event_type" not in exact.column_names:
+        # empty events → groupby yields a schema-less table
+        cols = {"event_type": pa.array([], pa.string())}
+        for p in ps:
+            cols[f"p{p}"] = pa.array([], pa.float64())
+        cols["within_bound"] = pa.array([], pa.bool_())
+        return pa.table(cols)
     approx = value_quantiles_binned(sf_dir, ps, n_bins)
     lo, hi = _value_col_bounds(sf_dir)
     half_w = (hi - lo) / n_bins / 2.0 + 1e-9
@@ -5662,7 +5682,7 @@ def mode_event_type(sf_dir: str):
     deterministic, exact SQL oracle).
 
     Count-then-argmax in ONE count-sized shuffle: per-batch partial
-    (user, type) counts (pandas C groupby) route by
+    (user, type) counts (numpy lexsort run-length) route by
     ``user_id % MODE_BUCKETS``; each bucket task sums its partials and
     takes the per-user argmax in a single vectorized
     sort + first-per-key pass (never a per-user ``map_groups`` call) —

@@ -198,6 +198,18 @@ class LocalSegments:
         # stats stay as built until a compacting merge drops them
         self.tombstones = load_tombstones(index_dir)
         self._readers: dict[int, SegmentReader] = {}
+        # hot-term posting cache (per engine instance — tombstones are
+        # immutable for the instance's lifetime, deletes build a new
+        # engine, so cached decoded lists can never go stale): repeated
+        # terms across a query batch skip the varint decode + tombstone
+        # filter entirely. LRU by decoded-int budget, not entry count,
+        # so one giant stopword list can't pin the whole budget.
+        from collections import OrderedDict
+
+        self._pcache: OrderedDict[tuple[str, bool], tuple] = OrderedDict()
+        self._pcache_cost = 0
+
+    _PCACHE_BUDGET = 16_000_000  # decoded int64s (~128 MB/actor ceiling)
 
     def reader(self, seg: int) -> SegmentReader:
         r = self._readers.get(seg)
@@ -211,13 +223,29 @@ class LocalSegments:
     ) -> _Posting | None:
         from ..state.tombstones import filter_postings
 
+        key = (term, with_positions)
+        hit = self._pcache.get(key)
+        if hit is not None:
+            self._pcache.move_to_end(key)
+            return _Posting(*hit) if hit[0] is not None else None
         r = self.reader(term_seg(term, self.num_segments))
         rng = r.term_range(term)
         if rng is None:
+            self._pcache[key] = (None,) * 6
             return None
         d, t, pos, ps, df, ctf = r.postings_merged(*rng, with_positions)
         if self.tombstones.size:
             d, t, pos, ps = filter_postings(self.tombstones, d, t, pos)
+        cost = 2 * len(d) + (len(pos) if pos is not None else 0)
+        if cost <= self._PCACHE_BUDGET:
+            self._pcache[key] = (d, t, pos, ps, df, ctf)
+            self._pcache_cost += cost
+            while self._pcache_cost > self._PCACHE_BUDGET and self._pcache:
+                _, old = self._pcache.popitem(last=False)
+                if old[0] is not None:
+                    self._pcache_cost -= 2 * len(old[0]) + (
+                        len(old[2]) if old[2] is not None else 0
+                    )
         return _Posting(d, t, pos, ps, df, ctf)
 
     def prefix_terms(self, prefix: str) -> list[str]:
@@ -1628,6 +1656,33 @@ class QueryEval:
         )
 
 
+_QUERY_EVAL_CACHE: dict = {}
+
+
+def _query_eval_batch(
+    batch: pa.Table,
+    index_dir,
+    k: int,
+    scorer: str,
+    prune: bool,
+) -> pa.Table:
+    """Stateless-task query evaluation with the ENGINE cached per worker
+    PROCESS (the tokenizer/embedder warm-worker pattern): plain tasks
+    reuse Ray's already-warm workers, so a query batch pays no actor
+    spawn, while the opened index (mmaps, dictionaries, hot-term
+    posting cache) persists across batches AND across search_many
+    calls on the same worker."""
+    key = (
+        tuple(index_dir) if isinstance(index_dir, list) else index_dir,
+        k, scorer, prune,
+    )
+    inst = _QUERY_EVAL_CACHE.get(key)
+    if inst is None:
+        inst = QueryEval(index_dir, k=k, scorer=scorer, prune=prune)
+        _QUERY_EVAL_CACHE[key] = inst
+    return inst(batch)
+
+
 def search_many(
     index_dir: str | list[str],
     queries: list[str],
@@ -1635,24 +1690,39 @@ def search_many(
     scorer: str = "bm25",
     concurrency: int = 2,
     prune: bool = True,
+    actors: bool = False,
 ):
-    """Dataset-of-queries → actor pool → results Dataset.
+    """Dataset-of-queries → warm-worker tasks (default) or an explicit
+    actor pool → results Dataset.
 
     ``prune`` forwards to QueryEval (MaxScore-pruned BM25 — rank-identical
     to the unpruned scorer, so True is the default on both paths; pass
     False to force the plain scorer, matching SearchEngine.search's
     opt-in semantics from the other direction). ``index_dir`` may be a
-    GENERATION LIST (unmerged extend_generation output) — each pool
-    actor opens a GenerationalSegments view."""
+    GENERATION LIST (unmerged extend_generation output) — each worker
+    opens a GenerationalSegments view.
+
+    ``actors=True`` forces the explicit ACTOR-POOL form (engine opened
+    once per actor in ``__init__`` — the shape for a long-lived serving
+    pool); the default stateless-task form is identical output with the
+    engine cached per warm worker process, so a one-shot batch skips
+    the actor-spawn latency entirely."""
     import ray.data
 
     ds = ray.data.from_items([{"query": q} for q in queries])
+    if actors:
+        return ds.map_batches(
+            QueryEval,
+            fn_constructor_kwargs=dict(
+                index_dir=index_dir, k=k, scorer=scorer, prune=prune
+            ),
+            batch_size=max(1, len(queries) // max(1, concurrency)),
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
     return ds.map_batches(
-        QueryEval,
-        fn_constructor_kwargs=dict(
-            index_dir=index_dir, k=k, scorer=scorer, prune=prune
-        ),
+        _query_eval_batch,
+        fn_kwargs=dict(index_dir=index_dir, k=k, scorer=scorer, prune=prune),
         batch_size=max(1, len(queries) // max(1, concurrency)),
         batch_format="pyarrow",
-        concurrency=concurrency,
     )
