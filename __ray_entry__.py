@@ -884,6 +884,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_features": lambda sf: dp.regex_features(sf),
         "json_props_stats": lambda sf: dp.json_props_stats(sf),
         "bloom_semi_join": lambda sf: dp.bloom_semi_join(sf),
+        "bloom_semi_join_checked": lambda sf: (
+            dp.bloom_semi_join_checked(sf)
+        ),
         "poisson_sample": lambda sf: dp.poisson_sample(sf),
         "countmin_top_ngrams": lambda sf: dp.countmin_top_ngrams(sf),
         "value_quantiles_binned": lambda sf: dp.value_quantiles_binned(sf),
@@ -1600,6 +1603,15 @@ from events group by event_type
 select event_type, count(distinct user_id) as n_users,
        true as within_bound
 from events group by event_type
+""",
+        "bloom_semi_join_checked": """
+select c.c_custkey,
+       case when exists (
+         select 1 from events e where e.user_id = c.c_custkey
+       ) then 1 else 0 end as has_events,
+       true as no_false_negative
+from customer c
+order by c.c_custkey
 """,
         "value_quantiles_checked": """
 select event_type,
