@@ -10,12 +10,21 @@ external libraries:
 - **Y4M** (YUV4MPEG2, 4:2:0 planar): text stream header, per-frame
   ``FRAME`` markers, Y/U/V planes.
 
-Remaining compressed codecs (JPEG/MP3/MP4…) genuinely need PIL/ffmpeg,
-which this container does not have — ``sniff`` returns ``None`` for
-them and the multimodal stages fall back to their honestly-guarded
-stub. These five cover PNG plus the common raw-capture/intermediate
-forms, so the decode, resize and frame-sample stages run REAL
-pixel/sample math end to end.
+- **GIF** (87a/89a): LZW decode per the public GIF89a spec (variable
+  code width, table reset, deferred clear), interlace, local/global
+  palettes, multi-frame; encode with an exact ≤256-color palette or a
+  3-3-2 quantized one.
+- **JPEG** (baseline sequential DCT, SOF0): marker/DQT/DHT/SOS parse,
+  Huffman entropy decode, dequant + numpy 8×8 IDCT, chroma upsample,
+  YCbCr→RGB; encode with FDCT + flat-length Huffman tables emitted in
+  the stream (lossy — roundtrip asserted by PSNR, not equality).
+
+Remaining compressed codecs (MP3/MP4…) genuinely need ffmpeg, which
+this container does not have — ``sniff`` returns ``None`` for them and
+the multimodal stages fall back to their honestly-guarded stub. These
+seven cover the common compressed image formats plus the
+raw-capture/intermediate forms, so the decode, resize and frame-sample
+stages run REAL pixel/sample math end to end.
 """
 
 from __future__ import annotations
@@ -41,6 +50,10 @@ def sniff(payload: bytes) -> str | None:
         return "wav"
     if payload[:9] == b"YUV4MPEG2":
         return "y4m"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
     return None
 
 
@@ -391,3 +404,853 @@ def spectral_bands(samples: np.ndarray, bands: int = 16) -> np.ndarray:
     )
     n = float(np.linalg.norm(v)) or 1.0
     return v / n
+
+
+# ---------------------------------------------------------------------------
+# GIF (87a/89a) — LZW per the public GIF89a specification
+
+
+def _lzw_decode(data: bytes, mcs: int) -> np.ndarray:
+    """GIF-variant LZW: LSB-first bit packing, variable code width
+    ``mcs+1``..12, clear/end codes, table growth with deferred clear."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    # table as parent/char arrays (fast append, no per-entry bytes)
+    parent = np.full(4096, -1, np.int32)
+    char = np.zeros(4096, np.uint8)
+    char[:clear] = np.arange(clear, dtype=np.uint8)
+
+    out = bytearray()
+    buf = int.from_bytes(data, "little")  # whole stream as one int (LSB first)
+    nbits = len(data) * 8
+    pos = 0
+    codesize = mcs + 1
+    next_code = end + 1
+    prev = -1
+    stack = bytearray(4097)
+    while pos + codesize <= nbits:
+        code = (buf >> pos) & ((1 << codesize) - 1)
+        pos += codesize
+        if code == clear:
+            codesize = mcs + 1
+            next_code = end + 1
+            prev = -1
+            continue
+        if code == end:
+            break
+        if prev < 0:  # first code after clear: literal by construction
+            if code >= clear:
+                raise ValueError("corrupt GIF LZW stream (bad first code)")
+            out.append(code)
+            prev = code
+            continue
+        if code < next_code:
+            cur = code
+        elif code == next_code:  # KwKwK case
+            cur = prev
+        else:
+            raise ValueError("corrupt GIF LZW stream (code out of range)")
+        # expand cur by walking parents
+        n = 0
+        c = cur
+        while c >= 0:
+            stack[n] = char[c]
+            n += 1
+            c = parent[c]
+        first = stack[n - 1]
+        if code == next_code:
+            out += stack[n - 1 :: -1]
+            out.append(first)
+        else:
+            out += stack[n - 1 :: -1]
+        if next_code < 4096:
+            parent[next_code] = prev
+            char[next_code] = first
+            next_code += 1
+            if next_code == (1 << codesize) and codesize < 12:
+                codesize += 1
+        prev = code
+    return np.frombuffer(bytes(out), np.uint8)
+
+
+def _lzw_encode(indices: np.ndarray, mcs: int) -> bytes:
+    """GIF-variant LZW encode (mirror state machine of ``_lzw_decode``:
+    the encoder's code-size bump trails the decoder's by one added
+    entry, hence the ``+1`` in the threshold)."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    codesize = mcs + 1
+    next_code = end + 1
+    table: dict[tuple[int, int], int] = {}
+    bits: list[int] = []  # (code, width) stream assembled below
+    widths: list[int] = []
+
+    def emit(code: int) -> None:
+        bits.append(code)
+        widths.append(codesize)
+
+    emit(clear)
+    px = indices.astype(np.int64)
+    if len(px) == 0:
+        emit(end)
+    else:
+        w = int(px[0])  # current table entry id (single pixels are own ids)
+        for k in px[1:]:
+            k = int(k)
+            ent = table.get((w, k))
+            if ent is not None:
+                w = ent
+                continue
+            emit(w)
+            if next_code < 4096:
+                table[(w, k)] = next_code
+                next_code += 1
+                if next_code == (1 << codesize) + 1 and codesize < 12:
+                    codesize += 1
+            else:  # table full: reset so the decoder mirrors us
+                emit(clear)
+                table.clear()
+                codesize = mcs + 1
+                next_code = end + 1
+            w = k
+        emit(w)
+        emit(end)
+    # pack LSB-first
+    acc = 0
+    nb = 0
+    out = bytearray()
+    for code, width in zip(bits, widths):
+        acc |= code << nb
+        nb += width
+        while nb >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nb -= 8
+    if nb:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF bytes → (H, W, 3) uint8 RGB — FIRST frame composited onto the
+    logical screen (background = spec background color; transparency and
+    disposal are irrelevant for frame 1). Interlaced rows are reordered
+    per the four-pass spec schedule. Use :func:`gif_frame_count` for the
+    animation length."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, flags, bg, _ = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload, np.uint8, count=n * 3, offset=pos).reshape(
+            n, 3
+        )
+        pos += n * 3
+    canvas = None
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"corrupt GIF block 0x{b:02x}")
+        ix, iy, iw, ih, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+        pos += 10
+        pal = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            pal = np.frombuffer(
+                payload, np.uint8, count=n * 3, offset=pos
+            ).reshape(n, 3)
+            pos += n * 3
+        if pal is None:
+            raise ValueError("GIF image without any color table")
+        mcs = payload[pos]
+        pos += 1
+        chunks = []
+        while payload[pos] != 0:
+            ln = payload[pos]
+            chunks.append(payload[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decode(b"".join(chunks), mcs)
+        if len(idx) < iw * ih:
+            raise ValueError("GIF pixel data truncated")
+        idx = idx[: iw * ih].reshape(ih, iw)
+        if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+            de = np.empty_like(idx)
+            src = 0
+            for start, step in _GIF_INTERLACE:
+                n_rows = len(range(start, ih, step))
+                de[start:ih:step] = idx[src : src + n_rows]
+                src += n_rows
+            idx = de
+        frame = pal[np.minimum(idx, len(pal) - 1)]
+        if canvas is None:
+            canvas = (
+                np.broadcast_to(
+                    pal[min(bg, len(pal) - 1)], (sh, sw, 3)
+                ).copy()
+                if gct is not None
+                else np.zeros((sh, sw, 3), np.uint8)
+            )
+        canvas[iy : iy + ih, ix : ix + iw] = frame
+        return canvas  # first frame only
+    if canvas is None:
+        raise ValueError("GIF contains no image data")
+    return canvas
+
+
+def gif_frame_count(payload: bytes) -> int:
+    """Number of image blocks (animation frames) — a structure walk, no
+    pixel decode."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    flags = payload[10]
+    pos = 13
+    if flags & 0x80:
+        pos += (2 << (flags & 0x07)) * 3
+    n = 0
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:
+            break
+        if b == 0x21:
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"corrupt GIF block 0x{b:02x}")
+        iflags = payload[pos + 9]
+        pos += 10
+        if iflags & 0x80:
+            pos += (2 << (iflags & 0x07)) * 3
+        pos += 1  # LZW min code size
+        while payload[pos] != 0:
+            pos += 1 + payload[pos]
+        pos += 1
+        n += 1
+    return n
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → single-frame GIF89a. Images with ≤256
+    distinct colors get an EXACT palette (lossless roundtrip); richer
+    images are quantized to the fixed 3-3-2 RGB cube."""
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("encode_gif expects (H, W, 3) RGB")
+    packed = (
+        img[:, :, 0].astype(np.int64) << 16
+        | img[:, :, 1].astype(np.int64) << 8
+        | img[:, :, 2].astype(np.int64)
+    ).ravel()
+    uniq, inv = np.unique(packed, return_inverse=True)
+    if len(uniq) <= 256:
+        pal = np.stack(
+            [(uniq >> 16) & 0xFF, (uniq >> 8) & 0xFF, uniq & 0xFF], axis=1
+        ).astype(np.uint8)
+        idx = inv.astype(np.uint16)
+    else:  # 3-3-2 cube
+        r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+        idx = (
+            (r.astype(np.uint16) >> 5) << 5
+            | (g.astype(np.uint16) >> 5) << 2
+            | (b.astype(np.uint16) >> 6)
+        ).ravel()
+        i = np.arange(256, dtype=np.uint16)
+        pal = np.stack(
+            [
+                ((i >> 5) & 7) * 255 // 7,
+                ((i >> 2) & 7) * 255 // 7,
+                (i & 3) * 255 // 3,
+            ],
+            axis=1,
+        ).astype(np.uint8)
+    # palette size must be a power of two ≥ 2
+    depth = max(1, int(np.ceil(np.log2(max(len(pal), 2)))))
+    full = np.zeros((1 << depth, 3), np.uint8)
+    full[: len(pal)] = pal
+    mcs = max(2, depth)
+    body = _lzw_encode(idx, mcs)
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += full.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(mcs)
+    for i in range(0, len(body), 255):
+        blk = body[i : i + 255]
+        out.append(len(blk))
+        out += blk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential DCT, SOF0) — ITU T.81 public spec
+
+
+def _zigzag() -> np.ndarray:
+    """Standard zigzag scan order as flat indices into an 8×8 block."""
+    order = sorted(
+        range(64),
+        key=lambda i: (
+            (i // 8) + (i % 8),
+            (i // 8) if ((i // 8) + (i % 8)) % 2 else -(i // 8),
+        ),
+    )
+    return np.array(order, np.int64)
+
+
+_ZZ = _zigzag()
+_IZZ = np.argsort(_ZZ)
+
+# DCT-II orthonormal basis: F = C @ X @ C.T, X = C.T @ F @ C
+_DCT_C = np.array(
+    [
+        [
+            (np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8))
+            * np.cos((2 * x + 1) * u * np.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+# ITU T.81 Annex K reference quantization tables (quality 50)
+_JPEG_QL = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    np.int64,
+).reshape(8, 8)
+_JPEG_QC = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    np.int64,
+).reshape(8, 8)
+
+
+class _JBitReader:
+    """MSB-first bit reader over an UNSTUFFED entropy-coded segment."""
+
+    __slots__ = ("d", "p", "b")
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.p = 0
+        self.b = 0
+
+    def bit(self) -> int:
+        if self.p >= len(self.d):
+            raise ValueError("JPEG entropy data exhausted")
+        v = (self.d[self.p] >> (7 - self.b)) & 1
+        self.b += 1
+        if self.b == 8:
+            self.b = 0
+            self.p += 1
+        return v
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode_map(bits: list[int], vals: bytes) -> dict:
+    """(BITS, HUFFVAL) → {(length, canonical code): symbol}."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _idct_blocks(blocks: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) dequantized coefficients → spatial samples (float)."""
+    return _DCT_C.T @ blocks @ _DCT_C
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline-sequential JPEG (SOF0) → (H, W, 3) uint8 RGB. REAL
+    entropy + transform decode: DQT/DHT/SOF0/DRI/SOS marker parse,
+    canonical Huffman MCU decode (byte unstuffing, RSTn restarts),
+    dequantize + inverse zigzag, vectorized 8×8 IDCT, nearest chroma
+    upsample for sampling factors up to 2×2, BT.601 YCbCr→RGB.
+    Progressive (SOF2) / arithmetic / 12-bit streams are rejected."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) → decode map
+    comps: list[dict] = []
+    w = h = None
+    restart = 0
+    scan = None
+    scomp: list[dict] = []
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("corrupt JPEG marker stream")
+        m = payload[pos + 1]
+        pos += 2
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            continue
+        if m == 0xD9:  # EOI
+            break
+        ln = int.from_bytes(payload[pos : pos + 2], "big")
+        seg = payload[pos + 2 : pos + ln]
+        if m == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if pq:
+                    tab = np.frombuffer(
+                        seg, ">u2", count=64, offset=i
+                    ).astype(np.int64)
+                    i += 128
+                else:
+                    tab = np.frombuffer(
+                        seg, np.uint8, count=64, offset=i
+                    ).astype(np.int64)
+                    i += 64
+                qt[tq] = tab[_IZZ].reshape(8, 8)
+        elif m == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                bits = list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                vals = seg[i + 17 : i + 17 + n]
+                huff[(tc, th)] = _huff_decode_map(bits, vals)
+                i += 17 + n
+        elif m == 0xC0:  # SOF0 baseline
+            prec = seg[0]
+            if prec != 8:
+                raise ValueError(f"only 8-bit JPEG supported (prec={prec})")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            nc = seg[5]
+            comps = [
+                {
+                    "id": seg[6 + 3 * c],
+                    "h": seg[7 + 3 * c] >> 4,
+                    "v": seg[7 + 3 * c] & 15,
+                    "tq": seg[8 + 3 * c],
+                }
+                for c in range(nc)
+            ]
+        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(
+                f"only baseline sequential (SOF0) supported, got SOF{m - 0xC0}"
+            )
+        elif m == 0xDD:  # DRI
+            restart = int.from_bytes(seg[:2], "big")
+        elif m == 0xDA:  # SOS
+            ns = seg[0]
+            scomp = []
+            for c in range(ns):
+                cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
+                comp = next(x for x in comps if x["id"] == cid)
+                scomp.append(
+                    {**comp, "dc": tabs >> 4, "ac": tabs & 15}
+                )
+            scan = payload[pos + ln :]
+            break
+        pos += ln
+    if scan is None or w is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+
+    # split entropy data at RST markers, unstuff each interval
+    intervals: list[bytes] = []
+    cur = bytearray()
+    i = 0
+    n = len(scan)
+    while i < n:
+        b = scan[i]
+        if b == 0xFF:
+            nxt = scan[i + 1] if i + 1 < n else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                intervals.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # EOI or next marker
+        cur.append(b)
+        i += 1
+    intervals.append(bytes(cur))
+
+    hmax = max(c["h"] for c in scomp)
+    vmax = max(c["v"] for c in scomp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    n_mcu = mcux * mcuy
+    # per-component coefficient block grids
+    grids = [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 8, 8), np.int64)
+        for c in scomp
+    ]
+    mcu = 0
+    for chunk in intervals:
+        if mcu >= n_mcu:
+            break
+        r = _JBitReader(chunk)
+        pred = [0] * len(scomp)
+        per = restart if restart else n_mcu - mcu
+        for _ in range(per):
+            if mcu >= n_mcu:
+                break
+            my, mx = divmod(mcu, mcux)
+            for ci, c in enumerate(scomp):
+                dmap = huff[(0, c["dc"])]
+                amap = huff[(1, c["ac"])]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = np.zeros(64, np.int64)
+                        code = 0
+                        length = 0
+                        while True:  # DC symbol
+                            code = (code << 1) | r.bit()
+                            length += 1
+                            s = dmap.get((length, code))
+                            if s is not None or length > 16:
+                                break
+                        if s is None:
+                            raise ValueError("bad JPEG DC code")
+                        diff = _extend(r.bits(s), s) if s else 0
+                        pred[ci] += diff
+                        blk[0] = pred[ci]
+                        k = 1
+                        while k < 64:  # AC symbols
+                            code = 0
+                            length = 0
+                            while True:
+                                code = (code << 1) | r.bit()
+                                length += 1
+                                s = amap.get((length, code))
+                                if s is not None or length > 16:
+                                    break
+                            if s is None:
+                                raise ValueError("bad JPEG AC code")
+                            rl, sz = s >> 4, s & 15
+                            if sz == 0:
+                                if rl == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += rl
+                            if k > 63:
+                                raise ValueError("JPEG AC run overflow")
+                            blk[k] = _extend(r.bits(sz), sz)
+                            k += 1
+                        grids[ci][
+                            my * c["v"] + by, mx * c["h"] + bx
+                        ] = blk[_IZZ].reshape(8, 8)
+            mcu += 1
+
+    planes = []
+    for ci, c in enumerate(scomp):
+        g = grids[ci] * qt[c["tq"]]
+        gh, gw = g.shape[:2]
+        spat = _idct_blocks(g.reshape(-1, 8, 8)) + 128.0
+        spat = (
+            spat.reshape(gh, gw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(gh * 8, gw * 8)
+        )
+        # upsample to full MCU-grid resolution, then crop to (h, w)
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            spat = np.repeat(np.repeat(spat, ry, axis=0), rx, axis=1)
+        planes.append(spat[:h, :w])
+    if len(planes) == 1:
+        y = np.clip(planes[0], 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _flat_huff(symbols: np.ndarray) -> tuple[list[int], bytes, dict]:
+    """Uniform-length canonical Huffman table over the symbols actually
+    used: n symbols at length L = ceil(log2(n+1)) (strictly n < 2^L, so
+    the all-ones code stays unused as T.81 requires). Emitted via DHT,
+    so any spec decoder reads it; compression is sub-optimal but the
+    table build is trivially correct."""
+    syms = np.unique(symbols)
+    n = len(syms)
+    L = max(1, int(np.ceil(np.log2(n + 1))))
+    bits = [0] * 16
+    bits[L - 1] = n
+    enc = {int(s): (L, i) for i, s in enumerate(syms)}
+    return bits, bytes(int(s) for s in syms), enc
+
+
+class _JBitWriter:
+    __slots__ = ("out", "acc", "nb")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nb = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.acc = (self.acc << width) | code
+        self.nb += width
+        while self.nb >= 8:
+            b = (self.acc >> (self.nb - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nb -= 8
+        self.acc &= (1 << self.nb) - 1
+
+    def flush(self) -> bytes:
+        if self.nb:
+            pad = 8 - self.nb
+            b = ((self.acc << pad) | ((1 << pad) - 1)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.nb = 0
+            self.acc = 0
+        return bytes(self.out)
+
+
+def _mag_cat(v: np.ndarray) -> np.ndarray:
+    """JPEG magnitude category: bits needed for |v| (0 for v == 0)."""
+    a = np.abs(v)
+    out = np.zeros_like(a)
+    nz = a > 0
+    out[nz] = np.floor(np.log2(a[nz])).astype(np.int64) + 1
+    return out
+
+
+def encode_jpeg(img: np.ndarray, subsample: bool = False) -> bytes:
+    """(H, W, 3) uint8 RGB → baseline-sequential JPEG. Annex-K quant
+    tables (quality 50); 4:4:4 by default, 4:2:0 box-filtered chroma
+    with ``subsample=True``. Huffman tables are computed from this
+    image's symbol set (flat-length canonical codes) and emitted via
+    DHT — see ``_flat_huff``. Lossy: verify roundtrips by PSNR."""
+    img = np.ascontiguousarray(img, np.uint8).astype(np.float64)
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("encode_jpeg expects (H, W, 3) RGB")
+    r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+    def pad_to(plane: np.ndarray, mult: int) -> np.ndarray:
+        ph = -(-plane.shape[0] // mult) * mult
+        pw = -(-plane.shape[1] // mult) * mult
+        return np.pad(
+            plane,
+            ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+            mode="edge",
+        )
+
+    if subsample:
+        y = pad_to(y, 16)
+        cbp = pad_to(cb, 16)
+        crp = pad_to(cr, 16)
+        # 2×2 box filter
+        cb = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean(
+            axis=(1, 3)
+        )
+        cr = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean(
+            axis=(1, 3)
+        )
+        samp = [(2, 2), (1, 1), (1, 1)]
+    else:
+        y, cb, cr = pad_to(y, 8), pad_to(cb, 8), pad_to(cr, 8)
+        samp = [(1, 1), (1, 1), (1, 1)]
+
+    def to_coef(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+        """plane → (by, bx, 64) zigzagged quantized coefficients."""
+        ph, pw = plane.shape
+        blocks = (
+            plane.reshape(ph // 8, 8, pw // 8, 8)
+            .transpose(0, 2, 1, 3)
+            .astype(np.float64)
+            - 128.0
+        )
+        f = _DCT_C @ blocks @ _DCT_C.T
+        qd = np.round(f / q).astype(np.int64)
+        return qd.reshape(ph // 8, pw // 8, 64)[:, :, _ZZ]
+
+    coefs = [
+        to_coef(y, _JPEG_QL),
+        to_coef(cb, _JPEG_QC),
+        to_coef(cr, _JPEG_QC),
+    ]
+
+    # ---- gather symbol statistics (DC diffs in MCU order, AC runs)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = y.shape[1] // (8 * hmax)
+    mcuy = y.shape[0] // (8 * vmax)
+
+    def block_seq(ci: int):
+        """Yield (by, bx) block coords of component ci in MCU order."""
+        hs, vs = samp[ci]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for by in range(vs):
+                    for bx in range(hs):
+                        yield my * vs + by, mx * hs + bx
+
+    dc_syms = [[], []]  # table id 0 = luma, 1 = chroma
+    ac_syms = [[], []]
+    runs: list[list] = [None, None, None]  # per component: encoded symbol plan
+    for ci in range(3):
+        tid = 0 if ci == 0 else 1
+        plan = []
+        pred = 0
+        cf = coefs[ci]
+        for by, bx in block_seq(ci):
+            blk = cf[by, bx]
+            diff = int(blk[0]) - pred
+            pred = int(blk[0])
+            s = int(_mag_cat(np.array([diff]))[0])
+            dc_syms[tid].append(s)
+            items = [("dc", s, diff)]
+            nz = np.flatnonzero(blk[1:]) + 1
+            k = 1
+            for pos_ in nz:
+                run = int(pos_) - k
+                while run > 15:
+                    ac_syms[tid].append(0xF0)
+                    items.append(("zrl",))
+                    run -= 16
+                v = int(blk[pos_])
+                sz = int(_mag_cat(np.array([v]))[0])
+                sym = (run << 4) | sz
+                ac_syms[tid].append(sym)
+                items.append(("ac", sym, v, sz))
+                k = int(pos_) + 1
+            if k < 64:
+                ac_syms[tid].append(0x00)
+                items.append(("eob",))
+            plan.append(items)
+        runs[ci] = plan
+
+    tables = []
+    for tid in range(2):
+        dbits, dvals, denc = _flat_huff(
+            np.array(dc_syms[tid] or [0], np.int64)
+        )
+        abits, avals, aenc = _flat_huff(
+            np.array(ac_syms[tid] or [0], np.int64)
+        )
+        tables.append((dbits, dvals, denc, abits, avals, aenc))
+
+    # ---- entropy-code MCUs (interleaved component order)
+    wtr = _JBitWriter()
+    plan_iters = [iter(runs[ci]) for ci in range(3)]
+    for _ in range(mcuy * mcux):
+        for ci in range(3):
+            tid = 0 if ci == 0 else 1
+            _, _, denc, _, _, aenc = tables[tid]
+            hs, vs = samp[ci]
+            for _ in range(hs * vs):
+                items = next(plan_iters[ci])
+                for it in items:
+                    if it[0] == "dc":
+                        _, s, diff = it
+                        L, code = denc[s]
+                        wtr.write(code, L)
+                        if s:
+                            v = diff if diff >= 0 else diff + (1 << s) - 1
+                            wtr.write(v, s)
+                    elif it[0] == "ac":
+                        _, sym, v, sz = it
+                        L, code = aenc[sym]
+                        wtr.write(code, L)
+                        vv = v if v >= 0 else v + (1 << sz) - 1
+                        wtr.write(vv, sz)
+                    elif it[0] == "zrl":
+                        L, code = aenc[0xF0]
+                        wtr.write(code, L)
+                    else:  # eob
+                        L, code = aenc[0x00]
+                        wtr.write(code, L)
+    body = wtr.flush()
+
+    # ---- assemble marker stream
+    def seg(marker: int, data: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(data) + 2).to_bytes(2, "big") + data
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(
+        0xDB, bytes([0]) + bytes(_JPEG_QL.reshape(-1)[_ZZ].astype(np.uint8))
+    )
+    out += seg(
+        0xDB, bytes([1]) + bytes(_JPEG_QC.reshape(-1)[_ZZ].astype(np.uint8))
+    )
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3])
+    for ci in range(3):
+        hs, vs = samp[ci]
+        sof += bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
+    out += seg(0xC0, sof)
+    for tid in range(2):
+        dbits, dvals, _, abits, avals, _ = tables[tid]
+        out += seg(0xC4, bytes([tid]) + bytes(dbits) + dvals)
+        out += seg(0xC4, bytes([0x10 | tid]) + bytes(abits) + avals)
+    sos = bytes([3])
+    for ci in range(3):
+        tid = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (tid << 4) | tid])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += body
+    out += b"\xff\xd9"
+    return bytes(out)

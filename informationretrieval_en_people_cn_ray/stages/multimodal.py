@@ -5,14 +5,15 @@ sidecar metadata; decode / feature-extract / resize / frame-sample are
 stateful actor-pool ``map_batches`` stages.
 
 Decoding is REAL — pure Python/numpy codecs in ``mediacodecs`` — for
-PNG (8-bit, zlib + numpy defilter) and the uncompressed interchange
-formats: BMP (24-bit), PPM (P6), WAV (PCM16), Y4M (YUV4MPEG2 4:2:0).
-Features are real pixel/sample math (luminance histograms, rFFT band
-magnitudes); resize is a real nearest-neighbor resample re-encoded in
-the source format. The remaining COMPRESSED codecs (JPEG/MP3/MP4…)
-need PIL/ffmpeg, which are NOT in this container: those payloads fall
-back to a deterministic fake in non-strict mode, and ``strict=True``
-raises ``NotImplementedError`` the moment one is seen.
+the compressed image formats PNG (zlib + numpy defilter), JPEG
+(baseline SOF0: Huffman + IDCT) and GIF (LZW), plus the uncompressed
+interchange formats: BMP (24-bit), PPM (P6), WAV (PCM16), Y4M
+(YUV4MPEG2 4:2:0). Features are real pixel/sample math (luminance
+histograms, rFFT band magnitudes); resize is a real nearest-neighbor
+resample re-encoded in the source format. The remaining COMPRESSED
+codecs (MP3/MP4…) need ffmpeg, which is NOT in this container: those
+payloads fall back to a deterministic fake in non-strict mode, and
+``strict=True`` raises ``NotImplementedError`` the moment one is seen.
 
 Schema contract:
 
@@ -54,21 +55,25 @@ FEATURE_DIM = 16
 
 _STUB_MSG = (
     "payload is not one of the real pure-python codecs "
-    "(PNG/BMP/PPM/WAV/Y4M); other compressed formats need PIL/ffmpeg "
-    "which are not in this container — run with strict=False to apply "
-    "the deterministic fake decoder"
+    "(PNG/JPEG/GIF/BMP/PPM/WAV/Y4M); other compressed formats need "
+    "ffmpeg which is not in this container — run with strict=False to "
+    "apply the deterministic fake decoder"
 )
 
 _IMG_DECODERS = {
     "png": "decode_png",
     "bmp": "decode_bmp",
     "ppm": "decode_ppm",
+    "gif": "decode_gif",
+    "jpeg": "decode_jpeg",
 }
 
 _IMG_ENCODERS = {
     "png": "encode_png",
     "bmp": "encode_bmp",
     "ppm": "encode_ppm",
+    "gif": "encode_gif",
+    "jpeg": "encode_jpeg",
 }
 
 
@@ -83,7 +88,11 @@ def real_decode(payload: bytes) -> dict | None:
         return {
             "width": int(img.shape[1]),
             "height": int(img.shape[0]),
-            "n_frames": 1,
+            # an animated GIF is a short clip; all other image formats
+            # are single-frame
+            "n_frames": (
+                int(mc.gif_frame_count(payload)) if fmt == "gif" else 1
+            ),
             "feature": mc.luma_histogram(img, FEATURE_DIM).tolist(),
         }
     if fmt == "wav":
@@ -288,9 +297,14 @@ def synthesize_media_table(n: int, seed: int = 42, real: bool = True) -> pa.Tabl
                     ],
                     axis=-1,
                 ).astype(np.uint8)
-                enc = (mc.encode_ppm, mc.encode_bmp)[i % 2] if i % 3 else (
-                    lambda im: mc.encode_png(im, filter_type="mixed")
-                )
+                enc = (
+                    lambda im: mc.encode_png(im, filter_type="mixed"),
+                    mc.encode_ppm,
+                    mc.encode_jpeg,
+                    mc.encode_bmp,
+                    mc.encode_gif,
+                    lambda im: mc.encode_jpeg(im, subsample=True),
+                )[i % 6]
                 payloads.append(enc(img))
             elif k == "video":
                 w = 2 * int(rng.randint(8, 32))

@@ -256,7 +256,7 @@ def test_media_strict_and_real_codecs(ray_session):
             assert out["n_frames"][i].as_py() == len(mc.decode_y4m(p))
 
     fake = synthesize_media_table(3, seed=5, real=False)
-    with pytest.raises(NotImplementedError, match="PIL/ffmpeg"):
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
         MediaDecode(strict=True)(fake)
     # non-strict falls back to the deterministic fake on the same rows
     assert MediaDecode(strict=False)(fake).num_rows == 3
@@ -696,7 +696,7 @@ def test_media_resize_stage(ray_session):
     for i in range(6):
         if fake_src["kind"][i].as_py() != "audio":
             assert shrunk["width"][i].as_py() <= 40
-    with pytest.raises(NotImplementedError, match="PIL/ffmpeg"):
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
         MediaResize(max_w=40, max_h=40, strict=True)(fake_decoded)
 
 def test_embedding_cosine_pairs_lsh_subset_and_recall(ray_session):

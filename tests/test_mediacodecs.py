@@ -73,7 +73,9 @@ def test_luma_histogram_unit_norm():
 
 def test_sniff_rejects_unknown():
     assert mc.sniff(b"\x89PNG\r\n\x1a\n....") == "png"  # real codec now
-    assert mc.sniff(b"\xff\xd8\xff\xe0 jpeg") is None
+    assert mc.sniff(b"\xff\xd8\xff\xe0 jpeg") == "jpeg"  # real codec now
+    assert mc.sniff(b"GIF89a......") == "gif"  # real codec now
+    assert mc.sniff(b"ID3\x04 mp3") is None  # still stubbed (needs ffmpeg)
     assert mc.sniff(b"\x00\x01\x02") is None
 
 
@@ -224,3 +226,197 @@ def test_codec_roundtrips_property():
     bmp_ppm()
     wav()
     y4m()
+
+
+# ---------------------------------------------------------------------------
+# GIF
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = ((a.astype(float) - b.astype(float)) ** 2).mean()
+    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+def test_gif_roundtrip_exact_palette():
+    rng = np.random.RandomState(3)
+    for ncol in (2, 16, 255, 256):
+        pal = rng.randint(0, 256, (ncol, 3)).astype(np.uint8)
+        img = pal[rng.randint(0, ncol, (21, 17))]
+        enc = mc.encode_gif(img)
+        assert mc.sniff(enc) == "gif"
+        assert np.array_equal(mc.decode_gif(enc), img)
+        assert mc.gif_frame_count(enc) == 1
+
+
+def test_gif_lzw_code_growth_and_table_reset():
+    # >4096 distinct strings force 12-bit codes AND an encoder table
+    # reset (clear + rebuild) — the full LZW state machine
+    rng = np.random.RandomState(4)
+    pal = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+    img = pal[rng.randint(0, 256, (310, 290))]
+    assert np.array_equal(mc.decode_gif(mc.encode_gif(img)), img)
+
+
+def test_gif_quantized_many_colors():
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (48, 48, 3)).astype(np.uint8)
+    dec = mc.decode_gif(mc.encode_gif(img))
+    # 3-3-2 cube: worst-case per-channel error is bounded
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 64
+    assert np.abs(dec.astype(int) - img.astype(int)).mean() < 24
+
+
+def test_gif_interlaced_decode():
+    # hand-assemble an interlaced stream: rows stored in the 4-pass
+    # schedule must come back in display order
+    import struct
+
+    rng = np.random.RandomState(6)
+    pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    h, w = 13, 9
+    idx = rng.randint(0, 16, (h, w)).astype(np.uint8)
+    passes = [idx[s::k] for s, k in ((0, 8), (4, 8), (2, 4), (1, 2))]
+    stored = np.concatenate(passes, axis=0)
+    body = mc._lzw_encode(stored.ravel(), 4)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 3, 0, 0)  # 16-entry GCT
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40)  # interlaced
+    out.append(4)
+    for i in range(0, len(body), 255):
+        blk = body[i : i + 255]
+        out.append(len(blk))
+        out += blk
+    out += b"\x00\x3b"
+    assert np.array_equal(mc.decode_gif(bytes(out)), pal[idx])
+
+
+def test_gif_multi_frame_count_and_first_frame():
+    # two image blocks with LOCAL color tables; decode returns frame 1
+    # composited on the logical screen, frame count sees both
+    import struct
+
+    rng = np.random.RandomState(7)
+    pal1 = rng.randint(0, 256, (4, 3)).astype(np.uint8)
+    pal2 = rng.randint(0, 256, (4, 3)).astype(np.uint8)
+    f1 = rng.randint(0, 4, (6, 6)).astype(np.uint8)
+    f2 = rng.randint(0, 4, (6, 6)).astype(np.uint8)
+
+    def frame(pal, idx):
+        blk = bytearray(
+            b"\x2c" + struct.pack("<HHHHB", 0, 0, 6, 6, 0x80 | 1)
+        )
+        blk += pal.tobytes()
+        body = mc._lzw_encode(idx.ravel(), 2)
+        blk.append(2)
+        for i in range(0, len(body), 255):
+            b = body[i : i + 255]
+            blk.append(len(b))
+            blk += b
+        blk.append(0)
+        return blk
+
+    out = bytearray(b"GIF89a") + struct.pack("<HHBBB", 6, 6, 0, 0, 0)
+    out += frame(pal1, f1) + frame(pal2, f2) + b"\x3b"
+    assert mc.gif_frame_count(bytes(out)) == 2
+    assert np.array_equal(mc.decode_gif(bytes(out)), pal1[f1])
+
+
+def test_gif_roundtrip_property():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        w=st.integers(1, 24), h=st.integers(1, 24),
+        ncol=st.integers(1, 256), seed=st.integers(0, 2**31 - 1),
+    )
+    def gif(w, h, ncol, seed):
+        rng = np.random.RandomState(seed)
+        pal = rng.randint(0, 256, (ncol, 3)).astype(np.uint8)
+        img = pal[rng.randint(0, ncol, (h, w))]
+        assert np.array_equal(mc.decode_gif(mc.encode_gif(img)), img)
+
+    gif()
+
+
+# ---------------------------------------------------------------------------
+# JPEG
+
+
+def test_jpeg_roundtrip_psnr_444_and_420():
+    rng = np.random.RandomState(8)
+    for h, w in ((8, 8), (16, 24), (33, 47), (70, 21)):
+        x = np.arange(w)[None, :]
+        y = np.arange(h)[:, None]
+        img = np.stack(
+            [
+                np.broadcast_to((x * 3 + y * 2) % 256, (h, w)),
+                np.broadcast_to((y * 5) % 256, (h, w)),
+                np.full((h, w), 77),
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        for ss in (False, True):
+            enc = mc.encode_jpeg(img, subsample=ss)
+            assert mc.sniff(enc) == "jpeg"
+            dec = mc.decode_jpeg(enc)
+            assert dec.shape == img.shape
+            assert _psnr(dec, img) > (27 if ss else 30)
+
+
+def test_jpeg_constant_color_near_exact():
+    img = np.full((24, 24, 3), 128, np.uint8)
+    dec = mc.decode_jpeg(mc.encode_jpeg(img))
+    assert np.abs(dec.astype(int) - 128).max() <= 2
+
+
+def test_jpeg_byte_stuffing_exercised():
+    # noise coefficients make 0xFF entropy bytes near-certain: the
+    # decoder must see stuffed FF 00 pairs and unstuff them
+    rng = np.random.RandomState(13)  # this seed provably emits FF bytes
+    img = rng.randint(0, 256, (48, 48, 3)).astype(np.uint8)
+    enc = mc.encode_jpeg(img)
+    assert b"\xff\x00" in enc
+    dec = mc.decode_jpeg(enc)
+    assert _psnr(dec, img) > 12  # q50 destroys noise; shape + decode sanity
+
+
+def test_jpeg_rejects_progressive_and_non_jpeg():
+    import struct
+
+    with pytest.raises(ValueError):
+        mc.decode_jpeg(b"nope")
+    # minimal SOF2 (progressive) stream
+    sof2 = bytearray(b"\xff\xd8")
+    data = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
+    sof2 += b"\xff\xc2" + (len(data) + 2).to_bytes(2, "big") + data
+    sof2 += b"\xff\xd9"
+    with pytest.raises(ValueError, match="SOF"):
+        mc.decode_jpeg(bytes(sof2))
+
+
+def test_jpeg_roundtrip_property():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        w=st.integers(1, 32), h=st.integers(1, 32),
+        seed=st.integers(0, 2**31 - 1), ss=st.booleans(),
+    )
+    def jpeg(w, h, seed, ss):
+        rng = np.random.RandomState(seed)
+        # smooth-ish image: low-frequency content survives q50 well
+        base = rng.randint(0, 256, (3,))
+        y = np.arange(h)[:, None]
+        x = np.arange(w)[None, :]
+        img = np.clip(
+            base[None, None, :]
+            + (x // 8 * 10 + y // 8 * 6)[:, :, None],
+            0,
+            255,
+        ).astype(np.uint8)
+        dec = mc.decode_jpeg(mc.encode_jpeg(img, subsample=ss))
+        assert dec.shape == img.shape
+        assert _psnr(dec, img) > 24
+
+    jpeg()
