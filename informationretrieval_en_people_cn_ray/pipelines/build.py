@@ -265,7 +265,17 @@ def _build_index_inner(
         batch_format="pyarrow",
         num_cpus=config.reduce_num_cpus,
     )
+    t_plan = time.monotonic()
     rows = summaries.take_all()  # tiny: one row per partition
+    if os.environ.get("GRAFT_BUILD_STATS"):  # perf diagnosis aid
+        import sys
+
+        print(
+            f"[build] plan setup {t_plan - t0:.2f}s, "
+            f"execute {time.monotonic() - t_plan:.2f}s",
+            file=sys.stderr,
+        )
+        print(summaries.stats(), file=sys.stderr)
 
     post = [r for r in rows if r["kind"] == "postings"]
     stats = [r for r in rows if r["kind"] == "docstats"]

@@ -1736,16 +1736,22 @@ def media_decode(sf_dir: str, n: int = 200):
     """(media_id, kind, width, height, n_frames, feature) — multimodal
     decode through the actor-pool stage over a deterministic synthetic
     media table (binary payload + typed metadata). The decode is REAL
-    pixel/sample math for BMP/PPM/WAV/Y4M via the pure-python codecs
-    (stages/mediacodecs.py) — true dimensions, luminance-histogram and
-    rFFT-band features; compressed formats (PIL/ffmpeg territory) fall
-    back to the honestly-guarded fake. Rows-only driver check (no SQL
-    media decode)."""
+    pixel/sample math for PNG/JPEG/GIF/BMP/PPM/WAV/Y4M via the
+    pure-python codecs (stages/mediacodecs.py) — true dimensions,
+    luminance-histogram and rFFT-band features — and runs STRICT: a
+    payload outside the real codec set would raise instead of falling
+    back to the fake (only ffmpeg-class formats remain stubbed). The
+    synthetic table is 100% real-codec payloads. Rows-only driver check
+    (no SQL media decode)."""
     from ..stages.multimodal import MediaDecode, synthesize_media_table
 
     ds = ray.data.from_arrow(synthesize_media_table(n, seed=7))
     return ds.map_batches(
-        MediaDecode, batch_size=32, batch_format="pyarrow", concurrency=2
+        MediaDecode,
+        fn_constructor_kwargs=dict(strict=True),
+        batch_size=32,
+        batch_format="pyarrow",
+        concurrency=2,
     )
 
 
@@ -1766,14 +1772,14 @@ def media_pipeline(sf_dir: str, n: int = 200):
     return (
         ds.map_batches(
             MediaDecode,
-            fn_constructor_kwargs=dict(keep_payload=True),
+            fn_constructor_kwargs=dict(keep_payload=True, strict=True),
             batch_size=32,
             batch_format="pyarrow",
             concurrency=2,
         )
         .map_batches(
             MediaResize,
-            fn_constructor_kwargs=dict(max_w=96, max_h=96),
+            fn_constructor_kwargs=dict(max_w=96, max_h=96, strict=True),
             batch_size=32,
             batch_format="pyarrow",
             concurrency=2,

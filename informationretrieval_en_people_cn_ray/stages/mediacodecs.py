@@ -1254,3 +1254,130 @@ def encode_jpeg(img: np.ndarray, subsample: bool = False) -> bytes:
     out += body
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def decode_gif_frames(payload: bytes) -> np.ndarray:
+    """GIF bytes → (n_frames, H, W, 3) uint8 RGB — every image block
+    composited successively onto the logical screen (additive
+    composition; disposal modes are ignored, which is exact for
+    full-frame animations like :func:`encode_gif_frames` emits)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, flags, bg, _ = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload, np.uint8, count=n * 3, offset=pos).reshape(
+            n, 3
+        )
+        pos += n * 3
+    canvas = (
+        np.broadcast_to(gct[min(bg, len(gct) - 1)], (sh, sw, 3)).copy()
+        if gct is not None
+        else np.zeros((sh, sw, 3), np.uint8)
+    )
+    frames = []
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:
+            break
+        if b == 0x21:
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"corrupt GIF block 0x{b:02x}")
+        ix, iy, iw, ih, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+        pos += 10
+        pal = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            pal = np.frombuffer(
+                payload, np.uint8, count=n * 3, offset=pos
+            ).reshape(n, 3)
+            pos += n * 3
+        if pal is None:
+            raise ValueError("GIF image without any color table")
+        mcs = payload[pos]
+        pos += 1
+        chunks = []
+        while payload[pos] != 0:
+            ln = payload[pos]
+            chunks.append(payload[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decode(b"".join(chunks), mcs)
+        if len(idx) < iw * ih:
+            raise ValueError("GIF pixel data truncated")
+        idx = idx[: iw * ih].reshape(ih, iw)
+        if iflags & 0x40:
+            de = np.empty_like(idx)
+            src = 0
+            for start, step in _GIF_INTERLACE:
+                n_rows = len(range(start, ih, step))
+                de[start:ih:step] = idx[src : src + n_rows]
+                src += n_rows
+            idx = de
+        canvas[iy : iy + ih, ix : ix + iw] = pal[np.minimum(idx, len(pal) - 1)]
+        frames.append(canvas.copy())
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return np.stack(frames)
+
+
+def encode_gif_frames(frames: np.ndarray) -> bytes:
+    """(n, H, W, 3) uint8 RGB → animated GIF89a with ONE global palette
+    over the union of colors (exact if ≤256 distinct across all frames,
+    else the 3-3-2 cube) and full-frame image blocks."""
+    frames = np.ascontiguousarray(frames, np.uint8)
+    n_f, h, w, c = frames.shape
+    if c != 3:
+        raise ValueError("encode_gif_frames expects (n, H, W, 3) RGB")
+    packed = (
+        frames[..., 0].astype(np.int64) << 16
+        | frames[..., 1].astype(np.int64) << 8
+        | frames[..., 2].astype(np.int64)
+    ).reshape(n_f, -1)
+    uniq = np.unique(packed)
+    if len(uniq) <= 256:
+        pal = np.stack(
+            [(uniq >> 16) & 0xFF, (uniq >> 8) & 0xFF, uniq & 0xFF], axis=1
+        ).astype(np.uint8)
+        idx = np.searchsorted(uniq, packed).astype(np.uint16)
+    else:
+        rr, gg, bb = frames[..., 0], frames[..., 1], frames[..., 2]
+        idx = (
+            (rr.astype(np.uint16) >> 5) << 5
+            | (gg.astype(np.uint16) >> 5) << 2
+            | (bb.astype(np.uint16) >> 6)
+        ).reshape(n_f, -1)
+        i = np.arange(256, dtype=np.uint16)
+        pal = np.stack(
+            [
+                ((i >> 5) & 7) * 255 // 7,
+                ((i >> 2) & 7) * 255 // 7,
+                (i & 3) * 255 // 3,
+            ],
+            axis=1,
+        ).astype(np.uint8)
+    depth = max(1, int(np.ceil(np.log2(max(len(pal), 2)))))
+    full = np.zeros((1 << depth, 3), np.uint8)
+    full[: len(pal)] = pal
+    mcs = max(2, depth)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += full.tobytes()
+    for f in range(n_f):
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(mcs)
+        body = _lzw_encode(idx[f], mcs)
+        for i in range(0, len(body), 255):
+            blk = body[i : i + 255]
+            out.append(len(blk))
+            out += blk
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)

@@ -14,6 +14,9 @@ resample re-encoded in the source format. The remaining COMPRESSED
 codecs (MP3/MP4…) need ffmpeg, which is NOT in this container: those
 payloads fall back to a deterministic fake in non-strict mode, and
 ``strict=True`` raises ``NotImplementedError`` the moment one is seen.
+Animated GIFs are first-class video: frame counting, per-frame resize
+and frame sampling all run on real decoded frames
+(``decode_gif_frames`` / ``encode_gif_frames``).
 
 Schema contract:
 
@@ -204,7 +207,15 @@ class MediaResize:
                 continue
             fmt = mc.sniff(p)
             nw, nh = self._fit(w, h)
-            if fmt in _IMG_DECODERS:
+            if fmt == "gif":
+                # multi-frame aware: every frame genuinely resampled,
+                # re-encoded as one animated GIF (single-frame included)
+                frames = mc.decode_gif_frames(p)
+                small = np.stack(
+                    [mc.resize_nearest(f, nw, nh) for f in frames]
+                )
+                body = mc.encode_gif_frames(small)
+            elif fmt in _IMG_DECODERS:
                 img = getattr(mc, _IMG_DECODERS[fmt])(p)
                 small = mc.resize_nearest(img, nw, nh)
                 body = getattr(mc, _IMG_ENCODERS[fmt])(small)
@@ -317,7 +328,14 @@ def synthesize_media_table(n: int, seed: int = 42, real: bool = True) -> pa.Tabl
                 frames = np.stack(
                     [((base + 7 * f + i) % 256).astype(np.uint8) for f in range(nf)]
                 )
-                payloads.append(mc.encode_y4m(frames))
+                if i % 2:  # animated GIF clips alternate with Y4M
+                    rgb = np.stack(
+                        [frames, (frames * 2) % 256, np.full_like(frames, i % 256)],
+                        axis=-1,
+                    ).astype(np.uint8)
+                    payloads.append(mc.encode_gif_frames(rgb))
+                else:
+                    payloads.append(mc.encode_y4m(frames))
             else:
                 rate = 8000
                 dur = int(rng.randint(200, 2000))

@@ -150,12 +150,15 @@ class SegmentBuilder:
         if partition_complete(d, self.build_fp):
             return self._skip_summary(seg, "postings", d)
 
+        t_setup0 = time.monotonic()
         terms = np.asarray(group["term"].to_pylist(), dtype=object)
         order = np.argsort(terms, kind="stable")
         dvals, doffs = _list_views(group["doc_ids"])
         tvals, toffs = _list_views(group["tfs"])
         lvals, loffs = _list_views(group["pos_lens"])
         bdata, boffs = _binary_views(group["pos_bytes"])
+        setup_s = time.monotonic() - t_setup0
+        merge_s = encode_s = 0.0
 
         out_terms: list[str] = []
         out_chunk: list[int] = []
@@ -179,21 +182,25 @@ class SegmentBuilder:
             while j < n and terms[order[j]] == t:
                 j += 1
             rows = [int(order[k]) for k in range(i, j)]
+            t_m0 = time.monotonic()
             doc_ids, tfs, pos_bytes, pos_lens = merge_runs(
                 [dvals[doffs[r] : doffs[r + 1]] for r in rows],
                 [tvals[toffs[r] : toffs[r + 1]] for r in rows],
                 [bdata[boffs[r] : boffs[r + 1]] for r in rows],
                 [lvals[loffs[r] : loffs[r + 1]] for r in rows],
             )
+            merge_s += time.monotonic() - t_m0
             n_distinct += 1
             pos_ends = np.zeros(len(doc_ids) + 1, dtype=np.int64)
             np.cumsum(pos_lens, out=pos_ends[1:])
             for ci, c0 in enumerate(range(0, max(1, len(doc_ids)), step)):
                 c1 = min(c0 + step, len(doc_ids))
                 cd, ct = doc_ids[c0:c1], tfs[c0:c1]
+                t_e0 = time.monotonic()
                 blob = encode_posting_blob(
                     cd, ct, pos_bytes[pos_ends[c0] : pos_ends[c1]]
                 )
+                encode_s += time.monotonic() - t_e0
                 blobs.append(blob)
                 out_terms.append(t)
                 out_chunk.append(ci)
@@ -242,6 +249,10 @@ class SegmentBuilder:
                 "input_runs": group.num_rows,  # lineage: partial runs consumed
                 "build_fingerprint": self.build_fp,
                 "wall_s": round(time.monotonic() - t0, 3),
+                # per-partition phase metrics (north_rule lineage+metrics)
+                "setup_s": round(setup_s, 3),
+                "merge_s": round(merge_s, 3),
+                "encode_s": round(encode_s, 3),
             },
         )
         return self._summary(

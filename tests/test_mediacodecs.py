@@ -420,3 +420,26 @@ def test_jpeg_roundtrip_property():
         assert _psnr(dec, img) > 24
 
     jpeg()
+
+
+def test_gif_animated_roundtrip_and_compositing():
+    rng = np.random.RandomState(12)
+    pal = rng.randint(0, 256, (40, 3)).astype(np.uint8)
+    frames = pal[rng.randint(0, 40, (5, 18, 22))]
+    enc = mc.encode_gif_frames(frames)
+    assert mc.sniff(enc) == "gif"
+    assert mc.gif_frame_count(enc) == 5
+    assert np.array_equal(mc.decode_gif_frames(enc), frames)
+    # decode_gif returns the FIRST frame of an animation
+    assert np.array_equal(mc.decode_gif(enc), frames[0])
+    # single-frame streams round through the frames API too
+    one = mc.encode_gif(frames[0])
+    assert mc.decode_gif_frames(one).shape == (1, 18, 22, 3)
+
+
+def test_gif_animated_many_colors_quantized():
+    rng = np.random.RandomState(14)
+    frames = rng.randint(0, 256, (3, 16, 16, 3)).astype(np.uint8)
+    dec = mc.decode_gif_frames(mc.encode_gif_frames(frames))
+    assert dec.shape == frames.shape
+    assert np.abs(dec.astype(int) - frames.astype(int)).max() <= 64
