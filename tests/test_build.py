@@ -245,3 +245,72 @@ def test_chunked_blobs_identical(ray_session, corpus_dir, index_dir, tmp_path):
     a1 = e1.search("the data value", k=5, prune=True)
     a2 = e2.search("the data value", k=5, prune=True)
     assert [int(x) for x in a1[0]] == [int(x) for x in a2[0]]
+
+
+def test_merge_runs_disjoint_fast_path_equals_general_gather():
+    """The disjoint-run fast path (whole-run concatenation) must produce
+    byte-identical output to the general per-doc gather, and interleaved
+    runs (the salted pre-merge shape) must still take the correct slow
+    path."""
+    import numpy as np
+
+    from informationretrieval_en_people_cn_ray.stages.postings import (
+        merge_runs,
+    )
+
+    rng = np.random.RandomState(0)
+
+    def mk_run(ids):
+        ids = np.asarray(sorted(ids), np.int64)
+        tfs = rng.randint(1, 9, len(ids)).astype(np.int64)
+        lens = rng.randint(1, 6, len(ids)).astype(np.int64)
+        pb = rng.bytes(int(lens.sum()))
+        return ids, tfs, pb, lens
+
+    # disjoint ranges, deliberately passed OUT of order (+ an empty run)
+    r1 = mk_run(range(100, 150))
+    r2 = mk_run(range(0, 40))
+    r3 = mk_run(range(500, 510))
+    r0 = (np.empty(0, np.int64), np.empty(0, np.int64), b"",
+          np.empty(0, np.int64))
+    runs = [r1, r0, r2, r3]
+    d, t, pb, pl = merge_runs(
+        [r[0] for r in runs], [r[1] for r in runs],
+        [r[2] for r in runs], [r[3] for r in runs],
+    )
+    assert np.array_equal(d, np.r_[r2[0], r1[0], r3[0]])
+    assert np.array_equal(t, np.r_[r2[1], r1[1], r3[1]])
+    assert pb == r2[2] + r1[2] + r3[2]
+    assert np.array_equal(pl, np.r_[r2[3], r1[3], r3[3]])
+
+    # interleaved runs (salted pre-merge can mix fragments): general
+    # gather must reorder per doc — verify against a hand merge
+    a = mk_run([0, 4, 8])
+    b = mk_run([1, 5, 9])
+    d2, t2, pb2, pl2 = merge_runs(
+        [a[0], b[0]], [a[1], b[1]], [a[2], b[2]], [a[3], b[3]]
+    )
+    assert d2.tolist() == [0, 1, 4, 5, 8, 9]
+    # reconstruct expected per-doc byte slices
+    def slices(run):
+        out, pos = [], 0
+        for ln in run[3]:
+            out.append(run[2][pos : pos + int(ln)])
+            pos += int(ln)
+        return out
+    sa, sb = slices(a), slices(b)
+    assert pb2 == sa[0] + sb[0] + sa[1] + sb[1] + sa[2] + sb[2]
+    assert t2.tolist() == [
+        int(a[1][0]), int(b[1][0]), int(a[1][1]),
+        int(b[1][1]), int(a[1][2]), int(b[1][2]),
+    ]
+
+    # duplicate doc ids across runs must raise on either path
+    import pytest as _pytest
+
+    dup = mk_run([10, 11])
+    with _pytest.raises(ValueError):
+        merge_runs(
+            [dup[0], dup[0]], [dup[1], dup[1]],
+            [dup[2], dup[2]], [dup[3], dup[3]],
+        )
