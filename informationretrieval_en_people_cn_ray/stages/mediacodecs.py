@@ -1074,20 +1074,34 @@ def _mag_cat(v: np.ndarray) -> np.ndarray:
     return out
 
 
-def encode_jpeg(img: np.ndarray, subsample: bool = False) -> bytes:
-    """(H, W, 3) uint8 RGB → baseline-sequential JPEG. Annex-K quant
-    tables (quality 50); 4:4:4 by default, 4:2:0 box-filtered chroma
-    with ``subsample=True``. Huffman tables are computed from this
-    image's symbol set (flat-length canonical codes) and emitted via
-    DHT — see ``_flat_huff``. Lossy: verify roundtrips by PSNR."""
+def encode_jpeg(
+    img: np.ndarray, subsample: bool = False, restart_interval: int = 0
+) -> bytes:
+    """(H, W, 3) uint8 RGB or (H, W)/(H, W, 1) grayscale →
+    baseline-sequential JPEG. Annex-K quant tables (quality 50); 4:4:4
+    by default, 4:2:0 box-filtered chroma with ``subsample=True``;
+    ``restart_interval=N`` emits a DRI segment and RSTn markers every N
+    MCUs with DC-predictor resets (the spec's error-resilience path).
+    Huffman tables are computed from this image's symbol set
+    (flat-length canonical codes) and emitted via DHT — see
+    ``_flat_huff``. Lossy: verify roundtrips by PSNR."""
     img = np.ascontiguousarray(img, np.uint8).astype(np.float64)
+    if img.ndim == 2:
+        img = img[:, :, None]
     h, w, c = img.shape
-    if c != 3:
-        raise ValueError("encode_jpeg expects (H, W, 3) RGB")
-    r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
-    y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    if c == 3:
+        r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    elif c == 1:
+        planes = [img[:, :, 0]]
+        subsample = False  # nothing to subsample
+    else:
+        raise ValueError("encode_jpeg expects (H, W, 3) RGB or grayscale")
+    ncomp = len(planes)
 
     def pad_to(plane: np.ndarray, mult: int) -> np.ndarray:
         ph = -(-plane.shape[0] // mult) * mult
@@ -1099,20 +1113,20 @@ def encode_jpeg(img: np.ndarray, subsample: bool = False) -> bytes:
         )
 
     if subsample:
-        y = pad_to(y, 16)
-        cbp = pad_to(cb, 16)
-        crp = pad_to(cr, 16)
+        planes[0] = pad_to(planes[0], 16)
+        cbp = pad_to(planes[1], 16)
+        crp = pad_to(planes[2], 16)
         # 2×2 box filter
-        cb = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean(
-            axis=(1, 3)
-        )
-        cr = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean(
-            axis=(1, 3)
-        )
+        planes[1] = cbp.reshape(
+            cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2
+        ).mean(axis=(1, 3))
+        planes[2] = crp.reshape(
+            crp.shape[0] // 2, 2, crp.shape[1] // 2, 2
+        ).mean(axis=(1, 3))
         samp = [(2, 2), (1, 1), (1, 1)]
     else:
-        y, cb, cr = pad_to(y, 8), pad_to(cb, 8), pad_to(cr, 8)
-        samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [pad_to(p_, 8) for p_ in planes]
+        samp = [(1, 1)] * ncomp
 
     def to_coef(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
         """plane → (by, bx, 64) zigzagged quantized coefficients."""
@@ -1128,35 +1142,41 @@ def encode_jpeg(img: np.ndarray, subsample: bool = False) -> bytes:
         return qd.reshape(ph // 8, pw // 8, 64)[:, :, _ZZ]
 
     coefs = [
-        to_coef(y, _JPEG_QL),
-        to_coef(cb, _JPEG_QC),
-        to_coef(cr, _JPEG_QC),
+        to_coef(p_, _JPEG_QL if ci == 0 else _JPEG_QC)
+        for ci, p_ in enumerate(planes)
     ]
 
     # ---- gather symbol statistics (DC diffs in MCU order, AC runs)
-    hmax = max(s[0] for s in samp)
-    vmax = max(s[1] for s in samp)
-    mcux = y.shape[1] // (8 * hmax)
-    mcuy = y.shape[0] // (8 * vmax)
+    hmax = max(s_[0] for s_ in samp)
+    vmax = max(s_[1] for s_ in samp)
+    mcux = planes[0].shape[1] // (8 * hmax)
+    mcuy = planes[0].shape[0] // (8 * vmax)
+    R = int(restart_interval)
 
     def block_seq(ci: int):
-        """Yield (by, bx) block coords of component ci in MCU order."""
+        """Yield (mcu, by, bx) block coords of component ci in MCU order."""
         hs, vs = samp[ci]
-        for my in range(mcuy):
-            for mx in range(mcux):
-                for by in range(vs):
-                    for bx in range(hs):
-                        yield my * vs + by, mx * hs + bx
+        for mi in range(mcuy * mcux):
+            my, mx = divmod(mi, mcux)
+            for by in range(vs):
+                for bx in range(hs):
+                    yield mi, my * vs + by, mx * hs + bx
 
     dc_syms = [[], []]  # table id 0 = luma, 1 = chroma
     ac_syms = [[], []]
-    runs: list[list] = [None, None, None]  # per component: encoded symbol plan
-    for ci in range(3):
+    runs: list[list] = [None] * ncomp  # per component: encoded symbol plan
+    for ci in range(ncomp):
         tid = 0 if ci == 0 else 1
         plan = []
         pred = 0
         cf = coefs[ci]
-        for by, bx in block_seq(ci):
+        cur_iv = -1
+        for mi, by, bx in block_seq(ci):
+            if R:
+                iv = mi // R
+                if iv != cur_iv:  # DC predictor resets at every restart
+                    pred = 0
+                    cur_iv = iv
             blk = cf[by, bx]
             diff = int(blk[0]) - pred
             pred = int(blk[0])
@@ -1180,11 +1200,11 @@ def encode_jpeg(img: np.ndarray, subsample: bool = False) -> bytes:
             if k < 64:
                 ac_syms[tid].append(0x00)
                 items.append(("eob",))
-            plan.append(items)
+            plan.append((mi, items))
         runs[ci] = plan
 
     tables = []
-    for tid in range(2):
+    for tid in range(min(2, ncomp)):
         dbits, dvals, denc = _flat_huff(
             np.array(dc_syms[tid] or [0], np.int64)
         )
@@ -1193,37 +1213,49 @@ def encode_jpeg(img: np.ndarray, subsample: bool = False) -> bytes:
         )
         tables.append((dbits, dvals, denc, abits, avals, aenc))
 
-    # ---- entropy-code MCUs (interleaved component order)
+    # ---- entropy-code MCUs (interleaved component order), one writer
+    # per restart interval, RSTn markers between intervals
+    def encode_items(wtr, items, denc, aenc):
+        for it in items:
+            if it[0] == "dc":
+                _, s_, diff = it
+                L, code = denc[s_]
+                wtr.write(code, L)
+                if s_:
+                    v = diff if diff >= 0 else diff + (1 << s_) - 1
+                    wtr.write(v, s_)
+            elif it[0] == "ac":
+                _, sym, v, sz = it
+                L, code = aenc[sym]
+                wtr.write(code, L)
+                vv = v if v >= 0 else v + (1 << sz) - 1
+                wtr.write(vv, sz)
+            elif it[0] == "zrl":
+                L, code = aenc[0xF0]
+                wtr.write(code, L)
+            else:  # eob
+                L, code = aenc[0x00]
+                wtr.write(code, L)
+
+    plan_iters = [iter(runs[ci]) for ci in range(ncomp)]
+    body = bytearray()
     wtr = _JBitWriter()
-    plan_iters = [iter(runs[ci]) for ci in range(3)]
-    for _ in range(mcuy * mcux):
-        for ci in range(3):
+    n_mcu = mcuy * mcux
+    rst = 0
+    for mi in range(n_mcu):
+        if R and mi and mi % R == 0:
+            body += wtr.flush()
+            body += bytes([0xFF, 0xD0 + rst % 8])
+            rst += 1
+            wtr = _JBitWriter()
+        for ci in range(ncomp):
             tid = 0 if ci == 0 else 1
             _, _, denc, _, _, aenc = tables[tid]
             hs, vs = samp[ci]
             for _ in range(hs * vs):
-                items = next(plan_iters[ci])
-                for it in items:
-                    if it[0] == "dc":
-                        _, s, diff = it
-                        L, code = denc[s]
-                        wtr.write(code, L)
-                        if s:
-                            v = diff if diff >= 0 else diff + (1 << s) - 1
-                            wtr.write(v, s)
-                    elif it[0] == "ac":
-                        _, sym, v, sz = it
-                        L, code = aenc[sym]
-                        wtr.write(code, L)
-                        vv = v if v >= 0 else v + (1 << sz) - 1
-                        wtr.write(vv, sz)
-                    elif it[0] == "zrl":
-                        L, code = aenc[0xF0]
-                        wtr.write(code, L)
-                    else:  # eob
-                        L, code = aenc[0x00]
-                        wtr.write(code, L)
-    body = wtr.flush()
+                _, items = next(plan_iters[ci])
+                encode_items(wtr, items, denc, aenc)
+    body += wtr.flush()
 
     # ---- assemble marker stream
     def seg(marker: int, data: bytes) -> bytes:
@@ -1233,20 +1265,26 @@ def encode_jpeg(img: np.ndarray, subsample: bool = False) -> bytes:
     out += seg(
         0xDB, bytes([0]) + bytes(_JPEG_QL.reshape(-1)[_ZZ].astype(np.uint8))
     )
-    out += seg(
-        0xDB, bytes([1]) + bytes(_JPEG_QC.reshape(-1)[_ZZ].astype(np.uint8))
+    if ncomp > 1:
+        out += seg(
+            0xDB,
+            bytes([1]) + bytes(_JPEG_QC.reshape(-1)[_ZZ].astype(np.uint8)),
+        )
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes(
+        [ncomp]
     )
-    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3])
-    for ci in range(3):
+    for ci in range(ncomp):
         hs, vs = samp[ci]
         sof += bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
     out += seg(0xC0, sof)
-    for tid in range(2):
+    for tid in range(min(2, ncomp)):
         dbits, dvals, _, abits, avals, _ = tables[tid]
         out += seg(0xC4, bytes([tid]) + bytes(dbits) + dvals)
         out += seg(0xC4, bytes([0x10 | tid]) + bytes(abits) + avals)
-    sos = bytes([3])
-    for ci in range(3):
+    if R:
+        out += seg(0xDD, R.to_bytes(2, "big"))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
         tid = 0 if ci == 0 else 1
         sos += bytes([ci + 1, (tid << 4) | tid])
     sos += bytes([0, 63, 0])
@@ -1254,6 +1292,7 @@ def encode_jpeg(img: np.ndarray, subsample: bool = False) -> bytes:
     out += body
     out += b"\xff\xd9"
     return bytes(out)
+
 
 
 def decode_gif_frames(payload: bytes) -> np.ndarray:

@@ -443,3 +443,26 @@ def test_gif_animated_many_colors_quantized():
     dec = mc.decode_gif_frames(mc.encode_gif_frames(frames))
     assert dec.shape == frames.shape
     assert np.abs(dec.astype(int) - frames.astype(int)).max() <= 64
+
+
+def test_jpeg_restart_intervals_and_grayscale():
+    """DRI/RSTn emission with DC-predictor resets must decode
+    bit-identically to the restart-free stream (restarts change the
+    entropy framing, never the coefficients); grayscale (1-component)
+    streams decode with luma replicated to RGB."""
+    rng = np.random.RandomState(2)
+    img = np.clip(
+        rng.randint(0, 50, (48, 64, 3)).cumsum(axis=1) % 256, 0, 255
+    ).astype(np.uint8)
+    for ss in (False, True):
+        ref = mc.decode_jpeg(mc.encode_jpeg(img, subsample=ss))
+        for R in (1, 2, 5, 7):
+            enc = mc.encode_jpeg(img, subsample=ss, restart_interval=R)
+            assert b"\xff\xdd" in enc  # DRI present
+            assert np.array_equal(mc.decode_jpeg(enc), ref), (ss, R)
+    gray = img[:, :, 0]
+    ref = mc.decode_jpeg(mc.encode_jpeg(gray))
+    assert ref.shape == (48, 64, 3)
+    assert np.array_equal(ref[:, :, 0], ref[:, :, 2])  # replicated luma
+    enc = mc.encode_jpeg(gray, restart_interval=3)
+    assert np.array_equal(mc.decode_jpeg(enc), ref)
