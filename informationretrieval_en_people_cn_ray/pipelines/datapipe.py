@@ -2497,10 +2497,11 @@ def _asof_by_time(sf_dir: str, evn, orn, time_ranges: int):
        row-group statistics — no extra scan),
     2. per-(key, range) build lexmaxima: per-batch partial pre-combine,
        then ONE bucketed shuffle keyed on the key hash,
-    3. carry-ins: per key, for each range that actually CONTAINS a
-       probe (distinct probe (key, range) markers ride the same
-       shuffle), inject the lexmax build of all EARLIER ranges — never
-       one row per (key, range) cross product,
+    3. carry-ins: per key, for every range ABOVE its first build range,
+       inject the running lexmax build of all earlier ranges (≤ keys·R
+       rows total — the probe side here is events whose key domain is
+       small; the FORWARD twin, whose key domain is every order, bounds
+       carries further to ranges that contain probes via marker rows),
     4. final bucketed join keyed on hash(key, range) so a hot key's
        ranges land on different tasks.
     """
@@ -2546,74 +2547,32 @@ def _asof_by_time(sf_dir: str, evn, orn, time_ranges: int):
         last = np.r_[(k_s[1:] != k_s[:-1]) | (r_s[1:] != r_s[:-1]), True]
         return batch.take(pa.array(order[last]))
 
-    def probe_ranges_partial(batch: pa.Table) -> pa.Table:
-        """Distinct probe (key, range) pairs of one batch — the carry
-        stage only emits carries for ranges that CONTAIN probes."""
-        batch = batch.combine_chunks()
-        key = batch["key"].to_numpy(zero_copy_only=False).astype(np.int64)
-        rng = batch["rng"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((rng, key))
-        k_s, r_s = key[order], rng[order]
-        first = (
-            np.r_[True, (k_s[1:] != k_s[:-1]) | (r_s[1:] != r_s[:-1])]
-            if len(order)
-            else np.empty(0, bool)
-        )
-        n = int(first.sum())
-        return pa.table(
-            {
-                "key": pa.array(k_s[first], pa.int64()),
-                "event_id": pa.nulls(n, pa.int64()),
-                "ts_us": pa.nulls(n, pa.int64()),
-                "o_orderkey": pa.nulls(n, pa.int64()),
-                "date_us": pa.nulls(n, pa.int64()),
-                "o_totalprice": pa.nulls(n, pa.float64()),
-                "rng": pa.array(r_s[first], pa.int64()),
-            }
-        )
-
     def carries(group: pa.Table) -> pa.Table:
-        """One hash bucket of per-(key, range) build maxima + probe
-        range markers → carry rows: for each PROBE range, the
-        (date, orderkey)-lexmax build over all earlier ranges. The scan
-        is a tiny merge per key (≤ ranges rows each side)."""
-        import pyarrow.compute as pc
-
+        """One hash bucket of per-(key, range) build maxima → carry
+        rows: per key, the running (date, orderkey)-lexmax injected into
+        every range above the key's first build range (a tiny scan per
+        key: the maxima are ≤ ranges rows each)."""
         group = group.combine_chunks()
-        is_build = pc.is_valid(group["o_orderkey"])
-        g_b = group.filter(is_build)
-        g_p = group.filter(pc.invert(is_build))
         out_key: list[int] = []
         out_rng: list[int] = []
         out_okey: list[int] = []
         out_odate: list[int] = []
         out_price: list[float] = []
-        if g_b.num_rows and g_p.num_rows:
-            bk = g_b["key"].to_numpy(zero_copy_only=False).astype(np.int64)
-            br = g_b["rng"].to_numpy(zero_copy_only=False).astype(np.int64)
-            bo = g_b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-            bd = g_b["date_us"].to_numpy(zero_copy_only=False).astype(np.int64)
-            bp = g_b["o_totalprice"].to_numpy(zero_copy_only=False)
+        if group.num_rows:
+            bk = group["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+            br = group["rng"].to_numpy(zero_copy_only=False).astype(np.int64)
+            bo = group["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            bd = group["date_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+            bp = group["o_totalprice"].to_numpy(zero_copy_only=False)
             ob = np.lexsort((bo, bd, br, bk))
             bk, br, bo, bd, bp = bk[ob], br[ob], bo[ob], bd[ob], bp[ob]
-            pk = g_p["key"].to_numpy(zero_copy_only=False).astype(np.int64)
-            pr = g_p["rng"].to_numpy(zero_copy_only=False).astype(np.int64)
-            op = np.lexsort((pr, pk))
-            pk, pr = pk[op], pr[op]
-            # dedup markers across input blocks
-            uniq = np.r_[True, (pk[1:] != pk[:-1]) | (pr[1:] != pr[:-1])]
-            pk, pr = pk[uniq], pr[uniq]
-            b_lo = np.searchsorted(bk, pk, side="left")
-            b_hi = np.searchsorted(bk, pk, side="right")
-            i = 0
-            np_ = len(pk)
-            while i < np_:
-                kk = pk[i]
-                lo, hi = int(b_lo[i]), int(b_hi[i])
-                j = lo
+            starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+            ends = np.r_[starts[1:], len(bk)]
+            for lo, hi in zip(starts, ends):
+                kk = int(bk[lo])
+                j = int(lo)
                 best = -1
-                while i < np_ and pk[i] == kk:
-                    rr = int(pr[i])
+                for rr in range(int(br[lo]) + 1, R):
                     while j < hi and br[j] < rr:
                         if best < 0 or (bd[j], bo[j]) > (bd[best], bo[best]):
                             best = j
@@ -2624,7 +2583,6 @@ def _asof_by_time(sf_dir: str, evn, orn, time_ranges: int):
                         out_okey.append(int(bo[best]))
                         out_odate.append(int(bd[best]))
                         out_price.append(float(bp[best]))
-                    i += 1
         n = len(out_key)
         return pa.table(
             {
@@ -2640,9 +2598,6 @@ def _asof_by_time(sf_dir: str, evn, orn, time_ranges: int):
 
     carry = (
         orn_tagged.map_batches(lexmax_partial, batch_format="pyarrow")
-        .union(
-            evn_tagged.map_batches(probe_ranges_partial, batch_format="pyarrow")
-        )
         .map_batches(_asof_add_bucket, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(carries, batch_format="pyarrow")
