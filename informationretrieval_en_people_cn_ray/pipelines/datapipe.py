@@ -800,15 +800,19 @@ def _embedding_matrix(col) -> np.ndarray:
 def _query_vector(sf_dir: str) -> np.ndarray:
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = t["vec_id"].to_pylist()
-    if 0 not in ids:
+    # Point read with predicate pushdown — only row groups whose
+    # statistics admit vec_id=0 are decoded, never the whole table.
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["embedding"],
+        filters=[("vec_id", "==", 0)],
+    )
+    if t.num_rows == 0:
         raise ValueError(
             "embedding query is defined as vec_id=0, which is absent "
-            f"from {sf_dir}/embeddings.parquet ({len(ids)} rows)"
+            f"from {sf_dir}/embeddings.parquet"
         )
-    idx = ids.index(0)
-    return np.asarray(t["embedding"][idx].as_py(), dtype=np.float64)
+    return np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
 
 
 @unreserved
@@ -1443,11 +1447,12 @@ def embed_then_topk(sf_dir: str, k: int = 20, dim: int = 32):
 
     from ..stages.embedder import HashingEmbedder
 
-    docs = pq.read_table(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    row = pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["text"],
+        filters=[("doc_id", "==", 0)],
     )
-    i0 = docs["doc_id"].to_pylist().index(0)
-    q = HashingEmbedder(dim=dim).embed([docs["text"][i0].as_py()])[0]
+    q = HashingEmbedder(dim=dim).embed([row["text"][0].as_py()])[0]
     q_ref = ray.put(q)
 
     def score(batch: pa.Table) -> pa.Table:
@@ -1671,11 +1676,19 @@ def embedding_trained_topk(sf_dir: str, k: int = 10, dim: int = 32):
     import pyarrow.parquet as pq
 
     model, _ = _trained_model_ref(sf_dir, dim, 4, 1024, 2)
-    docs = pq.read_table(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    # Query doc fetched WITHOUT materializing the corpus text on the
+    # driver: min doc_id from the id column alone, then one
+    # predicate-pushed point read for that row's text.
+    path = f"{sf_dir}/documents.parquet"
+    min_id = int(
+        pq.read_table(path, columns=["doc_id"])["doc_id"]
+        .to_numpy()
+        .min()
     )
-    ids = docs["doc_id"].to_pylist()
-    q = model.embed([docs["text"][ids.index(min(ids))].as_py()])[0]
+    row = pq.read_table(
+        path, columns=["text"], filters=[("doc_id", "==", min_id)]
+    )
+    q = model.embed([row["text"][0].as_py()])[0]
     q_ref = ray.put(q)
 
     def score(batch: pa.Table) -> pa.Table:
@@ -4431,7 +4444,6 @@ def countmin_top_ngrams_checked(sf_dir: str, k: int = 20):
     )
 
 
-@unreserved
 def _value_col_bounds(sf_dir: str) -> tuple[float, float]:
     """(min, max) of events.value from parquet row-group statistics —
     no data scan (shared by the binned-quantile op and its checker)."""
@@ -4460,6 +4472,7 @@ def _value_col_bounds(sf_dir: str) -> tuple[float, float]:
     return float(lo), float(hi)
 
 
+@unreserved
 def value_quantiles_binned(
     sf_dir: str, ps: tuple[int, ...] = (50, 90, 99), n_bins: int = 4096
 ):
@@ -5802,11 +5815,12 @@ def chunk_then_embed_topk(sf_dir: str, k: int = 20, dim: int = 32):
 
     from ..stages.embedder import HashingEmbedder
 
-    docs = pqt.read_table(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    row = pqt.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["text"],
+        filters=[("doc_id", "==", 0)],
     )
-    i0 = docs["doc_id"].to_pylist().index(0)
-    t0 = docs["text"][i0].as_py()
+    t0 = row["text"][0].as_py()
     first_chunk = " ".join(tokenize(t0)[:CHUNK_W])
     q = HashingEmbedder(dim=dim).embed([first_chunk])[0]
     q_ref = ray.put(q)
@@ -5876,6 +5890,15 @@ def mode_event_type(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         batch = batch.combine_chunks()
         u = batch["user_id"].to_numpy().astype(np.int64, copy=False)
+        if not len(u):  # np.r_[True, ...] below is wrong on 0 rows
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "event_type": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
         types, tcode = np.unique(
             np.asarray(batch["event_type"].to_numpy(zero_copy_only=False)),
             return_inverse=True,

@@ -210,6 +210,9 @@ class LocalSegments:
         self._pcache_cost = 0
 
     _PCACHE_BUDGET = 16_000_000  # decoded int64s (~128 MB/actor ceiling)
+    _PCACHE_NEG_COST = 1024  # nominal charge per absent-term entry, so a
+    # miss-heavy workload (typos, wildcard expansions) still triggers
+    # eviction instead of growing the entry count without bound
 
     def reader(self, seg: int) -> SegmentReader:
         r = self._readers.get(seg)
@@ -232,6 +235,8 @@ class LocalSegments:
         rng = r.term_range(term)
         if rng is None:
             self._pcache[key] = (None,) * 6
+            self._pcache_cost += self._PCACHE_NEG_COST
+            self._pcache_evict()
             return None
         d, t, pos, ps, df, ctf = r.postings_merged(*rng, with_positions)
         if self.tombstones.size:
@@ -240,13 +245,18 @@ class LocalSegments:
         if cost <= self._PCACHE_BUDGET:
             self._pcache[key] = (d, t, pos, ps, df, ctf)
             self._pcache_cost += cost
-            while self._pcache_cost > self._PCACHE_BUDGET and self._pcache:
-                _, old = self._pcache.popitem(last=False)
-                if old[0] is not None:
-                    self._pcache_cost -= 2 * len(old[0]) + (
-                        len(old[2]) if old[2] is not None else 0
-                    )
+            self._pcache_evict()
         return _Posting(d, t, pos, ps, df, ctf)
+
+    def _pcache_evict(self) -> None:
+        while self._pcache_cost > self._PCACHE_BUDGET and self._pcache:
+            _, old = self._pcache.popitem(last=False)
+            if old[0] is not None:
+                self._pcache_cost -= 2 * len(old[0]) + (
+                    len(old[2]) if old[2] is not None else 0
+                )
+            else:
+                self._pcache_cost -= self._PCACHE_NEG_COST
 
     def prefix_terms(self, prefix: str) -> list[str]:
         out = []
@@ -1656,7 +1666,30 @@ class QueryEval:
         )
 
 
-_QUERY_EVAL_CACHE: dict = {}
+from collections import OrderedDict as _OrderedDict
+
+_QUERY_EVAL_CACHE: "_OrderedDict[tuple, QueryEval]" = _OrderedDict()
+_QUERY_EVAL_CACHE_MAX = 4  # engines pin mmaps + a posting cache each
+
+
+def _index_state_token(index_dir) -> tuple:
+    """Stat-based fingerprint of an index's mutable on-disk state —
+    collection.json (rewritten by any rebuild/compaction) and the
+    tombstone sidecar (replaced by every delete_docs). Two stat calls
+    per dir per batch, so a warm worker never serves an engine opened
+    before a delete or an in-place rebuild."""
+    from ..state.tombstones import TOMBSTONE_FILE
+
+    dirs = [index_dir] if isinstance(index_dir, str) else list(index_dir)
+    tok = []
+    for d in dirs:
+        for name in ("collection.json", TOMBSTONE_FILE):
+            try:
+                st = os.stat(os.path.join(d, name))
+                tok.append((st.st_mtime_ns, st.st_size))
+            except OSError:
+                tok.append((0, 0))
+    return tuple(tok)
 
 
 def _query_eval_batch(
@@ -1671,15 +1704,22 @@ def _query_eval_batch(
     reuse Ray's already-warm workers, so a query batch pays no actor
     spawn, while the opened index (mmaps, dictionaries, hot-term
     posting cache) persists across batches AND across search_many
-    calls on the same worker."""
+    calls on the same worker. Keyed by the index's on-disk state token,
+    and bounded LRU, so deletes/rebuilds invalidate and stale engines
+    are dropped rather than pinned forever."""
     key = (
         tuple(index_dir) if isinstance(index_dir, list) else index_dir,
         k, scorer, prune,
+        _index_state_token(index_dir),
     )
     inst = _QUERY_EVAL_CACHE.get(key)
     if inst is None:
         inst = QueryEval(index_dir, k=k, scorer=scorer, prune=prune)
         _QUERY_EVAL_CACHE[key] = inst
+        while len(_QUERY_EVAL_CACHE) > _QUERY_EVAL_CACHE_MAX:
+            _QUERY_EVAL_CACHE.popitem(last=False)
+    else:
+        _QUERY_EVAL_CACHE.move_to_end(key)
     return inst(batch)
 
 

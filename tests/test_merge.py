@@ -927,3 +927,34 @@ def test_maybe_compact_policy_and_cli_append(ray_session, dirs, tmp_path, capsys
             assert [int(x) for x in a[0]] == [int(x) for x in b[0]]
         else:
             assert a.tolist() == b.tolist()
+
+
+def test_search_many_sees_deletes_through_warm_workers(
+    ray_session, dirs, tmp_path
+):
+    """The warm-worker engine cache is keyed by the index's on-disk
+    state token: a search_many call AFTER delete_docs must not serve a
+    stale cached engine (which would resurrect the deleted doc) even
+    when Ray reuses the exact worker process that answered the previous
+    batch."""
+    import shutil
+
+    from informationretrieval_en_people_cn_ray.pipelines.search import (
+        search_many,
+    )
+    from informationretrieval_en_people_cn_ray.state.tombstones import (
+        delete_docs,
+    )
+
+    idx = str(tmp_path / "idx_warm_del")
+    shutil.copytree(dirs["merged_i"], idx)
+    q = ["data fast table"]
+    # concurrency=1 + one query → a single task, maximizing the chance
+    # of landing on the same warm worker both times
+    before = search_many(idx, q, k=10, concurrency=1).to_pandas()
+    assert len(before) > 0
+    victim = int(before["doc_id"].iloc[0])
+    delete_docs(idx, [victim])
+    for _ in range(3):  # several tasks → at least one hits a warm worker
+        after = search_many(idx, q, k=10, concurrency=1).to_pandas()
+        assert victim not in set(after["doc_id"].tolist())
