@@ -532,12 +532,9 @@ def _lzw_encode(indices: np.ndarray, mcs: int) -> bytes:
 _GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def decode_gif(payload: bytes) -> np.ndarray:
-    """GIF bytes → (H, W, 3) uint8 RGB — FIRST frame composited onto the
-    logical screen (background = spec background color; transparency and
-    disposal are irrelevant for frame 1). Interlaced rows are reordered
-    per the four-pass spec schedule. Use :func:`gif_frame_count` for the
-    animation length."""
+def _gif_header(payload: bytes) -> tuple:
+    """Validate the signature and parse the logical screen descriptor →
+    (sw, sh, bg, gct, pos) with pos at the first stream block."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     sw, sh, flags, bg, _ = struct.unpack_from("<HHBBB", payload, 6)
@@ -549,7 +546,17 @@ def decode_gif(payload: bytes) -> np.ndarray:
             n, 3
         )
         pos += n * 3
-    canvas = None
+    return sw, sh, bg, gct, pos
+
+
+def _gif_image_blocks(
+    payload: bytes, pos: int, gct, decode_pixels: bool = True
+):
+    """THE GIF stream walk (extensions skipped, trailer stops it),
+    shared by decode_gif / decode_gif_frames / gif_frame_count. Yields
+    one (ix, iy, iw, ih, idx, pal) per image block — idx the
+    deinterlaced (ih, iw) palette indices, or (…, None, None) when
+    ``decode_pixels`` is False (pure structure walk)."""
     while pos < len(payload):
         b = payload[pos]
         if b == 0x3B:  # trailer
@@ -567,20 +574,25 @@ def decode_gif(payload: bytes) -> np.ndarray:
         pal = gct
         if iflags & 0x80:
             n = 2 << (iflags & 0x07)
-            pal = np.frombuffer(
-                payload, np.uint8, count=n * 3, offset=pos
-            ).reshape(n, 3)
+            if decode_pixels:
+                pal = np.frombuffer(
+                    payload, np.uint8, count=n * 3, offset=pos
+                ).reshape(n, 3)
             pos += n * 3
-        if pal is None:
-            raise ValueError("GIF image without any color table")
         mcs = payload[pos]
         pos += 1
         chunks = []
         while payload[pos] != 0:
             ln = payload[pos]
-            chunks.append(payload[pos + 1 : pos + 1 + ln])
+            if decode_pixels:
+                chunks.append(payload[pos + 1 : pos + 1 + ln])
             pos += 1 + ln
         pos += 1
+        if not decode_pixels:
+            yield ix, iy, iw, ih, None, None
+            continue
+        if pal is None:
+            raise ValueError("GIF image without any color table")
         idx = _lzw_decode(b"".join(chunks), mcs)
         if len(idx) < iw * ih:
             raise ValueError("GIF pixel data truncated")
@@ -593,109 +605,52 @@ def decode_gif(payload: bytes) -> np.ndarray:
                 de[start:ih:step] = idx[src : src + n_rows]
                 src += n_rows
             idx = de
-        frame = pal[np.minimum(idx, len(pal) - 1)]
-        if canvas is None:
-            canvas = (
-                np.broadcast_to(
-                    pal[min(bg, len(pal) - 1)], (sh, sw, 3)
-                ).copy()
-                if gct is not None
-                else np.zeros((sh, sw, 3), np.uint8)
-            )
-        canvas[iy : iy + ih, ix : ix + iw] = frame
+        yield ix, iy, iw, ih, idx, pal
+
+
+def _gif_canvas(sw: int, sh: int, bg: int, gct) -> np.ndarray:
+    """Logical screen filled with the spec background color (GCT lookup;
+    black when there is no global table)."""
+    return (
+        np.broadcast_to(gct[min(bg, len(gct) - 1)], (sh, sw, 3)).copy()
+        if gct is not None
+        else np.zeros((sh, sw, 3), np.uint8)
+    )
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF bytes → (H, W, 3) uint8 RGB — FIRST frame composited onto the
+    logical screen (background = spec background color; transparency and
+    disposal are irrelevant for frame 1). Interlaced rows are reordered
+    per the four-pass spec schedule. Use :func:`gif_frame_count` for the
+    animation length."""
+    sw, sh, bg, gct, pos = _gif_header(payload)
+    for ix, iy, iw, ih, idx, pal in _gif_image_blocks(payload, pos, gct):
+        canvas = _gif_canvas(sw, sh, bg, gct)
+        canvas[iy : iy + ih, ix : ix + iw] = pal[np.minimum(idx, len(pal) - 1)]
         return canvas  # first frame only
-    if canvas is None:
-        raise ValueError("GIF contains no image data")
-    return canvas
+    raise ValueError("GIF contains no image data")
 
 
 def gif_frame_count(payload: bytes) -> int:
     """Number of image blocks (animation frames) — a structure walk, no
     pixel decode."""
-    if payload[:6] not in (b"GIF87a", b"GIF89a"):
-        raise ValueError("not a GIF payload")
-    flags = payload[10]
-    pos = 13
-    if flags & 0x80:
-        pos += (2 << (flags & 0x07)) * 3
-    n = 0
-    while pos < len(payload):
-        b = payload[pos]
-        if b == 0x3B:
-            break
-        if b == 0x21:
-            pos += 2
-            while payload[pos] != 0:
-                pos += 1 + payload[pos]
-            pos += 1
-            continue
-        if b != 0x2C:
-            raise ValueError(f"corrupt GIF block 0x{b:02x}")
-        iflags = payload[pos + 9]
-        pos += 10
-        if iflags & 0x80:
-            pos += (2 << (iflags & 0x07)) * 3
-        pos += 1  # LZW min code size
-        while payload[pos] != 0:
-            pos += 1 + payload[pos]
-        pos += 1
-        n += 1
-    return n
+    _, _, _, gct, pos = _gif_header(payload)
+    return sum(
+        1 for _ in _gif_image_blocks(payload, pos, gct, decode_pixels=False)
+    )
 
 
 def encode_gif(img: np.ndarray) -> bytes:
     """(H, W, 3) uint8 RGB → single-frame GIF89a. Images with ≤256
     distinct colors get an EXACT palette (lossless roundtrip); richer
-    images are quantized to the fixed 3-3-2 RGB cube."""
+    images are quantized to the fixed 3-3-2 RGB cube. A single-image
+    GIF89a IS the one-frame animation stream, so this delegates to
+    :func:`encode_gif_frames`."""
     img = np.ascontiguousarray(img, np.uint8)
-    h, w, c = img.shape
-    if c != 3:
+    if img.ndim != 3 or img.shape[2] != 3:
         raise ValueError("encode_gif expects (H, W, 3) RGB")
-    packed = (
-        img[:, :, 0].astype(np.int64) << 16
-        | img[:, :, 1].astype(np.int64) << 8
-        | img[:, :, 2].astype(np.int64)
-    ).ravel()
-    uniq, inv = np.unique(packed, return_inverse=True)
-    if len(uniq) <= 256:
-        pal = np.stack(
-            [(uniq >> 16) & 0xFF, (uniq >> 8) & 0xFF, uniq & 0xFF], axis=1
-        ).astype(np.uint8)
-        idx = inv.astype(np.uint16)
-    else:  # 3-3-2 cube
-        r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
-        idx = (
-            (r.astype(np.uint16) >> 5) << 5
-            | (g.astype(np.uint16) >> 5) << 2
-            | (b.astype(np.uint16) >> 6)
-        ).ravel()
-        i = np.arange(256, dtype=np.uint16)
-        pal = np.stack(
-            [
-                ((i >> 5) & 7) * 255 // 7,
-                ((i >> 2) & 7) * 255 // 7,
-                (i & 3) * 255 // 3,
-            ],
-            axis=1,
-        ).astype(np.uint8)
-    # palette size must be a power of two ≥ 2
-    depth = max(1, int(np.ceil(np.log2(max(len(pal), 2)))))
-    full = np.zeros((1 << depth, 3), np.uint8)
-    full[: len(pal)] = pal
-    mcs = max(2, depth)
-    body = _lzw_encode(idx, mcs)
-    out = bytearray()
-    out += b"GIF89a"
-    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
-    out += full.tobytes()
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
-    out.append(mcs)
-    for i in range(0, len(body), 255):
-        blk = body[i : i + 255]
-        out.append(len(blk))
-        out += blk
-    out += b"\x00\x3b"
-    return bytes(out)
+    return encode_gif_frames(img[None])
 
 
 # ---------------------------------------------------------------------------
@@ -1300,66 +1255,10 @@ def decode_gif_frames(payload: bytes) -> np.ndarray:
     composited successively onto the logical screen (additive
     composition; disposal modes are ignored, which is exact for
     full-frame animations like :func:`encode_gif_frames` emits)."""
-    if payload[:6] not in (b"GIF87a", b"GIF89a"):
-        raise ValueError("not a GIF payload")
-    sw, sh, flags, bg, _ = struct.unpack_from("<HHBBB", payload, 6)
-    pos = 13
-    gct = None
-    if flags & 0x80:
-        n = 2 << (flags & 0x07)
-        gct = np.frombuffer(payload, np.uint8, count=n * 3, offset=pos).reshape(
-            n, 3
-        )
-        pos += n * 3
-    canvas = (
-        np.broadcast_to(gct[min(bg, len(gct) - 1)], (sh, sw, 3)).copy()
-        if gct is not None
-        else np.zeros((sh, sw, 3), np.uint8)
-    )
+    sw, sh, bg, gct, pos = _gif_header(payload)
+    canvas = _gif_canvas(sw, sh, bg, gct)
     frames = []
-    while pos < len(payload):
-        b = payload[pos]
-        if b == 0x3B:
-            break
-        if b == 0x21:
-            pos += 2
-            while payload[pos] != 0:
-                pos += 1 + payload[pos]
-            pos += 1
-            continue
-        if b != 0x2C:
-            raise ValueError(f"corrupt GIF block 0x{b:02x}")
-        ix, iy, iw, ih, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
-        pos += 10
-        pal = gct
-        if iflags & 0x80:
-            n = 2 << (iflags & 0x07)
-            pal = np.frombuffer(
-                payload, np.uint8, count=n * 3, offset=pos
-            ).reshape(n, 3)
-            pos += n * 3
-        if pal is None:
-            raise ValueError("GIF image without any color table")
-        mcs = payload[pos]
-        pos += 1
-        chunks = []
-        while payload[pos] != 0:
-            ln = payload[pos]
-            chunks.append(payload[pos + 1 : pos + 1 + ln])
-            pos += 1 + ln
-        pos += 1
-        idx = _lzw_decode(b"".join(chunks), mcs)
-        if len(idx) < iw * ih:
-            raise ValueError("GIF pixel data truncated")
-        idx = idx[: iw * ih].reshape(ih, iw)
-        if iflags & 0x40:
-            de = np.empty_like(idx)
-            src = 0
-            for start, step in _GIF_INTERLACE:
-                n_rows = len(range(start, ih, step))
-                de[start:ih:step] = idx[src : src + n_rows]
-                src += n_rows
-            idx = de
+    for ix, iy, iw, ih, idx, pal in _gif_image_blocks(payload, pos, gct):
         canvas[iy : iy + ih, ix : ix + iw] = pal[np.minimum(idx, len(pal) - 1)]
         frames.append(canvas.copy())
     if not frames:
