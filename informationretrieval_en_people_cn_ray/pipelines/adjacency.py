@@ -28,7 +28,11 @@ import pyarrow.parquet as pq
 
 import ray.data
 
-from ..state.manifest import load_json, write_json_atomic
+from ..state.manifest import (
+    load_json,
+    write_json_atomic,
+    write_parquet_atomic,
+)
 
 
 def _part_of(parent: int, num_partitions: int) -> int:
@@ -77,10 +81,7 @@ def build_adjacency(
             }
         )
         d = os.path.join(out_dir, f"part={part:05d}")
-        os.makedirs(d, exist_ok=True)
-        tmp = os.path.join(d, "adjacency.parquet.tmp")
-        pq.write_table(tbl, tmp)
-        os.replace(tmp, os.path.join(d, "adjacency.parquet"))
+        write_parquet_atomic(os.path.join(d, "adjacency.parquet"), tbl)
         write_json_atomic(
             os.path.join(d, "manifest.json"),
             {"part": part, "n_parents": len(starts), "n_edges": len(parents)},

@@ -241,11 +241,9 @@ def check_index(
                 )
             ]
         )
-        idx = np.searchsorted(live, tombs)
-        idx[idx >= live.size] = max(live.size - 1, 0)
-        stray = (
-            tombs[live[idx] != tombs] if live.size else tombs
-        )
+        from ..state.tombstones import in_sorted
+
+        stray = tombs[~in_sorted(live, tombs)]
         if stray.size:
             errors.append(
                 f"{stray.size} tombstoned doc ids not in docstats "

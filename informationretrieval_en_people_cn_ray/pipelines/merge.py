@@ -49,10 +49,17 @@ from ..state.manifest import (
     fingerprint,
     load_json,
     partition_complete,
+    unique_tmp,
     write_bytes_atomic,
     write_json_atomic,
+    write_parquet_atomic,
 )
-from ..stages.segments import SUMMARY_SCHEMA, docstat_dir, seg_dir
+from ..stages.segments import (
+    EMPTY_TERMS_SCHEMA,
+    SUMMARY_SCHEMA,
+    docstat_dir,
+    seg_dir,
+)
 from .build import BuildConfig, build_index
 
 
@@ -114,17 +121,9 @@ def max_doc_id(index_dir: str) -> int:
     return -1 if b is None else b[1]
 
 
-_EMPTY_DICT_TABLE = pa.table(
-    {
-        "term": pa.array([], pa.string()),
-        "chunk": pa.array([], pa.int32()),
-        "df": pa.array([], pa.int64()),
-        "ctf": pa.array([], pa.int64()),
-        "max_tf": pa.array([], pa.int64()),
-        "offset": pa.array([], pa.int64()),
-        "size": pa.array([], pa.int64()),
-    }
-)
+# the output dictionary schema IS the segment dictionary schema —
+# one definition (stages/segments.py) so a schema change can't drift
+_EMPTY_DICT_TABLE = EMPTY_TERMS_SCHEMA.empty_table()
 
 
 def _finalize_dictionary(tabs: list[pa.Table]):
@@ -204,6 +203,16 @@ class _MergeSegment:
         if not os.path.exists(tp):
             return None, 0  # pre-backfill index with an empty segment
         t = pq.read_table(tp)
+        if "max_tf" not in t.column_names:
+            # legacy dictionary (pre-max_tf): backfill the sound ctf
+            # bound (tf in any one doc never exceeds the collection tf)
+            # so concat with current-schema generations works and the
+            # merged index's pruned scorer stays admissible
+            t = t.add_column(
+                t.schema.get_field_index("offset"),
+                "max_tf",
+                pa.array(t["ctf"].to_numpy(), pa.int64()),
+            )
         pb = os.path.join(sd, "postings.bin")
         n = 0
         if os.path.exists(pb):
@@ -244,7 +253,16 @@ class _MergeSegment:
         terms = t["term"].to_pylist()
         offs = t["offset"].to_numpy()
         sizes = t["size"].to_numpy()
-        tabs: list[pa.Table] = []
+        # columnar accumulators → ONE table per generation (a per-chunk
+        # single-row pa.table would allocate N tiny tables for an
+        # N-term segment and dominate compaction time)
+        o_term: list[str] = []
+        o_chunk: list[int] = []
+        o_df: list[int] = []
+        o_ctf: list[int] = []
+        o_maxtf: list[int] = []
+        o_off: list[int] = []
+        o_size: list[int] = []
         offset = base
         i, n_rows = 0, t.num_rows
         while i < n_rows:
@@ -290,25 +308,29 @@ class _MergeSegment:
                     pbytes = b""
                 blob = encode_posting_blob(cd, ct, pbytes)
                 out.write(blob)
-                tabs.append(
-                    pa.table(
-                        {
-                            "term": pa.array([term], pa.string()),
-                            "chunk": pa.array([ci], pa.int32()),
-                            "df": pa.array([len(cd)], pa.int64()),
-                            "ctf": pa.array([int(ct.sum())], pa.int64()),
-                            "max_tf": pa.array(
-                                [int(ct.max()) if len(ct) else 0],
-                                pa.int64(),
-                            ),
-                            "offset": pa.array([offset], pa.int64()),
-                            "size": pa.array([len(blob)], pa.int64()),
-                            "gen": pa.array([gi], pa.int32()),
-                        }
-                    )
-                )
+                o_term.append(term)
+                o_chunk.append(ci)
+                o_df.append(len(cd))
+                o_ctf.append(int(ct.sum()))
+                o_maxtf.append(int(ct.max()) if len(ct) else 0)
+                o_off.append(offset)
+                o_size.append(len(blob))
                 offset += len(blob)
-        return tabs, offset - base
+        if not o_term:
+            return [], offset - base
+        tab = pa.table(
+            {
+                "term": pa.array(o_term, pa.string()),
+                "chunk": pa.array(o_chunk, pa.int32()),
+                "df": pa.array(o_df, pa.int64()),
+                "ctf": pa.array(o_ctf, pa.int64()),
+                "max_tf": pa.array(o_maxtf, pa.int64()),
+                "offset": pa.array(o_off, pa.int64()),
+                "size": pa.array(o_size, pa.int64()),
+                "gen": pa.array([gi] * len(o_term), pa.int32()),
+            }
+        )
+        return [tab], offset - base
 
     def _merge_one(self, seg: int) -> pa.Table:
         t0 = time.monotonic()
@@ -321,7 +343,7 @@ class _MergeSegment:
             )
         compacting = any(t.size for t in self.tombs)
         os.makedirs(d, exist_ok=True)
-        tmp_bin = os.path.join(d, "postings.bin.tmp")
+        tmp_bin = unique_tmp(os.path.join(d, "postings.bin"))
         tabs: list[pa.Table] = []
         offset = 0
         with open(tmp_bin, "wb") as out:
@@ -342,9 +364,7 @@ class _MergeSegment:
                 offset += n
         allt, n_distinct, n_postings, tokens = _finalize_dictionary(tabs)
         os.replace(tmp_bin, os.path.join(d, "postings.bin"))
-        tmp = os.path.join(d, "terms.parquet.tmp")
-        pq.write_table(allt, tmp)
-        os.replace(tmp, os.path.join(d, "terms.parquet"))
+        write_parquet_atomic(os.path.join(d, "terms.parquet"), allt)
         write_json_atomic(
             os.path.join(d, "manifest.json"),
             {
@@ -412,16 +432,13 @@ class _CopyDocstats:
         tomb = self.tombs_by_gen.get(gen, np.empty(0, np.int64))
         src_pq = os.path.join(src, "docstats.parquet")
         if tomb.size:
+            from ..state.tombstones import in_sorted
+
             t = pq.read_table(src_pq)
             ids = t["doc_id"].to_numpy()
-            idx = np.searchsorted(tomb, ids)
-            idx[idx >= tomb.size] = tomb.size - 1
-            t = t.filter(pa.array(tomb[idx] != ids))
-            os.makedirs(d, exist_ok=True)
-            tmp = os.path.join(d, "docstats.parquet.tmp")
-            pq.write_table(t, tmp)
+            t = t.filter(pa.array(~in_sorted(tomb, ids)))
             dst = os.path.join(d, "docstats.parquet")
-            os.replace(tmp, dst)
+            write_parquet_atomic(dst, t)
             n_docs = t.num_rows
             tokens = int(t["doc_len"].to_numpy().sum()) if t.num_rows else 0
             # on-disk size, matching the plain-copy branch's accounting

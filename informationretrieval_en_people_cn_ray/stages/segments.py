@@ -39,6 +39,7 @@ from ..state.manifest import (
     partition_complete,
     write_bytes_atomic,
     write_json_atomic,
+    write_parquet_atomic,
 )
 from .postings import merge_runs
 
@@ -233,9 +234,7 @@ class SegmentBuilder:
                 "size": pa.array(out_size, pa.int64()),
             }
         )
-        tmp = os.path.join(d, "terms.parquet.tmp")
-        pq.write_table(terms_tbl, tmp)
-        os.replace(tmp, os.path.join(d, "terms.parquet"))
+        write_parquet_atomic(os.path.join(d, "terms.parquet"), terms_tbl)
         write_json_atomic(
             os.path.join(d, "manifest.json"),
             {
@@ -279,10 +278,7 @@ class SegmentBuilder:
         tbl = pa.table(
             {"doc_id": pa.array(doc_ids), "doc_len": pa.array(doc_lens)}
         )
-        tmp = os.path.join(d, "docstats.parquet.tmp")
-        os.makedirs(d, exist_ok=True)
-        pq.write_table(tbl, tmp)
-        os.replace(tmp, os.path.join(d, "docstats.parquet"))
+        write_parquet_atomic(os.path.join(d, "docstats.parquet"), tbl)
         tokens = int(doc_lens.sum())
         write_json_atomic(
             os.path.join(d, "manifest.json"),
@@ -330,9 +326,9 @@ def write_empty_segment(out_dir: str, seg: int, build_fp: str) -> None:
         return
     os.makedirs(d, exist_ok=True)
     write_bytes_atomic(os.path.join(d, "postings.bin"), b"")
-    tmp = os.path.join(d, "terms.parquet.tmp")
-    pq.write_table(EMPTY_TERMS_SCHEMA.empty_table(), tmp)
-    os.replace(tmp, os.path.join(d, "terms.parquet"))
+    write_parquet_atomic(
+        os.path.join(d, "terms.parquet"), EMPTY_TERMS_SCHEMA.empty_table()
+    )
     write_json_atomic(
         os.path.join(d, "manifest.json"),
         {
@@ -363,10 +359,14 @@ class SegmentReader:
         self.terms = np.asarray(t["term"].to_pylist(), dtype=object)
         self.df = t["df"].to_numpy()
         self.ctf = t["ctf"].to_numpy()
+        # legacy dictionaries (pre-max_tf column) fall back to ctf — a
+        # SOUND MaxScore/WAND upper bound (tf in one doc ≤ collection
+        # tf); a zero placeholder here would make the pruned scorer's
+        # early termination drop true top-k results silently
         self.max_tf = (
             t["max_tf"].to_numpy()
             if "max_tf" in t.column_names
-            else np.zeros(len(self.df), np.int64)
+            else self.ctf
         )
         self.offset = t["offset"].to_numpy()
         self.size = t["size"].to_numpy()

@@ -50,6 +50,37 @@ def write_bytes_atomic(path: str, data: bytes) -> None:
         raise
 
 
+def unique_tmp(path: str) -> str:
+    """Collision-free temp sibling for tmp+rename installs. A FIXED
+    '.tmp' name lets a presumed-lost-but-still-alive retry twin truncate
+    another writer's in-flight file (both opened the same path with
+    'wb') and get the partial bytes installed by the survivor's rename;
+    mkstemp names keep concurrent writers on disjoint files so every
+    os.replace installs a COMPLETE artifact."""
+    d = os.path.dirname(path) or "."
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(
+        dir=d, prefix=os.path.basename(path) + ".", suffix=".tmp"
+    )
+    os.close(fd)
+    return tmp
+
+
+def write_parquet_atomic(path: str, table: Any) -> None:
+    """``pq.write_table`` via unique-tmp + rename (the same contract as
+    ``write_json_atomic``)."""
+    import pyarrow.parquet as pq
+
+    tmp = unique_tmp(path)
+    try:
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
 def load_json(path: str) -> Any | None:
     if not os.path.exists(path):
         return None

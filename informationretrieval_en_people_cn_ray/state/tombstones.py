@@ -37,14 +37,15 @@ def load_tombstones(index_dir: str) -> np.ndarray:
 def delete_docs(index_dir: str, doc_ids) -> int:
     """Union ``doc_ids`` into the index's tombstone set; returns the new
     total. Atomic (tmp+rename) and idempotent."""
+    from .manifest import write_parquet_atomic
+
     new = np.unique(np.asarray(list(doc_ids), np.int64))
     cur = load_tombstones(index_dir)
     allids = np.union1d(cur, new)
-    tmp = os.path.join(index_dir, TOMBSTONE_FILE + ".tmp")
-    pq.write_table(
-        pa.table({"doc_id": pa.array(allids, pa.int64())}), tmp
+    write_parquet_atomic(
+        os.path.join(index_dir, TOMBSTONE_FILE),
+        pa.table({"doc_id": pa.array(allids, pa.int64())}),
     )
-    os.replace(tmp, os.path.join(index_dir, TOMBSTONE_FILE))
     return int(allids.size)
 
 
@@ -55,6 +56,18 @@ def tombstone_fingerprint(index_dir: str) -> str:
     if t.size == 0:
         return ""
     return hashlib.sha256(t.tobytes()).hexdigest()[:16]
+
+
+def in_sorted(haystack: np.ndarray, needles: np.ndarray) -> np.ndarray:
+    """Boolean membership of ``needles`` in the SORTED ``haystack`` —
+    the searchsorted + clamp + compare idiom, extracted so its edge
+    cases (empty sides, needles past the last element) live in one
+    place instead of drifting across callers."""
+    if haystack.size == 0 or needles.size == 0:
+        return np.zeros(len(needles), bool)
+    idx = np.searchsorted(haystack, needles)
+    idx[idx >= haystack.size] = haystack.size - 1
+    return haystack[idx] == needles
 
 
 def filter_postings(
@@ -71,9 +84,7 @@ def filter_postings(
         if len(tfs):
             np.cumsum(tfs[:-1], out=ps[1:])
         return doc_ids, tfs, positions, ps
-    idx = np.searchsorted(tomb, doc_ids)
-    idx[idx >= tomb.size] = tomb.size - 1
-    keep = tomb[idx] != doc_ids
+    keep = ~in_sorted(tomb, doc_ids)
     if keep.all():
         ps = np.zeros(len(doc_ids), np.int64)
         if len(tfs):

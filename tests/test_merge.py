@@ -958,3 +958,45 @@ def test_search_many_sees_deletes_through_warm_workers(
     for _ in range(3):  # several tasks → at least one hits a warm worker
         after = search_many(idx, q, k=10, concurrency=1).to_pandas()
         assert victim not in set(after["doc_id"].tolist())
+
+
+def _strip_max_tf(index_dir):
+    """Rewrite every segment dictionary WITHOUT the max_tf column — the
+    shape of an index built before that column existed."""
+    import glob as _glob
+
+    for tp in _glob.glob(
+        os.path.join(index_dir, "postings", "seg=*", "terms.parquet")
+    ):
+        t = pq.read_table(tp)
+        if "max_tf" in t.column_names:
+            pq.write_table(t.drop_columns(["max_tf"]), tp)
+
+
+def test_legacy_dictionary_without_max_tf(ray_session, dirs, tmp_path):
+    """Pre-max_tf dictionaries must stay SOUND: the pruned scorer falls
+    back to the ctf upper bound (rank-identical to unpruned, never a
+    silent drop), and a merge over such a parent backfills the column
+    instead of dying on a schema mismatch."""
+    import shutil
+
+    idx = str(tmp_path / "idx_legacy")
+    shutil.copytree(dirs["a_i"], idx)
+    _strip_max_tf(idx)
+
+    eng = SearchEngine(idx, mode="local")
+    for q in ["data fast table", "the key value", "scan data"]:
+        i_p, s_p = eng.search(q, prune=True, k=10)
+        i_u, s_u = eng.search(q, prune=False, k=10)
+        assert i_p.tolist() == i_u.tolist(), q
+        assert abs(s_p - s_u).max() < 1e-9
+
+    # merging a legacy parent with a current-schema delta must work
+    merged = str(tmp_path / "idx_legacy_merged")
+    extend_index(idx, dirs["b_c"], str(tmp_path / "idx_legacy_delta"), merged)
+    em = SearchEngine(merged, mode="local")
+    eref = SearchEngine(dirs["merged_i"], mode="local")
+    for q in ["data fast table", "scan data"]:
+        a, _ = em.search(q, k=10)
+        b, _ = eref.search(q, k=10)
+        assert a.tolist() == b.tolist(), q
