@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -173,7 +174,16 @@ def _cmd_search(args: argparse.Namespace) -> int:
     else:
         print("need --query or --query-file", file=sys.stderr)
         return 2
-    store = DocStore(args.hydrate) if args.hydrate else None
+    store = None
+    if args.hydrate:
+        # an index built over an explicit id column needs id→layout
+        # translation in the store (layout hydration would read wrong rows)
+        from .state.manifest import load_json
+
+        first_dir = index_dir[0] if isinstance(index_dir, list) else index_dir
+        coll = load_json(os.path.join(first_dir, "collection.json")) or {}
+        idc = (coll.get("config") or {}).get("doc_id_column")
+        store = DocStore(args.hydrate, doc_id_column=idc)
     hydrate_cols = args.columns.split(",") if args.columns else None
 
     if len(queries) > 1:

@@ -134,7 +134,10 @@ def write_corpus(
     chunk per parquet file (bounded memory at any corpus size).
     Idempotent: if the directory already holds a matching ``_corpus.json``
     stamp, it is reused (bench + queries() cache on this)."""
+    import glob
     import json
+
+    from .state.manifest import write_json_atomic
 
     stamp = {
         "n_files": n_files,
@@ -146,10 +149,22 @@ def write_corpus(
     }
     stamp_path = os.path.join(out_dir, "_corpus.json")
     if os.path.exists(stamp_path):
-        with open(stamp_path) as f:
-            if json.load(f) == stamp:
-                return out_dir
+        try:
+            with open(stamp_path) as f:
+                if json.load(f) == stamp:
+                    return out_dir
+        except (json.JSONDecodeError, OSError):
+            pass  # truncated stamp from a killed run → regenerate
     os.makedirs(out_dir, exist_ok=True)
+    # A stamp mismatch means the directory holds a DIFFERENT corpus.
+    # Drop the stale stamp first (a kill mid-regeneration must not leave a
+    # valid-looking stamp over mixed parts), then every old part file — a
+    # smaller regeneration would otherwise leave orphan parts behind that
+    # corpus_files() globs right back into the corpus.
+    if os.path.exists(stamp_path):
+        os.remove(stamp_path)
+    for stale in glob.glob(os.path.join(out_dir, "part-*.parquet")):
+        os.remove(stale)
     vocab = np.array(_vocab(seed), dtype=object)
     probs = _zipf_probs(len(vocab))
     per = (n_files + num_parquet_files - 1) // num_parquet_files
@@ -164,6 +179,5 @@ def write_corpus(
             os.path.join(out_dir, f"part-{f:05d}.parquet"),
             row_group_size=rg,
         )
-    with open(stamp_path, "w") as f:
-        json.dump(stamp, f)
+    write_json_atomic(stamp_path, stamp)
     return out_dir

@@ -196,7 +196,18 @@ def _build_index_inner(
     # only fetch the sha column if we'll verify it
     import pyarrow.parquet as pq
 
-    have_sha = "content_sha256" in pq.read_schema(files[0]).names
+    # probe every file's footer (the fragment plan already read them all):
+    # a mixed corpus must not silently skip the invariant nor crash mid-build
+    sha_flags = [
+        "content_sha256" in pq.read_schema(f).names for f in files
+    ]
+    have_sha = all(sha_flags)
+    if config.verify_sha and any(sha_flags) and not have_sha:
+        missing = [f for f, ok in zip(files, sha_flags) if not ok][:3]
+        raise ValueError(
+            "corpus carries content_sha256 in only some files — cannot "
+            f"verify the sha invariant consistently (missing in {missing})"
+        )
     if config.verify_sha and have_sha:
         columns.append("content_sha256")
 

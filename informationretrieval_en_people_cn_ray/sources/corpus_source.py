@@ -94,6 +94,30 @@ class _ReadFragment:
                             for c in tbl.column_names
                         ]
                     )
+                # Fail loudly at the SOURCE when the explicit id column
+                # breaks the sorted-run invariant every downstream stage
+                # relies on (codec/merge otherwise die later with opaque
+                # "negative varint" / "duplicate doc_id" errors).
+                ids = tbl["doc_id"].combine_chunks()
+                if not pa.types.is_integer(ids.type):
+                    raise TypeError(
+                        f"doc_id column '{self.doc_id_column}' must be an "
+                        f"integer type, got {ids.type} ({file})"
+                    )
+                vals = ids.to_numpy(zero_copy_only=False)
+                if len(vals) > 1 and not (np.diff(vals) > 0).all():
+                    raise ValueError(
+                        f"doc_id column '{self.doc_id_column}' must be "
+                        f"strictly ascending within each row group "
+                        f"(file {file}, row group {int(rg)}) — posting "
+                        "runs require sorted unique doc ids"
+                    )
+                if ids.type != pa.int64():
+                    tbl = tbl.set_column(
+                        tbl.column_names.index("doc_id"),
+                        "doc_id",
+                        ids.cast(pa.int64()),
+                    )
             else:
                 doc_id = pa.array(
                     np.arange(int(base), int(base) + tbl.num_rows, dtype=np.int64)
@@ -127,24 +151,84 @@ class DocStore:
     Uses the fragment plan to map a doc_id back to (file, row_group, row)
     and reads just that row group — no index artifacts needed, because
     doc-id assignment is a pure function of on-disk layout.
+
+    ``doc_id_column``: for an index built over an EXPLICIT id column
+    (``BuildConfig.doc_id_column``) the layout mapping is invalid — ids
+    need not be dense layout ordinals. In that mode the store reads just
+    the id column once (a single-column scan; the analog of the
+    reference's ``cids.npy`` sidecar, ``IndexCreator.py:215-224``) and
+    translates ids → layout positions; O(num_docs) int64s on this
+    process — shard behind actors at cluster scale.
     """
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, doc_id_column: str | None = None):
         self.plan = fragment_plan(path)
         self.bases = np.array([p["base"] for p in self.plan], dtype=np.int64)
+        self._id_sorted: np.ndarray | None = None
+        self._pos_sorted: np.ndarray | None = None
+        if doc_id_column:
+            parts = [
+                pq.ParquetFile(p["file"])
+                .read_row_group(p["row_group"], columns=[doc_id_column])[
+                    doc_id_column
+                ]
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+                for p in self.plan
+            ]
+            ids = (
+                np.concatenate(parts) if parts else np.empty(0, np.int64)
+            )
+            order = np.argsort(ids, kind="stable").astype(np.int64)
+            self._id_sorted = ids[order]
+            self._pos_sorted = order  # layout ordinal of each sorted id
+            if len(ids) > 1 and (np.diff(self._id_sorted) == 0).any():
+                raise ValueError(
+                    f"doc_id column '{doc_id_column}' has duplicate ids — "
+                    "cannot hydrate unambiguously"
+                )
 
     def lookup(self, doc_ids, columns: list[str] | None = None) -> pa.Table:
-        doc_ids = np.asarray(sorted(set(int(d) for d in doc_ids)), dtype=np.int64)
-        frag_idx = np.searchsorted(self.bases, doc_ids, side="right") - 1
+        req = np.asarray(sorted(set(int(d) for d in doc_ids)), dtype=np.int64)
+        if self._id_sorted is not None:
+            pos = np.searchsorted(self._id_sorted, req)
+            bad = (pos >= len(self._id_sorted)) | (
+                self._id_sorted[np.minimum(pos, len(self._id_sorted) - 1)]
+                != req
+            )
+            if bad.any():
+                raise KeyError(
+                    f"doc ids not present in the corpus id column: "
+                    f"{req[bad][:5].tolist()}"
+                )
+            ordinals = self._pos_sorted[pos]
+            by_layout = np.argsort(ordinals, kind="stable")
+            ordinals, req = ordinals[by_layout], req[by_layout]
+        else:
+            total = (
+                int(self.plan[-1]["base"] + self.plan[-1]["num_rows"])
+                if self.plan
+                else 0
+            )
+            if len(req) and (req[0] < 0 or req[-1] >= total):
+                raise IndexError(
+                    f"doc ids outside the corpus layout range [0, {total}): "
+                    f"{req[(req < 0) | (req >= total)][:5].tolist()} — was "
+                    "the index built with an explicit doc_id_column? Pass "
+                    "it to DocStore."
+                )
+            ordinals = req
+        frag_idx = np.searchsorted(self.bases, ordinals, side="right") - 1
         out = []
         for fi in np.unique(frag_idx):
             frag = self.plan[int(fi)]
-            ids = doc_ids[frag_idx == fi]
-            rows = ids - frag["base"]
+            sel = frag_idx == fi
+            rows = ordinals[sel] - frag["base"]
             tbl = pq.ParquetFile(frag["file"]).read_row_group(
                 frag["row_group"], columns=columns
             )
             tbl = tbl.take(pa.array(rows))
-            tbl = tbl.add_column(0, "doc_id", pa.array(ids))
+            tbl = tbl.add_column(0, "doc_id", pa.array(req[sel]))
             out.append(tbl)
         return pa.concat_tables(out)

@@ -41,9 +41,11 @@ def replace_newlines(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     return pc.replace_substring(out, pattern="\r", replacement=" ")
 
 
-def replace_cjk_punctuation(texts: list[str]) -> list[str]:
-    """Fullwidth/CJK punctuation → ASCII (str.translate is C-speed)."""
-    return [t.translate(_TRANSLATE) for t in texts]
+def replace_cjk_punctuation(texts: list[str | None]) -> list[str | None]:
+    """Fullwidth/CJK punctuation → ASCII (str.translate is C-speed).
+    Null-safe: ``None`` passes through — ingest paths that keep
+    partially-populated rows surface null text values here."""
+    return [t.translate(_TRANSLATE) if isinstance(t, str) else t for t in texts]
 
 
 def normalize_batch(
@@ -58,6 +60,39 @@ def normalize_batch(
     return batch
 
 
+def project_columns(
+    batch: pa.Table,
+    column_map: dict[str, str],
+    min_valid: int | None = None,
+) -> pa.Table:
+    """Project/rename the mapped columns; with ``min_valid`` set, keep only
+    rows having at least that many POPULATED mapped fields — null and, for
+    string columns, ``""`` count as missing (CSV/JSON readers surface a
+    missing trailing field as either). Kept rows may still carry missing
+    fields; missing strings are normalized to ``""`` so downstream
+    tokenize/sha stages see a uniform non-null schema. Shared by the CSV
+    and JSONL ingests (one audit rule, not two drifting copies)."""
+    cols = {}
+    valid_count = None
+    for src, dst in column_map.items():
+        col = batch[src]
+        valid = pc.is_valid(col)
+        if pa.types.is_string(col.type):
+            valid = pc.and_(valid, pc.not_equal(col, pa.scalar("")))
+        v = pc.cast(pc.fill_null(valid, False), pa.int32())
+        valid_count = v if valid_count is None else pc.add(valid_count, v)
+        cols[dst] = col
+    out = pa.table(cols)
+    if min_valid is not None and valid_count is not None:
+        out = out.filter(pc.greater_equal(valid_count, min_valid))
+        for i, name in enumerate(out.column_names):
+            if pa.types.is_string(out.column(i).type):
+                out = out.set_column(
+                    i, name, pc.fill_null(out.column(i), "")
+                )
+    return out
+
+
 def ingest_csv_corpus(
     csv_path: str,
     out_dir: str,
@@ -69,28 +104,17 @@ def ingest_csv_corpus(
 
     ``column_map``: {csv_column: corpus_column} — the standardize_format
     permutation as an explicit projection. ``min_fields`` audits rows the
-    way ``check_comment_parsing`` does: rows with nulls in any mapped
-    column are counted and dropped (the reference prints and skips,
-    ``IndexCreator.py:41-43``)."""
+    way ``check_comment_parsing`` does (the reference prints and skips
+    short rows, ``IndexCreator.py:41-43``): rows with fewer than
+    ``min_fields`` populated mapped columns are dropped; kept rows have
+    missing strings normalized to ``""``."""
     ds = ray.data.read_csv(csv_path)
 
-    def project(batch: pa.Table) -> pa.Table:
-        cols = {}
-        mask = None
-        for src, dst in column_map.items():
-            col = batch[src]
-            valid = pc.is_valid(col)
-            if pa.types.is_string(col.type):
-                # CSV readers surface a missing field as "" — audit both
-                valid = pc.and_(valid, pc.not_equal(col, pa.scalar("")))
-            mask = valid if mask is None else pc.and_(mask, valid)
-            cols[dst] = col
-        out = pa.table(cols)
-        if min_fields is not None:
-            out = out.filter(mask)
-        return out
-
-    ds = ds.map_batches(project, batch_format="pyarrow")
+    ds = ds.map_batches(
+        project_columns,
+        fn_kwargs=dict(column_map=column_map, min_valid=min_fields),
+        batch_format="pyarrow",
+    )
     tcols = text_columns or [
         v for v in column_map.values() if v == "content"
     ]

@@ -12,12 +12,9 @@ Streaming end to end: no driver-side materialization at any size.
 
 from __future__ import annotations
 
-import pyarrow as pa
-import pyarrow.compute as pc
-
 import ray.data
 
-from .csv_ingest import normalize_batch
+from .csv_ingest import normalize_batch, project_columns
 
 
 def ingest_jsonl_corpus(
@@ -30,27 +27,20 @@ def ingest_jsonl_corpus(
     """JSONL file/directory → normalized Parquet corpus.
 
     ``column_map``: {json_field: corpus_column} projection (default:
-    ``{"text": "content"}``). Rows with null/empty mapped fields are
-    audited out when ``drop_null`` (the CSV path's min_fields rule)."""
+    ``{"text": "content"}``). Rows with ANY null/empty mapped field are
+    audited out when ``drop_null`` (the CSV path's audit rule with
+    ``min_fields = len(column_map)``; one shared implementation)."""
     column_map = column_map or {"text": "content"}
     ds = ray.data.read_json(jsonl_path)
 
-    def project(batch: pa.Table) -> pa.Table:
-        cols = {}
-        mask = None
-        for src, dst in column_map.items():
-            col = batch[src]
-            valid = pc.is_valid(col)
-            if pa.types.is_string(col.type):
-                valid = pc.and_(valid, pc.not_equal(col, pa.scalar("")))
-            mask = valid if mask is None else pc.and_(mask, valid)
-            cols[dst] = col
-        out = pa.table(cols)
-        if drop_null:
-            out = out.filter(mask)
-        return out
-
-    ds = ds.map_batches(project, batch_format="pyarrow")
+    ds = ds.map_batches(
+        project_columns,
+        fn_kwargs=dict(
+            column_map=column_map,
+            min_valid=len(column_map) if drop_null else None,
+        ),
+        batch_format="pyarrow",
+    )
     tcols = text_columns or [
         v for v in column_map.values() if v == "content"
     ]

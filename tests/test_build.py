@@ -314,3 +314,27 @@ def test_merge_runs_disjoint_fast_path_equals_general_gather():
             [dup[0], dup[0]], [dup[1], dup[1]],
             [dup[2], dup[2]], [dup[3], dup[3]],
         )
+
+
+def test_build_rejects_mixed_sha_corpus(ray_session, tmp_path):
+    """verify_sha over a corpus where only SOME files carry
+    content_sha256 must fail loudly — silently skipping the invariant
+    (or crashing mid-build on the schema mismatch) hides data loss."""
+    import pyarrow.parquet as pq
+
+    from informationretrieval_en_people_cn_ray.corpus import generate_corpus
+    from informationretrieval_en_people_cn_ray.pipelines.build import (
+        BuildConfig,
+        build_index,
+    )
+
+    d = str(tmp_path / "mixed")
+    os.makedirs(d)
+    t = generate_corpus(20, seed=3)
+    pq.write_table(t.slice(0, 10), os.path.join(d, "part-00000.parquet"))
+    pq.write_table(
+        t.slice(10, 10).drop_columns(["content_sha256"]),
+        os.path.join(d, "part-00001.parquet"),
+    )
+    with pytest.raises(ValueError, match="only some files"):
+        build_index(d, str(tmp_path / "idx"), BuildConfig(num_segments=2))

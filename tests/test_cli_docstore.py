@@ -215,3 +215,93 @@ def test_cli_pipeline_runner(ray_session, tmp_path, capsys):
     rc = main(["pipeline", "doc_weights_by_lang", "/root/testdata/sf0.001"])
     assert rc == 2
     assert "non-tabular" in capsys.readouterr().err
+
+
+def test_write_corpus_regeneration_no_stale_parts(tmp_path):
+    """Regenerating a corpus dir with different params must not leave
+    old part files behind (corpus_files globs *.parquet — orphans would
+    silently mix into every downstream build), and a truncated stamp
+    from a killed run must regenerate, not crash."""
+    from informationretrieval_en_people_cn_ray.sources.corpus_source import (
+        corpus_files,
+        corpus_num_docs,
+    )
+
+    d = str(tmp_path / "c")
+    write_corpus(d, 120, seed=1, num_parquet_files=4)
+    assert len(corpus_files(d)) == 4
+    write_corpus(d, 30, seed=1, num_parquet_files=1)
+    assert len(corpus_files(d)) == 1
+    assert corpus_num_docs(d) == 30
+    with open(os.path.join(d, "_corpus.json"), "w") as f:
+        f.write('{"trunc')  # killed mid-write
+    write_corpus(d, 30, seed=1, num_parquet_files=1)
+    assert corpus_num_docs(d) == 30
+
+
+@pytest.fixture(scope="module")
+def explicit_id_corpus(tmp_path_factory):
+    """Two-file corpus whose id column is NOT the layout ordinal."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path_factory.mktemp("expid"))
+    for f, ids in enumerate([[7, 17, 27], [37, 47, 57]]):
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(ids, pa.int64()),
+                    "content": pa.array([f"doc {i}" for i in ids]),
+                }
+            ),
+            os.path.join(d, f"part-{f:05d}.parquet"),
+        )
+    return d
+
+
+def test_docstore_explicit_doc_id_column(explicit_id_corpus):
+    """Hydration of an explicit-id corpus returns the rows those IDS name
+    — not the rows at those layout positions — and misses fail loudly."""
+    store = DocStore(explicit_id_corpus, doc_id_column="id")
+    t = store.lookup([47, 7], columns=["content"])
+    got = dict(zip(t["doc_id"].to_pylist(), t["content"].to_pylist()))
+    assert got == {7: "doc 7", 47: "doc 47"}
+    with pytest.raises(KeyError, match="not present"):
+        store.lookup([8])
+    # the layout store must reject these ids with guidance, not hydrate
+    # the wrong rows or die in take()
+    with pytest.raises(IndexError, match="doc_id_column"):
+        DocStore(explicit_id_corpus).lookup([57])
+
+
+def test_docstore_duplicate_explicit_ids_rejected(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "dup")
+    os.makedirs(d)
+    pq.write_table(
+        pa.table({"id": pa.array([1, 1], pa.int64()),
+                  "content": pa.array(["a", "b"])}),
+        os.path.join(d, "part-00000.parquet"),
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        DocStore(d, doc_id_column="id")
+
+
+def test_read_corpus_rejects_unsorted_explicit_ids(ray_session, tmp_path):
+    """An explicit id column that is not strictly ascending within a row
+    group violates the sorted-posting-run invariant; the reader must say
+    so at the source instead of dying later in the codec/merge."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "unsorted")
+    os.makedirs(d)
+    pq.write_table(
+        pa.table({"id": pa.array([3, 1, 2], pa.int64()),
+                  "content": pa.array(["a", "b", "c"])}),
+        os.path.join(d, "part-00000.parquet"),
+    )
+    with pytest.raises(Exception, match="strictly ascending"):
+        read_corpus(d, columns=["content"], doc_id_column="id").take_all()

@@ -281,3 +281,59 @@ def test_jsonl_export_roundtrip(ray_session, tmp_path):
     ).sort_by("doc_key")
     assert t["content"].to_pylist() == src["content"].to_pylist()
     assert t["lang"].to_pylist() == src["lang"].to_pylist()
+
+
+def test_min_fields_numeric_threshold(ray_session, csv_corpus, tmp_path):
+    """min_fields honors its NUMERIC value: a row with >= N populated
+    mapped fields is kept even when some fields are missing, and the
+    kept row's missing strings are normalized to "" (uniform non-null
+    schema downstream)."""
+    import glob
+
+    from informationretrieval_en_people_cn_ray.sources.csv_ingest import (
+        ingest_csv_corpus,
+    )
+
+    out = str(tmp_path / "corpus_thresh")
+    ingest_csv_corpus(
+        csv_corpus,
+        out,
+        column_map={"cid": "doc_key", "url": "path", "author": "repo",
+                    "text": "content"},
+        text_columns=["content"],
+        min_fields=3,  # row 3 has 3/4 populated (null author) → kept
+    )
+    t = pa.concat_tables(
+        [pq.read_table(f) for f in sorted(glob.glob(out + "/*.parquet"))]
+    )
+    by_key = {r["doc_key"]: r for r in t.to_pylist()}
+    assert set(by_key) == {0, 1, 2, 3}
+    assert by_key[3]["repo"] == ""  # missing string filled, not null
+
+
+def test_ingest_null_text_is_safe(ray_session, tmp_path):
+    """A null text value with the audit OFF must flow through the
+    normalizers (newline/CJK passes) unchanged, not crash them."""
+    import glob
+    import json as _json
+
+    from informationretrieval_en_people_cn_ray.sources.jsonl_ingest import (
+        ingest_jsonl_corpus,
+    )
+
+    path = str(tmp_path / "docs.jsonl")
+    with open(path, "w") as f:
+        f.write(_json.dumps({"id": 0, "text": "alpha，beta"}) + "\n")
+        f.write(_json.dumps({"id": 1, "text": None}) + "\n")
+    out = str(tmp_path / "corpus_null")
+    ingest_jsonl_corpus(
+        path,
+        out,
+        column_map={"id": "doc_key", "text": "content"},
+        drop_null=False,
+    )
+    t = pa.concat_tables(
+        [pq.read_table(f) for f in sorted(glob.glob(out + "/*.parquet"))]
+    ).sort_by("doc_key")
+    assert t.num_rows == 2
+    assert t["content"].to_pylist() == ["alpha,beta", None]
