@@ -31,7 +31,6 @@ from __future__ import annotations
 
 import os
 import time
-import zlib
 from dataclasses import asdict, dataclass
 
 import numpy as np
@@ -78,57 +77,126 @@ class BuildConfig:
 
 
 class _PreMerge:
-    """groupby('salt_key').map_groups body: fold the partial runs of one
-    (term, salt) bucket into a single run. Output schema == input schema
-    (minus the salt key), so the stage is optional and composable."""
+    """groupby('salt_key').map_groups body — ONE call per (seg, salt
+    bucket), folding the partial runs of EVERY term in the bucket with
+    the same vectorized view walk SegmentBuilder uses. Grouping per
+    (term, salt) instead would dispatch map_groups |vocab|·salt times,
+    each building a 1-row table in Python — the
+    map-groups-over-10^5-keys pathology. Output schema == input schema
+    minus the salt key, so the stage stays optional and composable."""
 
     def __call__(self, group: pa.Table) -> pa.Table:
+        group = group.combine_chunks()
         n = group.num_rows
         if n == 1:
             return group.drop_columns(["salt_key"])
-        group = group.combine_chunks()
-        doc_ids, tfs, pos_bytes, pos_lens = merge_runs(
-            [c.values.to_numpy() for c in group["doc_ids"]],
-            [c.values.to_numpy() for c in group["tfs"]],
-            [c.as_py() for c in group["pos_bytes"]],
-            [c.values.to_numpy() for c in group["pos_lens"]],
+        from ..stages.segments import _binary_views, _list_views
+
+        terms = np.asarray(group["term"].to_pylist(), dtype=object)
+        order = np.argsort(terms, kind="stable")
+        srt = terms[order]
+        if n and (srt[1:] != srt[:-1]).all():
+            # every term already has exactly one run — nothing to fold
+            return group.drop_columns(["salt_key"])
+        dvals, doffs = _list_views(group["doc_ids"])
+        tvals, toffs = _list_views(group["tfs"])
+        lvals, loffs = _list_views(group["pos_lens"])
+        bdata, boffs = _binary_views(group["pos_bytes"])
+
+        out_term: list[str] = []
+        out_doc: list[np.ndarray] = []
+        out_tf: list[np.ndarray] = []
+        out_bytes: list[bytes] = []
+        out_plen: list[np.ndarray] = []
+        i = 0
+        while i < n:
+            j = i
+            t = srt[i]
+            while j < n and srt[j] == t:
+                j += 1
+            rows = [int(r) for r in order[i:j]]
+            if len(rows) == 1:
+                r = rows[0]
+                out_doc.append(dvals[doffs[r] : doffs[r + 1]])
+                out_tf.append(tvals[toffs[r] : toffs[r + 1]])
+                out_bytes.append(bdata[boffs[r] : boffs[r + 1]].tobytes())
+                out_plen.append(lvals[loffs[r] : loffs[r + 1]])
+            else:
+                doc_ids, tfs, pos_bytes, pos_lens = merge_runs(
+                    [dvals[doffs[r] : doffs[r + 1]] for r in rows],
+                    [tvals[toffs[r] : toffs[r + 1]] for r in rows],
+                    [bdata[boffs[r] : boffs[r + 1]] for r in rows],
+                    [lvals[loffs[r] : loffs[r + 1]] for r in rows],
+                )
+                out_doc.append(doc_ids)
+                out_tf.append(tfs)
+                out_bytes.append(pos_bytes)
+                out_plen.append(pos_lens)
+            out_term.append(t)
+            i = j
+
+        m = len(out_term)
+        counts = np.fromiter(
+            (len(x) for x in out_doc), np.int64, count=m
         )
+        offs = np.zeros(m + 1, dtype=np.int32)
+        np.cumsum(counts, out=offs[1:])
+        off_arr = pa.array(offs, pa.int32())
+        cat = np.concatenate(out_doc) if m else np.empty(0, np.int64)
+        cat_tf = np.concatenate(out_tf) if m else np.empty(0, np.int64)
+        cat_pl = np.concatenate(out_plen) if m else np.empty(0, np.int64)
         return pa.table(
             {
-                "term": group["term"].slice(0, 1),
-                "seg": group["seg"].slice(0, 1),
-                "doc_ids": pa.array([doc_ids], pa.list_(pa.int64())),
-                "tfs": pa.array([tfs.astype(np.int32)], pa.list_(pa.int32())),
-                "pos_bytes": pa.array([pos_bytes], pa.binary()),
-                "pos_lens": pa.array(
-                    [pos_lens.astype(np.int32)], pa.list_(pa.int32())
+                "term": pa.array(out_term, pa.string()),
+                "seg": pa.array(
+                    np.full(m, group["seg"][0].as_py(), np.int32), pa.int32()
+                ),
+                "doc_ids": pa.ListArray.from_arrays(
+                    off_arr, pa.array(cat.astype(np.int64), pa.int64())
+                ),
+                "tfs": pa.ListArray.from_arrays(
+                    off_arr, pa.array(cat_tf.astype(np.int32), pa.int32())
+                ),
+                "pos_bytes": pa.array(out_bytes, pa.binary()),
+                "pos_lens": pa.ListArray.from_arrays(
+                    off_arr, pa.array(cat_pl.astype(np.int32), pa.int32())
                 ),
             }
         )
 
 
 def _add_salt_key(batch: pa.Table, salt: int) -> pa.Table:
-    """Salt = hash of the run's FIRST doc id — deterministic, and spreads a
-    term's runs uniformly over `salt` buckets.
+    """Salted shuffle key = ``seg * salt + bucket(first doc id)`` —
+    numeric, fully vectorized (no per-row Python), deterministic, and
+    globally consistent (seg is a pure function of term, so every run of
+    a term lands in the same bucket set; the bucket hash spreads a
+    term's runs uniformly over ``salt`` buckets).
 
     The key MUST include ``seg``: for posting rows seg is a pure function
     of the term (no grouping change), but docstat pseudo-rows all share
     ``DOCSTATS_TERM`` while differing in seg (doc-id range partition) —
     without seg in the key, colliding buckets would merge rows across
-    docstat partitions and _PreMerge would emit ONE seg for them,
-    mis-routing doc lengths (→ unsorted concatenated docstats → wrong
-    BM25/Dirichlet doc lengths downstream)."""
-    terms = batch["term"].to_pylist()
-    segs = batch["seg"].to_pylist()
-    first_doc = np.array(
-        [c.values[0].as_py() if len(c.values) else 0 for c in batch["doc_ids"]],
-        dtype=np.int64,
-    )
-    keys = [
-        f"{t}\x01{s}\x01{(zlib.crc32(int(d).to_bytes(8, 'little')) % salt)}"
-        for t, s, d in zip(terms, segs, first_doc)
-    ]
-    return batch.append_column("salt_key", pa.array(keys, pa.string()))
+    docstat partitions, mis-routing doc lengths (→ unsorted concatenated
+    docstats → wrong BM25/Dirichlet doc lengths downstream). Total group
+    count is (num_segments + docstat_partitions) · salt — a bounded,
+    scale-independent shuffle fan-in (NOT |vocab|·salt)."""
+    batch = batch.combine_chunks()
+    col = batch["doc_ids"]
+    arr = col.chunk(0) if hasattr(col, "chunk") else col
+    vals = arr.values.to_numpy(zero_copy_only=False)
+    offs = arr.offsets.to_numpy().astype(np.int64)
+    lens = np.diff(offs)
+    if len(vals):
+        starts = np.minimum(offs[:-1], len(vals) - 1)
+        first = np.where(lens > 0, vals[starts], 0).astype(np.uint64)
+    else:
+        first = np.zeros(len(lens), np.uint64)
+    bucket = (
+        (first * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+    ) % np.uint64(salt)
+    seg = batch["seg"].to_numpy().astype(np.int64)
+    key = seg * np.int64(salt) + bucket.astype(np.int64)
+    return batch.append_column("salt_key", pa.array(key, pa.int64()))
 
 
 def build_index(

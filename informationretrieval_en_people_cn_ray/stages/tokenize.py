@@ -90,26 +90,20 @@ class TokenizePartial:
                 )
 
         # --- vectorized analysis -------------------------------------
-        # Per-batch pipeline: Arrow-tokenize the whole batch (RE2 split,
-        # byte-identical to text.tokenize — fuzz-gated), dictionary-
-        # encode the token stream (Arrow C++), stem + filter only the
+        # Per-batch pipeline: batch_token_codes (the shared tokenize →
+        # dictionary-encode → integer-codes intermediate, byte-identical
+        # to text.tokenize — fuzz-gated), then stem + filter only the
         # UNIQUE tokens (vocabulary-sized, cached per actor), then one
         # lexsort + one varint encode for the whole batch. Positions
         # index the FULL token stream even for filtered tokens
         # (SURVEY.md §7.4 R6).
-        from ..text import tokenize_batch
+        from ..text import batch_token_codes
 
-        doc_lens, flat = tokenize_batch(batch[self.content_column])
+        doc_lens, doc_idx, codes, uniq = batch_token_codes(
+            batch[self.content_column]
+        )
         total = int(doc_lens.sum())
         doc_ids = np.asarray(doc_ids, dtype=np.int64)
-
-        if total:
-            enc = flat.dictionary_encode()
-            codes = enc.indices.to_numpy().astype(np.int64)
-            uniq = enc.dictionary.to_pylist()
-        else:
-            codes = np.empty(0, np.int64)
-            uniq = []
 
         # unique token -> index term id (or -1 when filtered)
         term_of: dict[str, int] = {}
@@ -133,9 +127,6 @@ class TokenizePartial:
         doc_starts = np.zeros(len(doc_lens), dtype=np.int64)
         if len(doc_lens) > 1:
             np.cumsum(doc_lens[:-1], out=doc_starts[1:])
-        doc_idx = np.repeat(
-            np.arange(len(doc_lens), dtype=np.int64), doc_lens
-        )
         pos = np.arange(total, dtype=np.int64) - np.repeat(
             doc_starts, doc_lens
         )
