@@ -207,13 +207,37 @@ def encode_posting_blob(
         np.array([df, ctf, bs, len(dir_bytes)], dtype=np.int64)
     )
     # interleave per-block: gaps slice then tfs slice
-    gmv, tmv = memoryview(gap_bytes), memoryview(tf_bytes)
     g0 = np.r_[0, gap_ends[block_ends[:-1] - 1]]
     t0 = np.r_[0, tf_ends[block_ends[:-1] - 1]]
-    payload = b"".join(
-        bytes(gmv[g0[i] : g0[i] + gl[i]]) + bytes(tmv[t0[i] : t0[i] + tl[i]])
-        for i in range(n_blocks)
-    )
+    if n_blocks <= 8:
+        gmv, tmv = memoryview(gap_bytes), memoryview(tf_bytes)
+        payload = b"".join(
+            bytes(gmv[g0[i] : g0[i] + gl[i]]) + bytes(tmv[t0[i] : t0[i] + tl[i]])
+            for i in range(n_blocks)
+        )
+    else:
+        # vectorized slice gather (hot terms have df/128 blocks — a
+        # per-block Python join walks thousands of slices per term):
+        # one combined source buffer, interleaved (start, len) pairs,
+        # then the arange−repeat(out_starts)+repeat(src_starts) idiom.
+        src = np.frombuffer(
+            gap_bytes + tf_bytes, dtype=np.uint8
+        )
+        starts = np.empty(2 * n_blocks, np.int64)
+        starts[0::2] = g0
+        starts[1::2] = t0 + len(gap_bytes)
+        lens = np.empty(2 * n_blocks, np.int64)
+        lens[0::2] = gl
+        lens[1::2] = tl
+        total = int(lens.sum())
+        out_starts = np.zeros(2 * n_blocks, np.int64)
+        np.cumsum(lens[:-1], out=out_starts[1:])
+        idx = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(out_starts, lens)
+            + np.repeat(starts, lens)
+        )
+        payload = src[idx].tobytes()
     return b"".join((header, dir_bytes, payload, pos_bytes))
 
 

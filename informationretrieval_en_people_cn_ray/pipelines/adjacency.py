@@ -39,6 +39,29 @@ def _part_of(parent: int, num_partitions: int) -> int:
     return zlib.crc32(int(parent).to_bytes(8, "little", signed=True)) % num_partitions
 
 
+def _crc32_table() -> np.ndarray:
+    t = np.arange(256, dtype=np.uint32)
+    for _ in range(8):
+        t = np.where(t & 1, np.uint32(0xEDB88320) ^ (t >> np.uint32(1)), t >> np.uint32(1))
+    return t
+
+
+_CRC32_TABLE = _crc32_table()
+
+
+def _parts_of(parents: np.ndarray, num_partitions: int) -> np.ndarray:
+    """Vectorized ``_part_of`` over an int64 column — bit-identical to
+    ``zlib.crc32`` of the 8 little-endian bytes (8 table-lookup passes
+    over the whole column instead of a per-row Python call; this runs
+    once per edge in the corpus-sized ``add_part`` stage)."""
+    b = np.ascontiguousarray(parents, dtype="<i8").view(np.uint8).reshape(-1, 8)
+    crc = np.full(len(parents), 0xFFFFFFFF, np.uint32)
+    for k in range(8):
+        crc = _CRC32_TABLE[(crc ^ b[:, k]) & np.uint32(0xFF)] ^ (crc >> np.uint32(8))
+    crc ^= np.uint32(0xFFFFFFFF)
+    return (crc % np.uint32(num_partitions)).astype(np.int32)
+
+
 def build_adjacency(
     src_parquet: str,
     parent_col: str,
@@ -51,9 +74,7 @@ def build_adjacency(
 
     def add_part(batch: pa.Table) -> pa.Table:
         parents = batch[parent_col].to_numpy()
-        parts = np.array(
-            [_part_of(int(p), num_partitions) for p in parents], np.int32
-        )
+        parts = _parts_of(parents, num_partitions)
         return pa.table(
             {
                 "parent": batch[parent_col],

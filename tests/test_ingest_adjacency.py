@@ -337,3 +337,26 @@ def test_ingest_null_text_is_safe(ray_session, tmp_path):
     ).sort_by("doc_key")
     assert t.num_rows == 2
     assert t["content"].to_pylist() == ["alpha,beta", None]
+
+
+def test_adjacency_vectorized_partition_hash_matches_crc32():
+    """_parts_of (the vectorized add_part hash) must stay bit-identical
+    to _part_of (the scalar read-side hash) or lookups miss partitions."""
+    import numpy as np
+
+    from informationretrieval_en_people_cn_ray.pipelines.adjacency import (
+        _part_of,
+        _parts_of,
+    )
+
+    rng = np.random.default_rng(11)
+    vals = np.concatenate(
+        [
+            rng.integers(-(2**62), 2**62, 2000),
+            np.array([0, -1, 1, 2**62, -(2**62)]),
+        ]
+    ).astype(np.int64)
+    for p in (1, 3, 4, 64):
+        got = _parts_of(vals, p)
+        exp = np.array([_part_of(int(v), p) for v in vals], np.int32)
+        assert (got == exp).all()
