@@ -166,10 +166,6 @@ def _spell_scan(terms, word: str, max_dist: int) -> dict[str, int]:
     return out
 
 
-def _wildcard_scan(terms, rx: re.Pattern) -> list[str]:
-    return [t for t in dict.fromkeys(terms) if rx.match(t)]
-
-
 class _Posting:
     __slots__ = ("doc_ids", "tfs", "positions", "pos_starts", "df", "ctf")
 
@@ -276,7 +272,7 @@ class LocalSegments:
         for seg in range(self.num_segments):
             r = self.reader(seg)
             lo, hi = r.prefix_range(lit)
-            out.extend(_wildcard_scan(r.terms[lo:hi].tolist(), rx))
+            out.extend(_regex_scan(r.terms[lo:hi].tolist(), rx))
         return sorted(dict.fromkeys(out))
 
     def regex_terms(self, pattern: str) -> list[str]:
@@ -558,7 +554,7 @@ class SegmentSearcher:
         for gens in self.readers.values():
             for r in gens:
                 lo, hi = r.prefix_range(lit)
-                out.extend(_wildcard_scan(r.terms[lo:hi].tolist(), rx))
+                out.extend(_regex_scan(r.terms[lo:hi].tolist(), rx))
         return out
 
     def regex_terms(self, pattern: str) -> list[str]:
@@ -1154,7 +1150,18 @@ class SearchEngine:
             )
             pos = p.positions[gidx] - (off - base_off)
             doc_idx = np.repeat(np.arange(len(cand), dtype=np.int64), tf)
-            k = (doc_idx << np.int64(33)) | (pos + np.int64(64))
+            # a negative shifted position can never align with the base
+            # anchor's rows (whose shifted pos == raw pos ≥ 0) — drop it
+            # rather than bias it: a fixed bias underflows for anchors
+            # more than bias tokens into the phrase, and a negative OR
+            # operand sign-extends over the doc_idx bits, colliding keys
+            # across docs
+            ok = pos >= 0
+            if not ok.all():
+                pos, doc_idx = pos[ok], doc_idx[ok]
+                if pos.size == 0:
+                    return np.empty(0, np.int64)
+            k = (doc_idx << np.int64(33)) | pos
             keys = k if keys is None else np.intersect1d(
                 k, keys, assume_unique=True
             )
@@ -1219,10 +1226,18 @@ class SearchEngine:
         kb = (db << np.int64(33)) | pos_b  # sorted: docs asc, pos asc
         INF = np.int64(1) << np.int64(62)
         idx = np.searchsorted(kb, ka)
-        r = np.minimum(idx, len(kb) - 1)
+        # when both inputs analyze to the SAME index term (e.g.
+        # NEAR(run, runs) under stemming) every ka occurrence finds
+        # ITSELF at idx (kb == ka elementwise); the nearest following
+        # DISTINCT occurrence is idx+1 and distance-0 self-pairs must
+        # not count — a doc needs two occurrences to match. Distinct
+        # terms never share a (doc, pos) key, so idx already points
+        # past self there.
+        fwd = idx + 1 if ta[0] == tb[0] else idx
+        r = np.minimum(fwd, len(kb) - 1)
         l = np.maximum(idx - 1, 0)
         d_r = np.where(
-            (idx < len(kb)) & ((kb[r] >> np.int64(33)) == da),
+            (fwd < len(kb)) & ((kb[r] >> np.int64(33)) == da),
             (kb[r] & ((np.int64(1) << 33) - 1)) - pos_a,
             INF,
         )
@@ -1355,7 +1370,22 @@ class SearchEngine:
         # reference's ranked path (``SearchEngine.py:274-276``: union of
         # children's basic_search results), NOT the union of scoring-term
         # postings; for free-text keyword queries the two coincide.
-        arrs = [self._token_docs(tok) for tok in plan.tokens]
+        # Keyword tokens reuse the postings batch-fetched above instead
+        # of re-issuing one _postings_map RPC each (in actor mode that
+        # was N serial round trips re-shipping the same arrays).
+        def _tok_docs(tok: Token) -> np.ndarray:
+            if tok.kind == "keyword":
+                ts = self.az.query_terms(tok.value)
+                if not ts:
+                    return np.empty(0, np.int64)
+                if ts[0] in plists:  # missing key ≠ fetched-and-absent
+                    p = plists[ts[0]]
+                    return (
+                        p.doc_ids if p is not None else np.empty(0, np.int64)
+                    )
+            return self._token_docs(tok)
+
+        arrs = [_tok_docs(tok) for tok in plan.tokens]
         arrs = [a for a in arrs if a.size]
         if not arrs:
             return np.empty(0, np.int64), np.empty(0, np.float64)
@@ -1530,6 +1560,11 @@ class SearchEngine:
             if n_scored >= k:
                 flat = np.concatenate(all_scores)
                 theta = np.partition(flat, len(flat) - k)[len(flat) - k]
+        if not all_docs:
+            # every driving term's (tombstone-filtered) list was empty —
+            # e.g. all matching docs deleted while the terms remain in the
+            # as-built dictionary; mirror ranked()'s empty result
+            return np.empty(0, np.int64), np.empty(0, np.float64)
         return topk(
             np.concatenate(all_docs), np.concatenate(all_scores), k
         )
@@ -1609,10 +1644,13 @@ class SearchEngine:
             and scorer == "bm25"
             and k is not None
             and kw.get("allowed") is None
+            and set(kw) <= {"allowed", "k1", "b"}
             and all(t.kind == "keyword" for t in plan.tokens)
         ):
-            # candidate-restricted search skips MaxScore: the pruning
-            # bounds reason over unrestricted candidate sets
+            # candidate-restricted search skips MaxScore (the pruning
+            # bounds reason over unrestricted candidate sets), and so do
+            # ranked()-only kwargs (boost/cutoff/mu): fall through to the
+            # rank-identical plain scorer rather than TypeError
             kw.pop("allowed", None)
             return self.ranked_pruned(plan, k=k, **kw)
         return self.ranked(plan, k=k, scorer=scorer, **kw)

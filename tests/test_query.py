@@ -682,3 +682,155 @@ def test_explain(engine, oracle):
     ex2 = engine.explain("data AND values")
     assert ex2["kind"] == "boolean"
     assert ("keyword", "data") in ex2["tokens"]
+
+
+# ---------------- round-5 review regressions ---------------------------
+
+
+def test_ranked_pruned_all_candidates_tombstoned(ray_session, tmp_path):
+    """Deleting every doc that contains the query's terms must yield an
+    EMPTY pruned result, not np.concatenate([]) — the terms stay in the
+    as-built dictionary so the pruned path engages, but every
+    tombstone-filtered posting list is empty (default Lucene delete
+    semantics keep pruning live)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from informationretrieval_en_people_cn_ray.pipelines.build import (
+        BuildConfig,
+        build_index,
+    )
+    from informationretrieval_en_people_cn_ray.pipelines.search import (
+        SearchEngine,
+    )
+    from informationretrieval_en_people_cn_ray.state.tombstones import (
+        delete_docs,
+    )
+
+    # 'zebra' df=2 over N=30 keeps df/N under PRUNE_MIN_DF_FRACTION so
+    # the MaxScore loop actually runs (a hot-everywhere term would fall
+    # back to ranked() and never exercise the empty-candidate path)
+    texts = ["zebra unique here", "zebra again there"] + [
+        f"filler words number {i}" for i in range(28)
+    ]
+    c = str(tmp_path / "c")
+    os.makedirs(c)
+    pq.write_table(
+        pa.table({"content": pa.array(texts, pa.string())}),
+        os.path.join(c, "p.parquet"),
+    )
+    idx = str(tmp_path / "i")
+    build_index(c, idx, BuildConfig(num_segments=2, docstat_partitions=1,
+                                    stem=False))
+    delete_docs(idx, [0, 1])
+    eng = SearchEngine(idx, mode="local")
+    ids, sc = eng.ranked_pruned(parse("zebra"), k=3)
+    assert ids.size == 0 and sc.size == 0
+    # and through the public dispatch (QueryEval's default path)
+    ids2, sc2 = eng.search("zebra unique", k=3, prune=True)
+    assert ids2.size == 0 and sc2.size == 0
+
+
+def test_search_prune_with_ranked_only_kwargs(engine):
+    """search(prune=True, boost=...) must fall through to ranked() (which
+    accepts boost/cutoff/mu), not TypeError in ranked_pruned."""
+    bids = np.array([0, 1], np.int64)
+    bw = np.array([2.0, 0.5])
+    a_ids, a_sc = engine.search(
+        "data value", k=5, prune=True, boost=(bids, bw)
+    )
+    b_ids, b_sc = engine.ranked(parse("data value"), k=5, boost=(bids, bw))
+    assert [int(x) for x in a_ids] == [int(x) for x in b_ids]
+    assert np.allclose(a_sc, b_sc, atol=0)
+    # still takes the pruned path when only k1/b are passed
+    c_ids, c_sc = engine.search("data value", k=5, prune=True, k1=1.6)
+    d_ids, d_sc = engine.ranked(parse("data value"), k=5, k1=1.6)
+    assert [int(x) for x in c_ids] == [int(x) for x in d_ids]
+    assert np.allclose(c_sc, d_sc, atol=0)
+
+
+def test_proximity_same_term_needs_two_occurrences(ray_session, tmp_path):
+    """NEAR(a, b) where a and b analyze to the SAME index term must not
+    self-match: a doc with a single occurrence is no hit, and distance
+    comes from two DISTINCT occurrences."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from informationretrieval_en_people_cn_ray.pipelines.build import (
+        BuildConfig,
+        build_index,
+    )
+    from informationretrieval_en_people_cn_ray.pipelines.search import (
+        SearchEngine,
+    )
+
+    texts = [
+        "alpha xx alpha",    # two occurrences, dist 2
+        "alpha only here",   # single occurrence — must NOT match
+        "xx alpha xx xx xx alpha xx alpha",  # dists 4 and 2 → min 2
+    ]
+    c = str(tmp_path / "c")
+    os.makedirs(c)
+    pq.write_table(
+        pa.table({"content": pa.array(texts, pa.string())}),
+        os.path.join(c, "p.parquet"),
+    )
+    idx = str(tmp_path / "i")
+    build_index(c, idx, BuildConfig(num_segments=2, docstat_partitions=1,
+                                    stem=False))
+    eng = SearchEngine(idx, mode="local")
+    ids, dist = eng.proximity("alpha", "alpha", within=3)
+    assert dict(zip(ids.tolist(), dist.tolist())) == {0: 2, 2: 2}
+    # ordered mode: same semantics (next distinct occurrence)
+    ido, disto = eng.proximity("alpha", "alpha", within=4, ordered=True)
+    assert dict(zip(ido.tolist(), disto.tolist())) == {0: 2, 2: 2}
+    # stemmed collision: 'run' and 'runs' share the stem → same rule
+    idx2 = str(tmp_path / "i2")
+    c2 = str(tmp_path / "c2")
+    os.makedirs(c2)
+    pq.write_table(
+        pa.table({"content": pa.array(
+            ["run the runs", "run once"], pa.string())}),
+        os.path.join(c2, "p.parquet"),
+    )
+    build_index(c2, idx2, BuildConfig(num_segments=1, docstat_partitions=1))
+    eng2 = SearchEngine(idx2, mode="local")
+    ids2, dist2 = eng2.proximity("run", "runs", within=5)
+    assert dict(zip(ids2.tolist(), dist2.tolist())) == {0: 2}
+
+
+def test_phrase_long_offset_anchor(ray_session, tmp_path):
+    """Phrases with anchors more than 64 tokens in must verify exactly —
+    the shifted-position keys formerly carried a +64 bias that
+    underflowed (sign-extending over the doc bits) when a late anchor
+    term also occurred near a candidate doc's start."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from informationretrieval_en_people_cn_ray.pipelines.build import (
+        BuildConfig,
+        build_index,
+    )
+    from informationretrieval_en_people_cn_ray.pipelines.search import (
+        SearchEngine,
+    )
+
+    words = [f"tok{i:02d}" for i in range(70)]
+    phrase = " ".join(words)
+    texts = [
+        "tok66 tok67 " + phrase,            # early extras + real match
+        "tok66 tok67 " + " ".join(reversed(words)),  # all terms, no order
+        phrase,                              # plain match
+    ]
+    c = str(tmp_path / "c")
+    os.makedirs(c)
+    pq.write_table(
+        pa.table({"content": pa.array(texts, pa.string())}),
+        os.path.join(c, "p.parquet"),
+    )
+    idx = str(tmp_path / "i")
+    build_index(c, idx, BuildConfig(num_segments=2, docstat_partitions=1,
+                                    stem=False))
+    eng = SearchEngine(idx, mode="local")
+    ids = eng._phrase_docs(phrase)
+    assert ids.tolist() == [0, 2]
