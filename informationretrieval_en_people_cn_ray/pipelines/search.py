@@ -36,7 +36,7 @@ import ray
 from ..functions.scoring import bm25_accumulate, dirichlet_accumulate, topk
 from ..oracle import BM25_K1, BM25_B, DIRICHLET_MU, FREQ_CUTOFF
 from ..queryparse import QueryParseError, QueryPlan, Token, parse
-from ..stages.postings import term_seg
+from ..stages.postings import concat_posting_parts, term_seg
 from ..stages.segments import SegmentReader
 from ..state.manifest import load_json
 from ..text import Analyzer, MAX_STEM_LEN, MIN_STEM_LEN
@@ -393,16 +393,10 @@ class GenerationalSegments:
             return None
         if len(parts) == 1:
             return parts[0]
-        d = np.concatenate([p.doc_ids for p in parts])
-        t = np.concatenate([p.tfs for p in parts])
-        pos = (
-            np.concatenate([p.positions for p in parts])
-            if with_positions
-            else None
+        d, t, pos, ps = concat_posting_parts(
+            [(p.doc_ids, p.tfs, p.positions) for p in parts],
+            with_positions,
         )
-        ps = np.zeros(len(d), dtype=np.int64)
-        if len(t):
-            np.cumsum(t[:-1], out=ps[1:])
         return _Posting(
             d, t, pos, ps,
             sum(p.df for p in parts), sum(p.ctf for p in parts),
@@ -519,16 +513,9 @@ class SegmentSearcher:
             if len(got) == 1:
                 d, t, pos, ps, df, ctf = got[0]
             else:
-                d = np.concatenate([g[0] for g in got])
-                t = np.concatenate([g[1] for g in got])
-                pos = (
-                    np.concatenate([g[2] for g in got])
-                    if with_positions
-                    else None
+                d, t, pos, ps = concat_posting_parts(
+                    [(g[0], g[1], g[2]) for g in got], with_positions
                 )
-                ps = np.zeros(len(d), dtype=np.int64)
-                if len(t):
-                    np.cumsum(t[:-1], out=ps[1:])
                 df = sum(g[4] for g in got)
                 ctf = sum(g[5] for g in got)
             if self.tombstones.size:

@@ -48,6 +48,20 @@ def _exclusive_cumsum(a: np.ndarray) -> np.ndarray:
     return out
 
 
+def concat_posting_parts(parts, with_positions: bool):
+    """Concatenate per-generation/per-blob posting parts (already in
+    ascending disjoint doc-id order) into one posting: returns
+    (doc_ids, tfs, positions|None, pos_starts) with pos_starts rebuilt
+    as the exclusive cumsum of the concatenated tfs. ``parts`` is a
+    list of (doc_ids, tfs, positions|None) triples."""
+    d = np.concatenate([x[0] for x in parts])
+    t = np.concatenate([x[1] for x in parts])
+    pos = (
+        np.concatenate([x[2] for x in parts]) if with_positions else None
+    )
+    return d, t, pos, _exclusive_cumsum(t)
+
+
 def gather_byte_slices(
     buf: np.ndarray, starts: np.ndarray, lens: np.ndarray, order: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -41,7 +41,7 @@ from ..state.manifest import (
     write_json_atomic,
     write_parquet_atomic,
 )
-from .postings import merge_runs
+from .postings import concat_posting_parts, merge_runs
 
 SUMMARY_SCHEMA = pa.schema(
     [
@@ -416,16 +416,9 @@ class SegmentReader:
         if len(parts) == 1:
             d, t, p, ps = parts[0]
             return d, t, p, ps, df, ctf
-        d = np.concatenate([x[0] for x in parts])
-        t = np.concatenate([x[1] for x in parts])
-        p = (
-            np.concatenate([x[2] for x in parts])
-            if with_positions
-            else None
+        d, t, p, ps = concat_posting_parts(
+            [(x[0], x[1], x[2]) for x in parts], with_positions
         )
-        ps = np.zeros(len(d), dtype=np.int64)
-        if len(t):
-            np.cumsum(t[:-1], out=ps[1:])
         return d, t, p, ps, df, ctf
 
     def blob_meta(self, idx: int) -> dict:

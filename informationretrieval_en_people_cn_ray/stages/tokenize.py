@@ -32,7 +32,7 @@ import pyarrow as pa
 
 from ..codec import delta_encode, encode_varints_with_lengths
 from ..text import Analyzer
-from .postings import term_seg_array
+from .postings import _exclusive_cumsum, term_seg_array
 
 DOCSTATS_TERM = "\x00docstats"
 
@@ -124,9 +124,7 @@ class TokenizePartial:
             else:
                 code_to_tid[u_i] = -1
 
-        doc_starts = np.zeros(len(doc_lens), dtype=np.int64)
-        if len(doc_lens) > 1:
-            np.cumsum(doc_lens[:-1], out=doc_starts[1:])
+        doc_starts = _exclusive_cumsum(doc_lens)
         pos = np.arange(total, dtype=np.int64) - np.repeat(
             doc_starts, doc_lens
         )
