@@ -6512,17 +6512,21 @@ def triangle_count(sf_dir: str, with_wedges: bool = False):
     a over out-neighbors (b, c).
 
     Shuffles (all edge-bounded; degrees ride along with the adjacency
-    rows, so NO separate degree table is joined or broadcast):
+    rows, so NO separate degree table is joined or broadcast). Every
+    per-node stage is HASH-BUCKETED on its key node (``% TRI_BUCKETS``)
+    so the UDF runs once per bucket over a sorted multi-key slab —
+    degrees fall out of run lengths and wedges out of segmented pair
+    generation, with zero per-node Python-call or per-node-table cost:
     1. ``groupby(bucket)`` dedups canonical edges inside hash buckets;
-    2. ``groupby(c)`` over both-direction adjacency rows: the group size
-       IS deg(c); re-emit each edge keyed by the OTHER endpoint with
-       deg(c) attached;
-    3. ``groupby(n)``: group size is deg(n); each edge appears here
+    2. ``groupby(cb)`` over both-direction adjacency rows: each node's
+       run length IS deg(c); re-emit each edge keyed by the OTHER
+       endpoint with deg(c) attached;
+    3. ``groupby(cb)``: run length is deg(n); each edge appears here
        twice (once per endpoint), and is emitted exactly once, oriented
        low-rank → high-rank, by keeping only the appearance at its
        higher-rank endpoint;
-    4. ``groupby(lo)`` gathers out-neighbor lists and emits the wedges
-       (canonicalized v1<v2 pairs);
+    4. ``groupby(lob)`` gathers out-neighbor runs and emits the wedges
+       (canonicalized v1<v2 pairs, segmented-vectorized);
     5. wedges ∪ edges ``groupby(bucket)``: inside a bucket the wedge
        (v1,v2) keys probe the sorted edge keys (``searchsorted`` on a
        packed composite), matched wedge counts sum to triangle partials,
@@ -6568,60 +6572,82 @@ def triangle_count(sf_dir: str, with_wedges: bool = False):
 
     def adj_rows(batch: pa.Table) -> pa.Table:
         # every canonical edge (u,v) puts v in u's neighbor list AND u
-        # in v's (undirected adjacency) — group size at the next
-        # groupby is therefore exactly deg(c)
+        # in v's (undirected adjacency); rows are hash-BUCKETED by the
+        # key node so each downstream stage is ONE vectorized UDF call
+        # per bucket (not one per node) while still seeing every row of
+        # each key it owns
         u = batch["u"].to_numpy(zero_copy_only=False)
         v = batch["v"].to_numpy(zero_copy_only=False)
+        c = np.concatenate([u, v])
         return pa.table(
             {
-                "c": pa.array(np.concatenate([u, v]), pa.int64()),
+                "cb": pa.array(c % TRI_BUCKETS, pa.int64()),
+                "c": pa.array(c, pa.int64()),
                 "n": pa.array(np.concatenate([v, u]), pa.int64()),
             }
         )
 
     def attach_deg(group: pa.Table) -> pa.Table:
-        # re-key each edge by the OTHER endpoint, carrying deg(c): edges
-        # are distinct, so this group's row count IS c's degree
+        # one bucket of nodes: sort rows by c, run lengths ARE the
+        # degrees (edges are distinct); re-key every edge by the OTHER
+        # endpoint, carrying deg(c)
         group = group.combine_chunks()
-        c = int(group["c"][0].as_py())
+        c = group["c"].to_numpy(zero_copy_only=False)
         nb = group["n"].to_numpy(zero_copy_only=False)
-        deg_c = np.int64(len(nb))
+        order = np.argsort(c, kind="stable")
+        c, nb = c[order], nb[order]
+        _, counts = np.unique(c, return_counts=True)
+        deg = np.repeat(counts.astype(np.int64), counts)
         return pa.table(
             {
+                "cb": pa.array(nb % TRI_BUCKETS, pa.int64()),
                 "c": pa.array(nb, pa.int64()),
-                "n": pa.array(np.full(len(nb), c, np.int64), pa.int64()),
-                "nd": pa.array(np.full(len(nb), deg_c, np.int64), pa.int64()),
+                "n": pa.array(c, pa.int64()),
+                "nd": pa.array(deg, pa.int64()),
             }
         )
 
     def orient(group: pa.Table) -> pa.Table:
-        # group key is node n with deg(n) = group size; each row is an
+        # one bucket of nodes n (run length = deg(n)); each row is an
         # incident edge (other endpoint `o`, deg(o)). Emit the edge
         # oriented low-rank → high-rank, only at its HIGHER-rank
         # endpoint, so each undirected edge is emitted exactly once.
         group = group.combine_chunks()
-        nnode = int(group["c"][0].as_py())
+        nnode = group["c"].to_numpy(zero_copy_only=False)
         o = group["n"].to_numpy(zero_copy_only=False)
         od = group["nd"].to_numpy(zero_copy_only=False)
-        nd = np.int64(len(o))
+        order = np.argsort(nnode, kind="stable")
+        nnode, o, od = nnode[order], o[order], od[order]
+        _, counts = np.unique(nnode, return_counts=True)
+        nd = np.repeat(counts.astype(np.int64), counts)
         lower = (od < nd) | ((od == nd) & (o < nnode))
-        lo = o[lower]
+        lo, hi = o[lower], nnode[lower]
         return pa.table(
             {
+                "lob": pa.array(lo % TRI_BUCKETS, pa.int64()),
                 "lo": pa.array(lo, pa.int64()),
-                "hi": pa.array(
-                    np.full(len(lo), nnode, np.int64), pa.int64()
-                ),
+                "hi": pa.array(hi, pa.int64()),
             }
         )
 
     def wedges(group: pa.Table) -> pa.Table:
+        # one bucket of low-rank nodes: wedges are all out-neighbor
+        # pairs within each lo-run. Sorting by (lo, hi) makes every
+        # run's neighbors sorted+distinct (orient emits each edge once),
+        # so pairing each row with all EARLIER rows of its run yields
+        # canonical v1<v2 pairs — fully segmented-vectorized, no
+        # per-node Python. A hot hub has ~no out-edges under the
+        # (degree, id) rank, so it contributes ~no pairs.
         group = group.combine_chunks()
-        # out-neighbors under the (degree, id) rank — a hot hub has ~no
-        # out-edges, so it emits ~no wedges; canonicalize pairs v1<v2
-        # to match the canonical edge keys at the probe
-        nb = np.unique(group["hi"].to_numpy(zero_copy_only=False))
-        if nb.size < 2:
+        lo = group["lo"].to_numpy(zero_copy_only=False)
+        hi = group["hi"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((hi, lo))
+        lo, hi = lo[order], hi[order]
+        _, starts, counts = np.unique(lo, return_index=True, return_counts=True)
+        # local index of each row inside its run = #earlier rows it pairs with
+        jloc = np.arange(lo.size) - np.repeat(starts, counts)
+        total = int(jloc.sum())
+        if total == 0:
             return pa.table(
                 {
                     "bucket": pa.array([], pa.int64()),
@@ -6631,8 +6657,11 @@ def triangle_count(sf_dir: str, with_wedges: bool = False):
                     "side": pa.array([], pa.int8()),
                 }
             )
-        i, j = np.triu_indices(nb.size, k=1)
-        w1, w2 = nb[i], nb[j]
+        w2 = np.repeat(hi, jloc)  # the later (larger) element of each pair
+        off = np.concatenate(([0], np.cumsum(jloc)[:-1]))
+        run_start = np.repeat(starts, counts)
+        idx = np.arange(total) - np.repeat(off, jloc) + np.repeat(run_start, jloc)
+        w1 = hi[idx]  # the earlier (smaller) element
         return pa.table(
             {
                 "bucket": pa.array(
@@ -6682,11 +6711,11 @@ def triangle_count(sf_dir: str, with_wedges: bool = False):
 
     wedge_ds = (
         edges.map_batches(adj_rows, batch_format="pyarrow")
-        .groupby("c")
+        .groupby("cb")
         .map_groups(attach_deg, batch_format="pyarrow")
-        .groupby("c")
+        .groupby("cb")
         .map_groups(orient, batch_format="pyarrow")
-        .groupby("lo")
+        .groupby("lob")
         .map_groups(wedges, batch_format="pyarrow")
     )
     n_wedges = None

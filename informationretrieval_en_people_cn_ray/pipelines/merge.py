@@ -49,6 +49,7 @@ from ..state.manifest import (
     fingerprint,
     load_json,
     partition_complete,
+    sweep_stale_tmp,
     unique_tmp,
     write_bytes_atomic,
     write_json_atomic,
@@ -343,6 +344,7 @@ class _MergeSegment:
             )
         compacting = any(t.size for t in self.tombs)
         os.makedirs(d, exist_ok=True)
+        sweep_stale_tmp(d)  # reclaim orphans from a killed prior merge
         tmp_bin = unique_tmp(os.path.join(d, "postings.bin"))
         tabs: list[pa.Table] = []
         offset = 0
@@ -428,6 +430,7 @@ class _CopyDocstats:
         if partition_complete(d, self.merge_fp):
             m = load_json(os.path.join(d, "manifest.json"))
             return self._summary(part, m["n_docs"], m["tokens"], m["bytes"], d, True)
+        sweep_stale_tmp(d)
         src_man = load_json(os.path.join(src, "manifest.json")) or {}
         tomb = self.tombs_by_gen.get(gen, np.empty(0, np.int64))
         src_pq = os.path.join(src, "docstats.parquet")

@@ -420,16 +420,27 @@ def _lzw_decode(data: bytes, mcs: int) -> np.ndarray:
     char[:clear] = np.arange(clear, dtype=np.uint8)
 
     out = bytearray()
-    buf = int.from_bytes(data, "little")  # whole stream as one int (LSB first)
-    nbits = len(data) * 8
-    pos = 0
+    # Rolling LSB-first bit accumulator: acc never holds more than
+    # codesize+7 <= 19 bits, so decode is linear in the stream length
+    # (a whole-stream big-int shifted per code would be quadratic).
+    acc = 0
+    accbits = 0
+    nbytes = len(data)
+    i = 0
     codesize = mcs + 1
     next_code = end + 1
     prev = -1
     stack = bytearray(4097)
-    while pos + codesize <= nbits:
-        code = (buf >> pos) & ((1 << codesize) - 1)
-        pos += codesize
+    while True:
+        while accbits < codesize and i < nbytes:
+            acc |= data[i] << accbits
+            accbits += 8
+            i += 1
+        if accbits < codesize:
+            break
+        code = acc & ((1 << codesize) - 1)
+        acc >>= codesize
+        accbits -= codesize
         if code == clear:
             codesize = mcs + 1
             next_code = end + 1

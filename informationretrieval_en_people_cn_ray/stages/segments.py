@@ -37,6 +37,7 @@ from ..codec import encode_posting_blob
 from ..state.manifest import (
     load_json,
     partition_complete,
+    sweep_stale_tmp,
     write_bytes_atomic,
     write_json_atomic,
     write_parquet_atomic,
@@ -150,6 +151,7 @@ class SegmentBuilder:
         d = seg_dir(self.out_dir, seg)
         if partition_complete(d, self.build_fp):
             return self._skip_summary(seg, "postings", d)
+        sweep_stale_tmp(d)  # reclaim orphans from a killed prior build
 
         t_setup0 = time.monotonic()
         terms = np.asarray(group["term"].to_pylist(), dtype=object)
@@ -264,6 +266,7 @@ class SegmentBuilder:
         d = docstat_dir(self.out_dir, part)
         if partition_complete(d, self.build_fp):
             return self._skip_summary(part, "docstats", d)
+        sweep_stale_tmp(d)
         # NB: ListArray.values spans the WHOLE child buffer even for sliced
         # arrays — window it with the offsets or neighboring groups' rows
         # leak in

@@ -66,6 +66,31 @@ def unique_tmp(path: str) -> str:
     return tmp
 
 
+def sweep_stale_tmp(part_dir: str, max_age_s: float = 600.0) -> int:
+    """Remove orphaned ``*.tmp`` siblings left in ``part_dir`` by a
+    writer killed mid-write. ``unique_tmp`` names are collision-free by
+    design, so no later run ever reuses (or overwrites) an orphan — a
+    crash/resume cycle would otherwise leak one full-size file per kill.
+    Only files idle for ``max_age_s`` are removed: a concurrent retry
+    twin that is still streaming bytes keeps its tmp's mtime fresh.
+    Call this when (re)building a partition whose manifest is absent or
+    stale — never on a completed partition's hot path. Returns the
+    number of files removed."""
+    import glob
+    import time
+
+    removed = 0
+    now = time.time()
+    for tmp in glob.glob(os.path.join(part_dir, "*.tmp")):
+        try:
+            if now - os.path.getmtime(tmp) >= max_age_s:
+                os.unlink(tmp)
+                removed += 1
+        except OSError:
+            pass  # vanished (concurrent sweep) or still being renamed
+    return removed
+
+
 def write_parquet_atomic(path: str, table: Any) -> None:
     """``pq.write_table`` via unique-tmp + rename (the same contract as
     ``write_json_atomic``)."""

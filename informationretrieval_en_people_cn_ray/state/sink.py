@@ -38,7 +38,12 @@ import pyarrow.parquet as pq
 import ray.data
 
 from ..functions.hashing import hash_strings_u64, splitmix64
-from .manifest import load_json, partition_complete, write_json_atomic
+from .manifest import (
+    load_json,
+    partition_complete,
+    sweep_stale_tmp,
+    write_json_atomic,
+)
 
 _PART_COL = "__sink_part"
 
@@ -128,6 +133,7 @@ def write_partitioned(
             part = int(group[_PART_COL][0].as_py())
             d = _part_dir(out_dir, part)
             os.makedirs(d, exist_ok=True)
+            sweep_stale_tmp(d)  # reclaim orphans from a killed writer
             tbl = group.drop_columns([_PART_COL])
             fd, tmp = tempfile.mkstemp(dir=d, suffix=".parquet.tmp")
             os.close(fd)

@@ -171,3 +171,32 @@ def test_check_generations(clean_index, tmp_path, capsys):
     assert main(["check", ",".join(gens)]) == 0
     out = json.loads(capsys.readouterr().out.strip())
     assert out["ok"] and out["generations"] == 2
+
+
+def test_stale_tmp_swept_on_rebuild(clean_index, tmp_path):
+    """A *.tmp orphan left by a killed writer is reclaimed when the
+    partition rebuilds (manifest stale), kept while fresh (concurrent
+    twin), and never touched on the completed-partition skip path."""
+    from informationretrieval_en_people_cn_ray.state.manifest import (
+        sweep_stale_tmp,
+    )
+
+    d = _copy(clean_index, tmp_path)
+    seg = os.path.join(d, "seg=00000")
+    assert os.path.isdir(seg)
+    orphan = os.path.join(seg, "postings.bin.abc123.tmp")
+    with open(orphan, "wb") as f:
+        f.write(b"\0" * 4096)
+
+    # fresh mtime → kept (could be a live retry twin's in-flight file)
+    assert sweep_stale_tmp(seg, max_age_s=600) == 0
+    assert os.path.exists(orphan)
+
+    # idle past the grace period → removed
+    old = os.path.getmtime(orphan) - 3600
+    os.utime(orphan, (old, old))
+    assert sweep_stale_tmp(seg, max_age_s=600) == 1
+    assert not os.path.exists(orphan)
+
+    # missing directory is a no-op, not an error
+    assert sweep_stale_tmp(os.path.join(d, "nope"), max_age_s=0) == 0
