@@ -2067,8 +2067,13 @@ def range_join_count(sf_dir: str, scale: float = 1000.0, width: float = 5000.0):
             }
         )
 
-    both = ev.map_batches(ev_rows, batch_format="pyarrow").union(
-        orders.map_batches(ord_rows, batch_format="pyarrow")
+    both = _coalesced(
+        ev.map_batches(ev_rows, batch_format="pyarrow").union(
+            orders.map_batches(ord_rows, batch_format="pyarrow")
+        ),
+        sf_dir,
+        "events",
+        expansion=1.2,  # ≤2 replicas per event, plus the order rows
     )
 
     def bucket_count(group: pa.Table) -> pa.Table:
@@ -2609,15 +2614,22 @@ def _asof_by_time(sf_dir: str, evn, orn, time_ranges: int):
             }
         )
 
+    # see the forward twin: coalesce the sliver-block unions to
+    # input-footprint-sized blocks before each Sort
     carry = (
-        orn_tagged.map_batches(lexmax_partial, batch_format="pyarrow")
+        _coalesced(
+            orn_tagged.map_batches(lexmax_partial, batch_format="pyarrow"),
+            sf_dir,
+            "orders",
+        )
         .map_batches(_asof_add_bucket, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(carries, batch_format="pyarrow")
     )
     both = evn_tagged.union(orn_tagged).union(carry)
     return (
-        both.map_batches(
+        _coalesced(both, sf_dir, "events", expansion=1.2)
+        .map_batches(
             _asof_add_bucket, fn_kwargs=dict(with_rng=True),
             batch_format="pyarrow",
         )
@@ -7955,12 +7967,20 @@ def _asof_forward_by_time(sf_dir: str, probes, builds, R: int):
             }
         )
 
+    # both unions arrive as hundreds of sliver blocks (64-block scans ×
+    # 3 branches); coalesce them to input-footprint-sized blocks before
+    # each Sort or the all-to-all's per-task overhead dominates (the
+    # per-batch partials make the carry union tiny — floor blocks)
     carry = (
-        builds_tagged.map_batches(lexmin_partial, batch_format="pyarrow")
-        .union(
-            probes_tagged.map_batches(
-                probe_ranges_partial, batch_format="pyarrow"
-            )
+        _coalesced(
+            builds_tagged.map_batches(lexmin_partial, batch_format="pyarrow")
+            .union(
+                probes_tagged.map_batches(
+                    probe_ranges_partial, batch_format="pyarrow"
+                )
+            ),
+            sf_dir,
+            "orders",
         )
         .map_batches(_asof_add_bucket, batch_format="pyarrow")
         .groupby("bucket")
@@ -7968,7 +7988,8 @@ def _asof_forward_by_time(sf_dir: str, probes, builds, R: int):
     )
     both = probes_tagged.union(builds_tagged).union(carry)
     return (
-        both.map_batches(
+        _coalesced(both, sf_dir, "lineitem", expansion=1.2)
+        .map_batches(
             _asof_add_bucket, fn_kwargs=dict(with_rng=True),
             batch_format="pyarrow",
         )

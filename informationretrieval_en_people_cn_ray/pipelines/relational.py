@@ -33,7 +33,7 @@ import ray
 import ray.data
 
 from ..datactx import unreserved
-from .datapipe import _to_table, round4
+from .datapipe import _coalesced, _to_table, round4
 
 # Fixed pipeline constants — shared with the SQL oracles in
 # __ray_entry__.py (change together or the driver's value-hash breaks).
@@ -528,7 +528,7 @@ def top_revenue_orders(sf_dir: str):
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
     ).map_batches(order_rows, batch_format="pyarrow")
     qualified = (
-        orders.union(cust)
+        _coalesced(orders.union(cust), sf_dir, "orders", expansion=0.5)
         .groupby("bucket")
         .map_groups(semi, batch_format="pyarrow")
     )
@@ -538,7 +538,9 @@ def top_revenue_orders(sf_dir: str):
         key_bloom=_orderkey_bloom(sf_dir, 0, seg_date),
     )
     per_bucket = (
-        rev.union(qualified)
+        # revenue partials + qualified-order sliver: coalesce the
+        # sliver-block union before the Sort (see _coalesced)
+        _coalesced(rev.union(qualified), sf_dir, "orders", expansion=0.5)
         .groupby("bucket")
         .map_groups(join_topn, batch_format="pyarrow")
     )
@@ -642,12 +644,12 @@ def revenue_by_nation(sf_dir: str):
     ).map_batches(cust_rows, batch_format="pyarrow")
 
     by_cust = (
-        rev.union(orders)
+        _coalesced(rev.union(orders), sf_dir, "orders", expansion=0.5)
         .groupby("bucket")
         .map_groups(_probe_sum_regroup, batch_format="pyarrow")
     )
     by_nation = (
-        by_cust.union(cust)
+        _coalesced(by_cust.union(cust), sf_dir, "customer", expansion=0.5)
         .groupby("bucket")
         .map_groups(_probe_sum_regroup, batch_format="pyarrow")
     )
@@ -999,10 +1001,14 @@ def big_orders(sf_dir: str):
         )
 
     survivors = (
-        ray.data.read_parquet(
-            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+        _coalesced(
+            ray.data.read_parquet(
+                f"{sf_dir}/lineitem.parquet",
+                columns=["l_orderkey", "l_quantity"],
+            ).map_batches(qty_rows, batch_format="pyarrow"),
+            sf_dir,
+            "lineitem",
         )
-        .map_batches(qty_rows, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(sum_having, batch_format="pyarrow")
         .materialize()  # selectivity-bounded sliver; feeds bloom + join
@@ -1018,7 +1024,9 @@ def big_orders(sf_dir: str):
         order_rows, batch_format="pyarrow", fn_args=(ok_bloom,)
     )
     with_orders = (
-        orders.union(survivors)
+        # bloom-prefiltered orders + survivor sliver: a few MB in ~70
+        # sliver blocks — coalesce before the Sort
+        _coalesced(orders.union(survivors), sf_dir, "orders", expansion=0.1)
         .groupby("bucket")
         .map_groups(join_orders, batch_format="pyarrow")
         .materialize()  # output-sized; feeds the custkey bloom + join
@@ -1028,7 +1036,7 @@ def big_orders(sf_dir: str):
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
     ).map_batches(cust_rows, batch_format="pyarrow", fn_args=(ck_bloom,))
     return (
-        with_orders.union(cust)
+        _coalesced(with_orders.union(cust), sf_dir, "customer", expansion=0.5)
         .groupby("bucket")
         .map_groups(join_customer, batch_format="pyarrow")
     )
