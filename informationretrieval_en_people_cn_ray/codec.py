@@ -37,6 +37,33 @@ _U64 = np.uint64
 _MAX_VARINT_BYTES = 10
 
 
+def _varint_ready(values: np.ndarray) -> np.ndarray:
+    """Shared encode-side normalization: contiguous, unsigned, and in
+    uint32 when every value fits (half the memory traffic of uint64).
+    Rejects negatives — a silent uint cast would emit a 10-byte varint
+    the decoder reads back as a huge positive."""
+    v = np.ascontiguousarray(values)
+    if v.size and v.dtype != _U64 and v.dtype != np.uint32:
+        mx = int(v.max())
+        if int(v.min()) < 0:
+            raise ValueError("negative value in varint encode")
+        v = v.astype(np.uint32 if mx < (1 << 32) else _U64)
+    return v
+
+
+def _varint_nbytes(v: np.ndarray) -> np.ndarray:
+    """Encoded byte length per value: ceil(bit_length/7), min 1 — the
+    ONE copy of the length loop (encoder and varint_lengths both use
+    it, so the two can never disagree on offsets)."""
+    dt = v.dtype.type
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    shifted = v >> dt(7)
+    while np.any(shifted):
+        nbytes += (shifted != 0).astype(np.int64)
+        shifted >>= dt(7)
+    return nbytes
+
+
 def encode_varints_with_lengths(
     values: np.ndarray,
 ) -> tuple[bytes, np.ndarray]:
@@ -47,23 +74,12 @@ def encode_varints_with_lengths(
     Works in uint32 when all values fit (half the memory traffic of the
     uint64 path — this stage is bandwidth-bound under full-node
     concurrency, so dtype width is wall-clock)."""
-    v = np.ascontiguousarray(values)
+    v = _varint_ready(values)
     if v.size == 0:
         return b"", np.empty(0, np.int64)
-    if v.dtype != _U64 and v.dtype != np.uint32:
-        mx = int(v.max()) if v.size else 0
-        mn = int(v.min()) if v.size else 0
-        if mn < 0:
-            raise ValueError("negative value in varint encode")
-        v = v.astype(np.uint32 if mx < (1 << 32) else _U64)
     dt = v.dtype.type
     seven = dt(7)
-    # bytes needed per value: ceil(bit_length/7), min 1
-    nbytes = np.ones(v.shape, dtype=np.int64)
-    shifted = v >> seven
-    while np.any(shifted):
-        nbytes += (shifted != 0).astype(np.int64)
-        shifted >>= seven
+    nbytes = _varint_nbytes(v)
     ends = np.cumsum(nbytes)
     total = int(ends[-1])
     starts = ends - nbytes
@@ -350,14 +366,7 @@ def decode_posting_blocks(
 
 def varint_lengths(values: np.ndarray) -> np.ndarray:
     """Encoded byte length per value (used to compute per-doc position
-    byte-slice lengths without re-encoding)."""
-    v = np.ascontiguousarray(values)
-    if v.dtype != _U64 and v.dtype != np.uint32:
-        v = v.astype(_U64)
-    dt = v.dtype.type
-    nbytes = np.ones(v.shape, dtype=np.int64)
-    shifted = v >> dt(7)
-    while np.any(shifted):
-        nbytes += (shifted != 0).astype(np.int64)
-        shifted >>= dt(7)
-    return nbytes
+    byte-slice lengths without re-encoding) — same normalization and
+    length loop as the encoder, so offsets computed from these lengths
+    always match what encode would produce."""
+    return _varint_nbytes(_varint_ready(values))

@@ -72,8 +72,24 @@ class BuildConfig:
     # concatenation. Ignored when doc_id_column is set.
     doc_id_base: int = 0
 
+    # knobs that change HOW the build executes but provably not the
+    # bytes it writes (merge order is deterministic by doc id whatever
+    # the task sizing or salting — gated by the salted==unsalted
+    # byte-identity test). Excluded from the fingerprint so retuning a
+    # performance knob never forces a full rebuild of an identical index.
+    _EXEC_ONLY = (
+        "fragments_per_task",
+        "tokenize_concurrency",
+        "tokenize_num_cpus",
+        "reduce_num_cpus",
+        "salt",
+    )
+
     def key(self) -> dict:
-        return asdict(self)
+        d = asdict(self)
+        for k in self._EXEC_ONLY:
+            d.pop(k, None)
+        return d
 
 
 class _PreMerge:
@@ -180,11 +196,11 @@ def _add_salt_key(batch: pa.Table, salt: int) -> pa.Table:
     docstats → wrong BM25/Dirichlet doc lengths downstream). Total group
     count is (num_segments + docstat_partitions) · salt — a bounded,
     scale-independent shuffle fan-in (NOT |vocab|·salt)."""
+    from ..stages.segments import _list_views
+
     batch = batch.combine_chunks()
-    col = batch["doc_ids"]
-    arr = col.chunk(0) if hasattr(col, "chunk") else col
-    vals = arr.values.to_numpy(zero_copy_only=False)
-    offs = arr.offsets.to_numpy().astype(np.int64)
+    vals, offs = _list_views(batch["doc_ids"])
+    offs = offs.astype(np.int64)
     lens = np.diff(offs)
     if len(vals):
         starts = np.minimum(offs[:-1], len(vals) - 1)
@@ -259,19 +275,16 @@ def _build_index_inner(
     coll_path: str,
     t0: float,
 ) -> dict:
-    files = corpus_files(corpus_path)
     columns = [config.content_column]
-    # only fetch the sha column if we'll verify it
-    import pyarrow.parquet as pq
-
-    # probe every file's footer (the fragment plan already read them all):
-    # a mixed corpus must not silently skip the invariant nor crash mid-build
-    sha_flags = [
-        "content_sha256" in pq.read_schema(f).names for f in files
-    ]
-    have_sha = all(sha_flags)
-    if config.verify_sha and any(sha_flags) and not have_sha:
-        missing = [f for f, ok in zip(files, sha_flags) if not ok][:3]
+    # sha probe from the fragment plan (the plan read every footer once
+    # — no second listing or footer pass): a mixed corpus must not
+    # silently skip the invariant nor crash mid-build
+    sha_by_file: dict[str, bool] = {}
+    for entry in plan:
+        sha_by_file[entry["file"]] = bool(entry.get("has_sha", False))
+    have_sha = all(sha_by_file.values())
+    if config.verify_sha and any(sha_by_file.values()) and not have_sha:
+        missing = [f for f, ok in sha_by_file.items() if not ok][:3]
         raise ValueError(
             "corpus carries content_sha256 in only some files — cannot "
             f"verify the sha invariant consistently (missing in {missing})"

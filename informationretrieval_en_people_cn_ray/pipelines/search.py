@@ -290,7 +290,7 @@ class LocalSegments:
     def spell_candidates(self, word: str, max_dist: int) -> dict[str, int]:
         out: dict[str, int] = {}
         for seg in range(self.num_segments):
-            out.update(_spell_scan(self.reader(seg).terms.tolist(), word, max_dist))
+            out.update(_spell_scan(self.reader(seg).terms_list(), word, max_dist))
         return out
 
     def term_meta(self, term: str) -> tuple[int, int, int] | None:
@@ -559,7 +559,7 @@ class SegmentSearcher:
         out: dict[str, int] = {}
         for gens in self.readers.values():
             for r in gens:
-                out.update(_spell_scan(r.terms.tolist(), word, max_dist))
+                out.update(_spell_scan(r.terms_list(), word, max_dist))
         return out
 
     def term_meta_many(self, terms: list[tuple[str, int]]):
@@ -721,8 +721,27 @@ class DocStats:
             self.doc_lens = np.empty(0, np.int64)
 
     def lens_for(self, doc_ids: np.ndarray) -> np.ndarray:
+        if doc_ids.size == 0:
+            return np.empty(0, self.doc_lens.dtype)
         idx = np.searchsorted(self.doc_ids, doc_ids)
-        return self.doc_lens[idx]
+        # an unguarded gather would crash on an id past the last docstat
+        # and silently return a NEIGHBOR's length for an in-range missing
+        # id (mis-scoring that doc) — candidates must come from postings
+        # or a pre-filtered adjacency, so a miss here is index corruption
+        clamped = np.minimum(idx, self.doc_ids.size - 1)
+        if self.doc_ids.size == 0 or not np.all(
+            self.doc_ids[clamped] == doc_ids
+        ):
+            missing = (
+                doc_ids[self.doc_ids[clamped] != doc_ids][:5].tolist()
+                if self.doc_ids.size
+                else doc_ids[:5].tolist()
+            )
+            raise ValueError(
+                f"candidate doc ids {missing} have no docstat entry — "
+                "stale adjacency/index pair or corrupt docstats"
+            )
+        return self.doc_lens[clamped]
 
 
 def min_tf_for_bound(
@@ -808,17 +827,22 @@ class SearchEngine:
             if isinstance(self.local, GenerationalSegments)
             else [self.local.tombstones]
         )
-        tombs = np.concatenate(tomb_sets)
+        from ..state.tombstones import in_sorted
+
+        tombs = np.sort(np.concatenate(tomb_sets))
+        # kept for the query paths that take RAW doc ids (ReplyTo
+        # adjacency children) — posting reads filter tombstones at the
+        # decode layer, but adjacency edges never pass through it
+        self._tombs = tombs
         self._exact_stats = bool(exact_delete_stats) and tombs.size > 0
         if self._exact_stats:
             # subtract the tombstoned docs' counts/lengths from the
             # collection stats (doc ids are still physically present in
             # the docstat arrays until compaction, so lookups are exact)
-            idx = np.searchsorted(self.stats.doc_ids, tombs)
-            ok = idx < self.stats.doc_ids.size
-            ok[ok] &= self.stats.doc_ids[idx[ok]] == tombs[ok]
+            ok = in_sorted(self.stats.doc_ids, tombs)
+            idx = np.searchsorted(self.stats.doc_ids, tombs[ok])
             self.N -= int(ok.sum())
-            self.C -= int(self.stats.doc_lens[idx[ok]].sum())
+            self.C -= int(self.stats.doc_lens[idx].sum())
             self.avgdl = (self.C / self.N) if self.N else 0.0
         self.mode = mode
         self.actors = []
@@ -854,6 +878,17 @@ class SearchEngine:
     def _postings_map(
         self, terms: list[str], with_positions: bool = False
     ) -> dict[str, _Posting | None]:
+        if with_positions and not self.manifest.get("config", {}).get(
+            "store_positions", True
+        ):
+            # without this gate a phrase/proximity query dies in an
+            # opaque numpy IndexError (empty positions, non-empty tfs)
+            raise ValueError(
+                "this index was built with store_positions=False — "
+                "phrase, phrase-prefix and proximity queries need "
+                "positional postings; rebuild with "
+                "BuildConfig(store_positions=True)"
+            )
         terms = list(dict.fromkeys(terms))
         if self.mode != "actors":
             return {t: self.local.postings(t, with_positions) for t in terms}
@@ -1289,7 +1324,20 @@ class SearchEngine:
                     "with pipelines.adjacency.build_adjacency (the "
                     "reference's reply_to_index, SURVEY.md §2.4 J4)."
                 )
-            return np.sort(self.adjacency.children(int(tok.value)))
+            from ..state.tombstones import in_sorted
+
+            docs = np.sort(
+                self.adjacency.children(int(tok.value)).astype(np.int64)
+            )
+            # adjacency edges are raw ids that never pass the posting
+            # decode layer: enforce the delete contract here (results
+            # never contain a tombstoned doc). Ids NOT in this index
+            # (adjacency over a foreign key space) stay — boolean
+            # algebra over adjacency is a pure id-set operation; the
+            # ranked scorer drops unscorable candidates itself.
+            if self._tombs.size and docs.size:
+                docs = docs[~in_sorted(self._tombs, docs)]
+            return docs
         raise QueryParseError(f"unknown token kind {tok.kind}")
 
     # ---- public API ----------------------------------------------------
@@ -1382,6 +1430,17 @@ class SearchEngine:
             cand = np.intersect1d(cand, np.asarray(allowed, np.int64))
             if not cand.size:
                 return np.empty(0, np.int64), np.empty(0, np.float64)
+        if any(t.kind == "replyto" for t in plan.tokens):
+            # adjacency candidates may carry ids this index has never
+            # seen (foreign key space / dangling edges) — they have no
+            # doc length and no terms, so they are unscorable: drop them
+            # instead of crashing lens_for or borrowing a neighbor's
+            # length. Posting-derived candidates always pass.
+            from ..state.tombstones import in_sorted
+
+            cand = cand[in_sorted(self.stats.doc_ids, cand)]
+            if not cand.size:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
         scores = np.zeros(len(cand), dtype=np.float64)
         lens = self.stats.lens_for(cand)
         for t in terms:  # query-term order = deterministic float order
@@ -1400,10 +1459,13 @@ class SearchEngine:
                 raise ValueError(f"unknown scorer {scorer}")
         if boost is not None:
             bids, bw = boost
-            idx = np.searchsorted(bids, cand)
-            idx[idx >= bids.size] = max(bids.size - 1, 0)
             if bids.size:
-                hit = bids[idx] == cand
+                from ..state.tombstones import in_sorted
+
+                hit = in_sorted(bids, cand)
+                idx = np.minimum(
+                    np.searchsorted(bids, cand), bids.size - 1
+                )
                 scores = scores * np.where(hit, bw[idx], 1.0)
         return topk(cand, scores, k)
 

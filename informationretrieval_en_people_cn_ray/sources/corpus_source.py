@@ -46,14 +46,27 @@ def corpus_files(path: str) -> list[str]:
 
 
 def fragment_plan(path: str) -> list[dict]:
-    """[{file, row_group, base, num_rows}] with global base offsets."""
+    """[{file, row_group, base, num_rows, has_sha}] with global base
+    offsets. ``has_sha`` (does the file carry ``content_sha256``) rides
+    along because this footer is ALREADY open here — the build's sha
+    probe would otherwise re-read every footer a second time."""
     plan: list[dict] = []
     base = 0
     for f in corpus_files(path):
-        md = pq.ParquetFile(f).metadata
+        pf = pq.ParquetFile(f)
+        md = pf.metadata
+        has_sha = "content_sha256" in pf.schema_arrow.names
         for rg in range(md.num_row_groups):
             n = md.row_group(rg).num_rows
-            plan.append({"file": f, "row_group": rg, "base": base, "num_rows": n})
+            plan.append(
+                {
+                    "file": f,
+                    "row_group": rg,
+                    "base": base,
+                    "num_rows": n,
+                    "has_sha": has_sha,
+                }
+            )
             base += n
     return plan
 

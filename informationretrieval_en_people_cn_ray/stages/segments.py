@@ -378,6 +378,15 @@ class SegmentReader:
         ) if self.size.sum() else np.empty(0, np.uint8)
         self._decoded: dict[int, tuple] = {}
         self._meta: dict[int, dict] = {}  # blob block directories (tiny)
+        self._terms_list: list[str] | None = None
+
+    def terms_list(self) -> list[str]:
+        """The dictionary as a plain list, converted once — spell/fuzzy
+        scans walk the WHOLE vocabulary per query, and the per-call
+        object-array→list conversion dominated the scan itself."""
+        if self._terms_list is None:
+            self._terms_list = self.terms.tolist()
+        return self._terms_list
 
     def postings_decoded(self, idx: int, with_positions: bool = False) -> tuple:
         """(doc_ids, tfs, positions|None, pos_starts) for ONE blob row,

@@ -147,6 +147,13 @@ def test_salted_build_identical(ray_session, corpus_dir, index_dir, tmp_path):
     )
     assert _read_full_index(index_dir, 4) == _read_full_index(d2, 4)
     assert _read_docstats(index_dir, 2) == _read_docstats(d2, 2)
+    # BYTE identity of the posting blobs — the guarantee that lets
+    # exec-only knobs (salt, task sizing) stay out of the build
+    # fingerprint: retuning them must never force a rebuild
+    for seg in range(4):
+        b1 = open(os.path.join(index_dir, f"seg={seg:05d}", "postings.bin"), "rb").read()
+        b2 = open(os.path.join(d2, f"seg={seg:05d}", "postings.bin"), "rb").read()
+        assert b1 == b2, f"salted build changed postings bytes in seg {seg}"
     # and the query path over the salted index works end-to-end (the
     # historical failure mode was an IndexError in DocStats.lens_for)
     from informationretrieval_en_people_cn_ray.pipelines.search import (
@@ -158,6 +165,36 @@ def test_salted_build_identical(ray_session, corpus_dir, index_dir, tmp_path):
     ids2, s2 = e2.search("the data value", k=10)
     assert [int(x) for x in ids1] == [int(x) for x in ids2]
     assert np.allclose(s1, s2, atol=0)
+
+
+def test_exec_knobs_do_not_refingerprint(ray_session, corpus_dir, tmp_path):
+    """Changing a performance-only knob (task sizing, salt) must reuse
+    the existing index via the collection.json short-circuit; changing a
+    content knob (stem) must not."""
+    d = str(tmp_path / "idx_fp")
+    m1 = build_index(
+        corpus_dir, d, BuildConfig(num_segments=4, docstat_partitions=2)
+    )
+    m2 = build_index(
+        corpus_dir,
+        d,
+        BuildConfig(
+            num_segments=4,
+            docstat_partitions=2,
+            salt=3,
+            fragments_per_task=4,
+            tokenize_num_cpus=2.0,
+            reduce_num_cpus=2.0,
+        ),
+    )
+    assert m2["build_fingerprint"] == m1["build_fingerprint"]
+    assert m2["wall_s"] == m1["wall_s"]  # returned verbatim, no rebuild
+    fp_stemless = BuildConfig(
+        num_segments=4, docstat_partitions=2, stem=False
+    ).key()
+    assert fp_stemless != BuildConfig(
+        num_segments=4, docstat_partitions=2
+    ).key()
 
 
 def test_resume_skips_complete_partitions(ray_session, corpus_dir, tmp_path):
@@ -338,3 +375,28 @@ def test_build_rejects_mixed_sha_corpus(ray_session, tmp_path):
     )
     with pytest.raises(ValueError, match="only some files"):
         build_index(d, str(tmp_path / "idx"), BuildConfig(num_segments=2))
+
+
+def test_positions_free_index_rejects_phrase(ray_session, corpus_dir, tmp_path):
+    """Phrase/proximity queries on a store_positions=False index raise a
+    clear ValueError (not an opaque numpy IndexError), while plain
+    ranked/boolean queries still work."""
+    from informationretrieval_en_people_cn_ray.pipelines.search import (
+        SearchEngine,
+    )
+
+    d = str(tmp_path / "idx_nopos")
+    build_index(
+        corpus_dir,
+        d,
+        BuildConfig(
+            num_segments=2, docstat_partitions=1, store_positions=False
+        ),
+    )
+    eng = SearchEngine(d)
+    ids, scores = eng.search("the data", k=5)
+    assert len(ids) > 0
+    with pytest.raises(ValueError, match="store_positions"):
+        eng.search("'the data'")
+    with pytest.raises(ValueError, match="store_positions"):
+        eng.proximity("the", "data", within=3)

@@ -155,6 +155,45 @@ def test_replyto_through_engine(ray_session, tmp_path):
     with pytest.raises(NotImplementedError, match="adjacency"):
         eng2.search("ReplyTo:1 AND the")
 
+    # delete contract: adjacency children are raw corpus ids that never
+    # pass the posting decode layer — a tombstoned doc must still drop
+    # from ReplyTo results (boolean AND ranked paths)
+    from informationretrieval_en_people_cn_ray.state.tombstones import (
+        delete_docs,
+    )
+
+    delete_docs(idx, [12, 17])
+    eng3 = SearchEngine(idx, adjacency=AdjacencyIndex(adj_dir))
+    ids3 = eng3.search("ReplyTo:1 AND ReplyTo:1")
+    assert list(ids3) == [i for i in range(10, 20) if i not in (12, 17)]
+    from informationretrieval_en_people_cn_ray.queryparse import parse
+
+    r_ids, _ = eng3.ranked(parse("ReplyTo:1"), k=30)
+    assert 12 not in set(int(x) for x in r_ids)
+    assert 17 not in set(int(x) for x in r_ids)
+
+    # dangling adjacency children (ids absent from the index, e.g. an
+    # adjacency over a foreign key space): boolean algebra keeps them
+    # (pure id-set semantics — the replyto_children driver entry relies
+    # on this), while the RANKED scorer drops them instead of crashing
+    # lens_for or borrowing a neighbor's doc length
+    edges2 = str(tmp_path / "edges2.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "parent": pa.array([7, 7, 7], pa.int64()),
+                "child": pa.array([3, 4, 10**9], pa.int64()),
+            }
+        ),
+        edges2,
+    )
+    adj2 = str(tmp_path / "adj2")
+    build_adjacency(edges2, "parent", "child", adj2, num_partitions=1)
+    eng4 = SearchEngine(idx, adjacency=AdjacencyIndex(adj2))
+    assert list(eng4.search("ReplyTo:7 AND ReplyTo:7")) == [3, 4, 10**9]
+    r4, _ = eng4.ranked(parse("ReplyTo:7"), k=10)
+    assert set(int(x) for x in r4) <= {3, 4}
+
 
 @pytest.fixture(scope="module")
 def jsonl_corpus(tmp_path_factory):
