@@ -1000,3 +1000,34 @@ def test_legacy_dictionary_without_max_tf(ray_session, dirs, tmp_path):
         a, _ = em.search(q, k=10)
         b, _ = eref.search(q, k=10)
         assert a.tolist() == b.tolist(), q
+
+
+def test_merge_removes_stale_partitions(ray_session, dirs, tmp_path):
+    """Leftover seg=*/docstats/part=* dirs from an earlier different-
+    shape merge into the same out_dir must not survive — readers glob
+    them without fingerprint checks and would serve duplicate stats."""
+    from informationretrieval_en_people_cn_ray.pipelines.merge import (
+        merge_indexes,
+    )
+
+    out = str(tmp_path / "idx_restale")
+    stale_part = os.path.join(out, "docstats", "part=00099")
+    stale_seg = os.path.join(out, "seg=00099")
+    os.makedirs(stale_part)
+    os.makedirs(stale_seg)
+    # plant plausible content so a glob-based reader would pick them up
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([10**6], pa.int64()),
+                "doc_len": pa.array([1], pa.int64()),
+            }
+        ),
+        os.path.join(stale_part, "docstats.parquet"),
+    )
+    m = merge_indexes([dirs["a_i"], dirs["delta_i"]], out)
+    assert not os.path.exists(stale_part)
+    assert not os.path.exists(stale_seg)
+    assert m["num_docs"] == N_A + N_B
+    eng = SearchEngine(out)
+    assert eng.N == N_A + N_B
