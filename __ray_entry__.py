@@ -444,7 +444,13 @@ def _q_bm25_snippets(sf_dir: str) -> pa.Table:
 
     eng = _engine(sf_dir)
     ids, scores = eng.search(Q_TEXT, k=BM25_K, scorer="bm25")
-    store = DocStore(os.path.join(sf_dir, "documents.parquet"))
+    # the engine's index is built with doc_id_column="doc_id" — hydrate
+    # by the explicit id column, not the layout ordinal (identical on
+    # the synthetic tables, wrong the moment ids aren't dense row
+    # positions)
+    store = DocStore(
+        os.path.join(sf_dir, "documents.parquet"), doc_id_column="doc_id"
+    )
     texts = dict(
         zip(
             (t := store.lookup(ids, columns=["text"]))["doc_id"].to_pylist(),
@@ -650,21 +656,24 @@ def _incremental_index(sf_dir: str) -> str:
     )
     a_c, b_c = os.path.join(root, "corpus_a"), os.path.join(root, "corpus_b")
     merged = os.path.join(root, "merged")
-    if not os.path.exists(os.path.join(a_c, "part-00000.parquet")):
+    done = os.path.join(root, "corpus_split.done")
+    if not os.path.exists(done):
+        # both halves land under tmp names then rename, sentinel LAST:
+        # a kill between the two writes (or mid-write, leaving a
+        # footerless parquet that still os.path.exists) must not poison
+        # the cache for every later run
         t = pqt.read_table(f, columns=["text"])
         half = t.num_rows // 2
         os.makedirs(a_c, exist_ok=True)
         os.makedirs(b_c, exist_ok=True)
-        pqt.write_table(
-            t.slice(0, half),
-            os.path.join(a_c, "part-00000.parquet"),
-            row_group_size=256,
-        )
-        pqt.write_table(
-            t.slice(half),
-            os.path.join(b_c, "part-00000.parquet"),
-            row_group_size=256,
-        )
+        for d, sl in ((a_c, t.slice(0, half)), (b_c, t.slice(half))):
+            dst = os.path.join(d, "part-00000.parquet")
+            tmp = dst + f".tmp-{os.getpid()}"
+            pqt.write_table(sl, tmp, row_group_size=256)
+            os.replace(tmp, dst)
+        with open(done + f".tmp-{os.getpid()}", "w") as fh:
+            fh.write("ok")
+        os.replace(done + f".tmp-{os.getpid()}", done)
     cfg = BuildConfig(
         num_segments=4,
         docstat_partitions=2,
@@ -764,7 +773,19 @@ def _q_compacted_term_stats(sf_dir: str) -> pa.Table:
     tombed = os.path.join(root, "tombed")
     compacted = os.path.join(root, "compacted")
     if not os.path.exists(os.path.join(tombed, "collection.json")):
-        shutil.copytree(merged, tombed, dirs_exist_ok=True)
+        # copy into a tmp sibling and rename: a kill mid-copytree must
+        # not leave a half-copied index that later runs trust (missing
+        # segments read as empty → silently wrong compacted stats)
+        tmp = tombed + f".tmp-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.copytree(merged, tmp)
+        # a half-copied tombed/ from an interrupted run has no
+        # collection.json (checked above) — discard it, then rename
+        shutil.rmtree(tombed, ignore_errors=True)
+        try:
+            os.replace(tmp, tombed)
+        except OSError:  # concurrent winner installed it first
+            shutil.rmtree(tmp, ignore_errors=True)
     delete_docs(tombed, list(DELETED_DOC_IDS))  # idempotent union
     merge_indexes([tombed], compacted)  # short-circuits by fingerprint
     return _read_dict_stats(compacted)

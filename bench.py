@@ -137,7 +137,11 @@ def _headline(cpus: int, n_docs: int) -> dict:
     build_s = time.monotonic() - t0
     probe_post = _fault_probe_mbps()
 
-    # ranked-query batch through the actor-pool path
+    # ranked-query batch, BOTH serving shapes: the default warm-worker
+    # task path (engines cached per worker process) is the headline
+    # queries_per_sec for continuity with earlier rounds; the explicit
+    # actor-pool path (north_star's long-lived serving form) is timed
+    # separately as queries_per_sec_actors
     queries = [
         "data value result merge",
         "running characters",
@@ -152,6 +156,13 @@ def _headline(cpus: int, n_docs: int) -> dict:
     )
     n_hits = res.count()
     query_s = time.monotonic() - t0
+    t0 = time.monotonic()
+    res_a = search_many(
+        out_dir, queries, k=10,
+        concurrency=max(2, min(8, cpus // 4)), actors=True,
+    )
+    n_hits_actors = res_a.count()
+    query_actors_s = time.monotonic() - t0
 
     # incremental maintenance: extend the just-built index with 10% NEW
     # documents (pipelines/merge.extend_index tokenizes only the delta,
@@ -211,6 +222,9 @@ def _headline(cpus: int, n_docs: int) -> dict:
         "query_batch_s": round(query_s, 3),
         "queries_per_sec": round(len(queries) / query_s, 1),
         "query_hits": int(n_hits),
+        "query_batch_actors_s": round(query_actors_s, 3),
+        "queries_per_sec_actors": round(len(queries) / query_actors_s, 1),
+        "query_hits_actors": int(n_hits_actors),
         "fault_probe_pre_mbps": probe_pre,
         "fault_probe_post_mbps": probe_post,
     }

@@ -447,10 +447,17 @@ class _CopyDocstats:
             # on-disk size, matching the plain-copy branch's accounting
             nbytes = os.path.getsize(dst)
         else:
+            if "n_docs" not in src_man or "tokens" not in src_man:
+                # a silent 0 here would understate num_docs/avgdl in the
+                # merged collection manifest and mis-score every query
+                raise ValueError(
+                    f"source docstat partition {src} has no usable "
+                    "manifest — corrupt or incomplete generation"
+                )
             raw = open(src_pq, "rb").read()
             write_bytes_atomic(os.path.join(d, "docstats.parquet"), raw)
-            n_docs = src_man.get("n_docs", 0)
-            tokens = src_man.get("tokens", 0)
+            n_docs = src_man["n_docs"]
+            tokens = src_man["tokens"]
             nbytes = len(raw)
         write_json_atomic(
             os.path.join(d, "manifest.json"),
@@ -549,6 +556,27 @@ def merge_indexes(parents: list[str], out_dir: str) -> dict:
         for src in _docstat_parts(p):
             copies.append({"src": src, "part": part, "gen": gi})
             part += 1
+    # stale partitions from an earlier (different-shape) merge into the
+    # same out_dir must not survive: readers glob docstats/part=* and
+    # seg=* without fingerprint checks, so a leftover part beyond the
+    # new count would serve duplicate/overlapping doc stats
+    import glob as _glob
+    import shutil as _shutil
+
+    for d in _glob.glob(os.path.join(out_dir, "docstats", "part=*")):
+        try:
+            i = int(os.path.basename(d).split("=")[1])
+        except (IndexError, ValueError):
+            continue
+        if i >= len(copies):
+            _shutil.rmtree(d, ignore_errors=True)
+    for d in _glob.glob(os.path.join(out_dir, "seg=*")):
+        try:
+            i = int(os.path.basename(d).split("=")[1])
+        except (IndexError, ValueError):
+            continue
+        if i >= num_segments:
+            _shutil.rmtree(d, ignore_errors=True)
     stat_rows = ray.data.from_items(copies).map_batches(
         _CopyDocstats(
             out_dir, merge_fp,

@@ -123,12 +123,14 @@ def pricing_summary(sf_dir: str):
             np.char.add(flag.astype("U4"), "|"), stat.astype("U4")
         )
         uk, inv = np.unique(gk, return_inverse=True)
+        pc = _cents(price)  # shared with the revenue term (full-scan hot path)
+        bp = _bp(disc)
         cols = {
             "n": np.ones(len(inv), np.int64),
             "qty_c": _cents(qty),
-            "price_c": _cents(price),
-            "disc_e6": _rev_e6(price, disc),
-            "disc_bp": _bp(disc),
+            "price_c": pc,
+            "disc_e6": pc * (10000 - bp),
+            "disc_bp": bp,
         }
         out: dict[str, pa.Array] = {"gk": pa.array(uk.tolist(), pa.string())}
         for name, vals in cols.items():
@@ -337,39 +339,29 @@ def _split_sides(group: pa.Table):
 
 def _orderkey_bloom(sf_dir: str, lo_us: int, hi_us: int):
     """Broadcast Bloom bitmap over the orderkeys of orders placed in
-    [lo_us, hi_us) — the join PRE-FILTER for date-windowed order joins:
-    the bitmap is constant-size (``BLOOM_BITS`` bits, 128 KiB) no
-    matter how many orders qualify, so at 100 TB it broadcasts where an
-    exact key set could not. One cheap extra pass over 2 columns of
-    ``orders``; per-batch partial bitmaps OR driver-side. False
-    positives only let extra probe rows through to the exact bucket
-    join (which drops them); no false negatives by construction."""
-    from .datapipe import BLOOM_BITS, _arrow_blocks, _bloom_positions
+    [lo_us, hi_us) — the join PRE-FILTER for date-windowed order joins.
+    A date-filter stage composed with the generic ``_dataset_key_bloom``
+    (one copy of the bitmap-accumulate idiom): constant ``BLOOM_BITS``
+    broadcast no matter how many orders qualify, false positives only
+    admit extra probe rows to the exact bucket join, no false
+    negatives."""
 
-    def partial(batch: pa.Table) -> pa.Table:
+    def keys(batch: pa.Table) -> pa.Table:
         odate = _ts_us(batch["o_orderdate"])
         m = (odate >= lo_us) & (odate < hi_us)
-        bits = np.zeros(BLOOM_BITS, bool)
         ks = (
             batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(
                 np.int64
             )
         )[m]
-        if len(ks):
-            bits[_bloom_positions(np.unique(ks)).ravel()] = True
-        return pa.table({"bits": pa.array([np.packbits(bits).tobytes()])})
+        return pa.table({"key": pa.array(ks, pa.int64())})
 
-    parts = _arrow_blocks(
+    return _dataset_key_bloom(
         ray.data.read_parquet(
             f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
-        ).map_batches(partial, batch_format="pyarrow")
+        ).map_batches(keys, batch_format="pyarrow"),
+        "key",
     )
-    acc = np.zeros(BLOOM_BITS // 8, np.uint8)
-    for t in parts:
-        if t.num_columns and t.num_rows:
-            for b in t["bits"].to_pylist():
-                acc |= np.frombuffer(b, np.uint8)
-    return ray.put(np.unpackbits(acc).astype(bool))
 
 
 def _rev_partials(sf_dir: str, ship_after_us: int | None, key_bloom=None):
@@ -535,7 +527,11 @@ def top_revenue_orders(sf_dir: str):
     rev = _rev_partials(
         sf_dir,
         ship_after_us=seg_date,
-        key_bloom=_orderkey_bloom(sf_dir, 0, seg_date),
+        # open lower bound: 0 (the epoch) would bloom-EXCLUDE pre-1970
+        # order dates — a false negative silently dropping their revenue
+        key_bloom=_orderkey_bloom(
+            sf_dir, int(np.iinfo(np.int64).min), seg_date
+        ),
     )
     per_bucket = (
         # revenue partials + qualified-order sliver: coalesce the
@@ -805,7 +801,7 @@ def priority_line_counts(sf_dir: str):
         columns=["o_orderkey", "o_orderpriority"],
     ).map_batches(order_rows, batch_format="pyarrow")
     per_bucket = (
-        lines.union(orders)
+        _coalesced(lines.union(orders), sf_dir, "orders", expansion=0.5)
         .groupby("bucket")
         .map_groups(join_counts, batch_format="pyarrow")
     )
